@@ -1,0 +1,419 @@
+"""Keyword / pattern constants reproduced verbatim from the reference.
+
+Each list cites the reference file:line it reproduces (behavioral parity —
+the reference treats these as the *semantics* of its classifiers, so they
+must match exactly). They are plain Python tuples; in Spark plans they are
+embedded as literal arrays (broadcast with the plan, never shuffled).
+
+Reference: jayceho3203/crawler-ai at /root/reference (read-only).
+"""
+
+# ---------------------------------------------------------------------------
+# Spider link filtering — app/services/scrapy_career_spider.py
+# ---------------------------------------------------------------------------
+
+# scrapy_career_spider.py:63-79
+EXCLUDE_MENU_KEYWORDS = (
+    "about", "about-us", "company", "team", "leadership",
+    "contact", "contact-us", "support", "help",
+    "marketing", "advertising", "seo", "sem", "social-media",
+    "content", "blog", "news", "press", "media",
+    "api", "documentation", "docs", "tutorial", "guide",
+    "pricing", "plans", "features", "benefits",
+    "privacy", "terms", "policy", "sitemap", "search",
+    "login", "register", "signup", "dashboard",
+)
+
+# scrapy_career_spider.py:82-90 (re.match'd, i.e. anchored at start)
+EXCLUDE_MENU_PATTERNS = (
+    r".*/(about|company|team|leadership).*",
+    r".*/(contact|support|help).*",
+    r".*/(marketing|advertising|seo).*",
+    r".*/(api|docs|documentation).*",
+    r".*/(pricing|plans|features).*",
+    r".*/(privacy|terms|policy).*",
+    r".*/(login|register|signup).*",
+)
+
+# scrapy_career_spider.py:297-318 (substring rejects in is_valid_link)
+NON_JOB_LINK_PATTERNS = (
+    "google.com/maps", "facebook.com", "twitter.com", "linkedin.com",
+    "youtube.com", "instagram.com", "tiktok.com",
+    "/services/", "/service/", "/products/", "/product/",
+    "/solutions/", "/solution/", "/portfolio/", "/about/",
+    "/contact/", "/team/", "/company/", "/news/", "/blog/",
+    "/press/", "/media/", "/investor/",
+    "/dich-vu/", "/san-pham/", "/giai-phap/", "/gioi-thieu/",
+    "/lien-he/", "/doi-ngu/", "/cong-ty/", "/tin-tuc/",
+    "/bai-viet/", "/thong-cao/", "/truyen-thong/",
+    "/privacy/", "/terms/", "/cookie/", "/sitemap/",
+    "/search/", "/login/", "/register/", "/signup/",
+    "/admin/", "/dashboard/", "/account/", "/profile/",
+    ".jpg", ".jpeg", ".png", ".gif", ".svg", ".ico",
+    ".css", ".js", ".woff", ".woff2", ".ttf", ".eot",
+    ".xml", ".json", ".pdf", ".doc", ".docx",
+)
+
+# scrapy_career_spider.py:284 (prefix rejects)
+INVALID_LINK_PREFIXES = ("#", "javascript:", "mailto:", "tel:")
+
+# ---------------------------------------------------------------------------
+# Priority bucketing — scrapy_career_spider.py:327-415 (prioritize_links)
+# ---------------------------------------------------------------------------
+
+# scrapy_career_spider.py:332-372
+CAREER_KEYWORDS = (
+    "tuyen-dung", "tuyển-dụng", "tuyendung",
+    "viec-lam", "việc-làm", "vieclam",
+    "co-hoi", "cơ-hội", "cohoi",
+    "nhan-vien", "nhân-viên", "nhanvien",
+    "ung-vien", "ứng-viên", "ungvien",
+    "cong-viec", "công-việc", "congviec",
+    "lam-viec", "làm-việc", "lamviec",
+    "thu-viec", "thử-việc", "thuviec",
+    "chinh-thuc", "chính-thức", "chinhthuc",
+    "nghe-nghiep", "nghề-nghiệp", "nghenghiep",
+    "tim-viec", "tìm-việc", "timviec",
+    "dang-tuyen", "đang-tuyển", "dangtuyen",
+    "career", "careers", "job", "jobs",
+    "recruitment", "employment", "hiring",
+    "work", "position", "opportunity", "vacancy",
+    "apply", "application", "join-us",
+    "team", "talent", "open-role", "open-roles",
+    "we-are-hiring", "work-with-us", "join-our-team",
+    "grow-with-us", "build-with-us", "create-with-us",
+    "full-time", "part-time", "remote", "hybrid",
+    "onsite", "on-site", "freelance", "contract",
+    "internship", "intern", "graduate", "entry-level",
+    "senior", "junior", "lead", "principal",
+    "hr", "human-resource", "human-resources",
+    "staff", "employee", "employees",
+    "developer", "engineer", "analyst", "manager",
+    "specialist", "consultant", "coordinator",
+    "assistant", "director", "executive",
+    "programmer", "designer", "architect",
+    "tester", "qa", "quality-assurance",
+    "devops", "admin", "administrator",
+    "sales", "marketing", "business",
+    "finance", "accounting", "legal",
+    "support", "customer-service", "operations",
+)
+
+# scrapy_career_spider.py:375-380
+NAV_KEYWORDS = (
+    "about", "about-us", "company", "team", "contact",
+    "services", "products", "solutions", "portfolio",
+    "giới-thiệu", "công-ty", "đội-ngũ", "liên-hệ",
+    "dịch-vụ", "sản-phẩm", "giải-pháp",
+)
+
+# scrapy_career_spider.py:383-386
+CONTENT_KEYWORDS = (
+    "news", "blog", "article", "press", "media",
+    "tin-tức", "bài-viết", "thông-cáo", "truyền-thông",
+)
+
+# priority -> per-page link budget; scrapy_career_spider.py:185 / :482
+# (max_links = 5 if priority == 100 else 3 if priority == 80 else 2)
+PRIORITY_BUDGETS = {100: 5, 80: 3, 50: 2, 10: 2}
+PRIORITY_LEVELS = (100, 80, 50, 10)
+
+# stop conditions; app/api/routes.py:60, scrapy_career_spider.py:187,462
+DEFAULT_MAX_PAGES = 50
+DEFAULT_MAX_CAREER_PAGES = 10
+
+# ---------------------------------------------------------------------------
+# Career scoring — scrapy_career_spider.py:497-546 (calculate_career_score)
+# ---------------------------------------------------------------------------
+
+# scrapy_career_spider.py:508-512
+CAREER_URL_INDICATORS = (
+    "career", "careers", "job", "jobs", "recruitment", "employment",
+    "tuyen-dung", "viec-lam", "co-hoi", "nhan-vien", "ung-vien",
+    "cong-viec", "lam-viec", "thu-viec", "chinh-thuc", "nghe-nghiep",
+)
+
+# scrapy_career_spider.py:520-524
+CAREER_TITLE_INDICATORS = (
+    "career", "job", "recruitment", "employment", "hiring",
+    "tuyển dụng", "việc làm", "cơ hội", "nhân viên", "ứng viên",
+    "công việc", "làm việc", "thử việc", "chính thức", "nghề nghiệp",
+)
+
+# scrapy_career_spider.py:532-538
+CAREER_CONTENT_INDICATORS = (
+    "apply", "application", "submit", "join", "work with us",
+    "position", "role", "opportunity", "vacancy", "opening",
+    "hiring", "recruiting", "employment", "career opportunity",
+    "ứng tuyển", "nộp đơn", "tham gia", "làm việc cùng chúng tôi",
+    "vị trí", "cơ hội", "tuyển dụng", "việc làm",
+)
+
+CAREER_SCORE_THRESHOLD = 0.3  # scrapy_career_spider.py:439
+
+# ---------------------------------------------------------------------------
+# Career listing page classification — scrapy_career_spider.py:591-655
+# ---------------------------------------------------------------------------
+
+# scrapy_career_spider.py:588
+HOMEPAGE_PATHS = ("/", "", "/index.html", "/index.php", "/default.html", "/default.php")
+
+# scrapy_career_spider.py:614-619
+JOB_DETAIL_INDICATORS = (
+    "/career/", "/job/", "/position/", "/opportunity/",
+    "/tuyen-dung/", "/viec-lam/", "/co-hoi/",
+    "senior", "junior", "developer", "engineer", "analyst",
+    "manager", "lead", "specialist", "consultant",
+)
+
+# scrapy_career_spider.py:627-632
+CAREER_LISTING_INDICATORS = (
+    "career.html", "careers.html", "job.html", "jobs.html",
+    "tuyen-dung.html", "viec-lam.html", "co-hoi.html",
+    "recruitment", "employment", "hiring", "join us",
+    "work with us", "open positions", "current openings",
+)
+
+# scrapy_career_spider.py:640-644
+CAREER_PATH_PATTERNS = (
+    "/career", "/careers", "/jobs", "/positions", "/tuyen-dung",
+    "/recruitment", "/vacancies", "/openings", "/opportunities",
+    "/viec-lam", "/co-hoi", "/nhan-vien", "/ung-vien",
+)
+
+# scrapy_career_spider.py:652
+CAREER_CONTENT_LISTING_HINTS = (
+    "apply now", "view all jobs", "browse positions", "current openings",
+)
+
+# ---------------------------------------------------------------------------
+# Job-URL classifier — scrapy_career_spider.py:828-953 (_is_job_url)
+# ---------------------------------------------------------------------------
+
+# scrapy_career_spider.py:835-838
+JOB_URL_SKIP_PATTERNS = ("javascript:", "mailto:", "tel:", "#", "void(0)", "undefined", "null")
+# scrapy_career_spider.py:845
+JOB_URL_SKIP_FILES = ("sitemap.xml", "robots.txt", ".xml", ".json", ".pdf", ".doc", ".docx")
+# scrapy_career_spider.py:859-863
+CAREER_SUBDOMAINS = (
+    "career.", "careers.", "jobs.", "job.", "work.", "employment.",
+    "recruitment.", "hiring.", "talent.", "opportunities.",
+    "tuyen-dung.", "viec-lam.", "co-hoi.",
+)
+# scrapy_career_spider.py:874-892
+JOB_URL_PATTERNS = (
+    "/job/", "/jobs/", "/position/", "/positions/", "/vacancy/", "/vacancies/",
+    "/opportunity/", "/opportunities/", "/opening/", "/openings/",
+    "/role/", "/roles/", "/posting/", "/postings/", "/listing/", "/listings/",
+    "/tuyen-dung/", "/viec-lam/", "/co-hoi/", "/nhan-vien/", "/ung-vien/",
+    "/cong-viec/", "/lam-viec/", "/thu-viec/", "/chinh-thuc/",
+    "/nghe-nghiep/", "/tim-viec/", "/dang-tuyen/", "/vi-tri/",
+    "/developer/", "/engineer/", "/analyst/", "/manager/", "/specialist/",
+    "/consultant/", "/coordinator/", "/assistant/", "/director/", "/lead/",
+    "/senior/", "/junior/", "/intern/", "/trainee/", "/graduate/",
+    "/remote/", "/hybrid/", "/full-time/", "/part-time/", "/contract/",
+    "/freelance/", "/temporary/", "/permanent/",
+    "/apply/", "/application/", "/candidate/", "/applicant/",
+)
+# scrapy_career_spider.py:901-904
+JOB_QUERY_PARAMS = (
+    "id=", "job=", "position=", "vacancy=", "role=", "posting=",
+    "search=", "q=", "keyword=", "title=", "location=",
+)
+# scrapy_career_spider.py:917-935
+OBVIOUS_NON_JOB_PATTERNS = (
+    "google.com/maps", "facebook.com", "twitter.com", "linkedin.com",
+    "youtube.com", "instagram.com", "tiktok.com",
+    ".jpg", ".jpeg", ".png", ".gif", ".svg", ".ico",
+    ".css", ".js", ".woff", ".woff2", ".ttf", ".eot",
+    "/admin/", "/dashboard/", "/login/", "/register/", "/signup/",
+    "/privacy/", "/terms/", "/cookie/", "/sitemap/",
+    "/about/", "/company/", "/team/", "/contact/", "/services/",
+    "/products/", "/solutions/", "/portfolio/", "/news/", "/blog/",
+    "/press/", "/media/", "/investor/", "/career/", "/careers/",
+    "/gioi-thieu/", "/cong-ty/", "/doi-ngu/", "/lien-he/",
+    "/dich-vu/", "/san-pham/", "/giai-phap/", "/tin-tuc/",
+    "/bai-viet/", "/thong-cao/", "/truyen-thong/",
+)
+
+# job link text patterns; scrapy_career_spider.py:793-804
+JOB_TEXT_PATTERNS = (
+    "developer", "engineer", "analyst", "manager", "specialist",
+    "consultant", "coordinator", "assistant", "director", "lead",
+    "senior", "junior", "intern", "trainee", "graduate",
+    "remote", "hybrid", "full-time", "part-time", "contract",
+    "freelance", "temporary", "position", "role", "vacancy",
+    "opening", "opportunity", "employment", "hiring",
+    "tuyen-dung", "viec-lam", "co-hoi", "nhan-vien", "ung-vien",
+    "cong-viec", "lam-viec", "thu-viec", "chinh-thuc",
+    "nghe-nghiep", "tim-viec", "dang-tuyen", "vi-tri",
+)
+
+# ---------------------------------------------------------------------------
+# Contact extraction — app/services/crawler.py, contact_extractor_service.py
+# ---------------------------------------------------------------------------
+
+# crawler.py:292-295 / scrapy_career_spider.py:964-967 (findall, IGNORECASE)
+EMAIL_PATTERNS = (
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b",
+    r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}",
+)
+# contact_footer.py:15
+FOOTER_EMAIL_PATTERN = r"[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]{2,}"
+
+# crawler.py:309-312 (substring rejects applied to lowercased email)
+EMAIL_INVALID_SUBSTRINGS = (
+    "cropped-favicon", "favicon", ".png", ".jpg", ".jpeg", ".gif",
+    "data:", "javascript:", "mailto:", "tel:", "http", "https",
+)
+
+# crawler.py:319-323 (naive VN phone patterns)
+PHONE_PATTERNS_NAIVE = (
+    r"\+84\s?\d{1,2}\s?\d{3}\s?\d{3}\s?\d{3}",
+    r"0\d{1,2}\s?\d{3}\s?\d{3}\s?\d{3}",
+    r"\d{10,11}",
+)
+
+# app/utils/text.py:40-42 / contact_footer.py:9-14 (strict Unicode-separator rx)
+PHONE_WS_CLASS = r"\s\u00A0\u2000-\u200B"
+PHONE_SEP_CLASS = rf"[{PHONE_WS_CLASS}\.\-\(\)]"
+PHONE_SEP = rf"{PHONE_SEP_CLASS}*"
+VN_PHONE_PATTERN = rf"(?<!\d)(?:\+?84|0)(?:{PHONE_SEP}\d){{8,10}}(?!\d)"
+
+# contact_extractor_service.py:56-63
+SOCIAL_PATTERNS = {
+    "facebook": r"facebook\.com/[^/\s]+",
+    "linkedin": r"linkedin\.com/(company|in)/[^/\s]+",
+    "twitter": r"twitter\.com/[^/\s]+",
+    "instagram": r"instagram\.com/[^/\s]+",
+    "youtube": r"youtube\.com/(channel|c|user)/[^/\s]+",
+    "github": r"github\.com/[^/\s]+",
+}
+
+# contact_footer.py:33-35 (footer node CSS cascade)
+FOOTER_SELECTORS = (
+    "footer", "[role=contentinfo]", "#footer", ".footer",
+    ".site-footer", ".main-footer", ".bottom-footer",
+)
+
+# ---------------------------------------------------------------------------
+# HTML→text canonical pipeline — job_extraction_service.py:1726-1737
+# ---------------------------------------------------------------------------
+
+# tags decomposed before get_text(); job_extraction_service.py:1726
+TEXT_DECOMPOSE_TAGS = ("script", "style", "nav", "header", "footer", "aside", "noscript")
+TEXT_TRUNCATE = 5000           # job_extraction_service.py:1737
+TEXT_MIN_LENGTH = 50           # job_extraction_service.py:1736
+
+# generic h1/h2 title rejects; job_extraction_service.py:1702-1703
+GENERIC_TITLE_WORDS = ("home", "about", "contact", "career", "careers", "welcome", "blog", "news")
+
+# ---------------------------------------------------------------------------
+# Job field extraction — job_extraction_service.py
+# ---------------------------------------------------------------------------
+
+# job_type keyword cascades; job_extraction_service.py:1746-1757 (detail pages)
+JOB_TYPE_DETAIL_RULES = (
+    ("Full-time", ("full-time", "full time", "fulltime")),
+    ("Part-time", ("part-time", "part time", "parttime")),
+    ("Contract", ("contract", "contractor")),
+    ("Internship", ("intern", "internship")),
+    ("Remote", ("remote",)),
+    ("Hybrid", ("hybrid",)),
+)
+
+# job_extraction_service.py:2393-2402 (card text; default Full-time)
+JOB_TYPE_CARD_RULES = (
+    ("Full-time", ("fulltime", "full-time", "toàn thời gian")),
+    ("Part-time", ("part-time", "parttime", "bán thời gian")),
+    ("Contract", ("contract", "hợp đồng")),
+    ("Internship", ("intern", "thực tập")),
+)
+
+# job_extraction_service.py:2413-2418
+LOCATION_LINE_PATTERNS = (
+    r"nơi làm việc[:\s]+([^\n]+)",
+    r"location[:\s]+([^\n]+)",
+    r"địa điểm[:\s]+([^\n]+)",
+    r"work location[:\s]+([^\n]+)",
+)
+# job_extraction_service.py:2424 (suffix cleanup on matched location)
+LOCATION_CLEANUP_PATTERN = (
+    r"(Download JD|Apply now|Xem Thêm|Số lượng tuyển|Junior|Senior|Tuyển gấp).*$"
+)
+
+# job_extraction_service.py:2437-2439 (card text)
+SALARY_LINE_PATTERNS = (
+    r"mức lương[:\s]+([^\n]+)",
+    r"salary[:\s]+([^\n]+)",
+    r"lương[:\s]+([^\n]+)",
+)
+
+# job_extraction_service.py:633-646 (description sweep)
+SALARY_DESC_PATTERNS = (
+    r"lương\s*up\s*to[:\s]*([^,\n]+)",
+    r"lương[:\s]*([^,\n]+)",
+    r"salary[:\s]*([^,\n]+)",
+    r"up\s*to[:\s]*([^,\n]+)",
+    r"(\d+[kKmM])",
+    r"(\$\d+[kKmM]?)",
+    r"(\d+\s*[tT]r[iỉ][eệ][uú])",
+    r"(\d+\s*[mM]illion)",
+    r"(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)\s*(?:USD|VND|đồng|dollar)",
+    r"(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)\s*(?:triệu|million)",
+    r"(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)\s*(?:k|K)",
+    r"(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)\s*(?:USD|VND)",
+)
+
+# title suffix/prefix cleanup; job_extraction_service.py:2297-2299
+TITLE_SUFFIX_CLEANUP = r"\s*(Singapore Only|Fully Remote|Remote|See Details|See)\s*$"
+TITLE_PREFIX_CLEANUP = r"^com\s*"
+
+# job-title predicate; job_extraction_service.py:2531-2544
+JOB_TITLE_INDICATORS = (
+    "developer", "engineer", "manager", "analyst", "specialist",
+    "coordinator", "assistant", "director", "lead", "head", "chief",
+    "architect", "consultant", "advisor", "expert", "professional",
+    "programmer", "coder", "tester", "qa", "devops", "sre",
+    "senior", "junior", "mid", "entry", "level", "principal", "staff",
+    "associate", "executive", "vice", "deputy",
+    "full-stack", "frontend", "backend", "mobile", "web",
+    "data", "ai", "ml", "blockchain", "crypto", "fintech",
+    "marketing", "sales", "hr", "finance", "legal", "operations",
+    "python", "java", "javascript", "react", "vue", "angular",
+    "node", "php", "c#", "dotnet", "ruby", "go", "rust",
+    "aws", "azure", "gcp", "docker", "kubernetes",
+)
+# job_extraction_service.py:2547-2554
+NON_JOB_TITLE_INDICATORS = (
+    "health insurance", "working per week", "appreciation bonus",
+    "competitive salary", "benefits", "human-centric", "culture",
+    "work from home", "remote work", "flexible", "vacation",
+    "sick leave", "maternity", "paternity", "retirement",
+    "gym membership", "free lunch", "snacks", "coffee",
+    "team building", "company events", "training", "education",
+)
+
+# fuzzy-dedup stopwords; job_extraction_service.py:2166
+TITLE_COMMON_WORDS = ("the", "a", "an", "and", "or", "of", "in", "at", "to", "for", "with", "by")
+# generic single-word titles dropped; job_extraction_service.py:2123
+GENERIC_SINGLE_TITLES = ("engineer", "developer", "manager", "analyst", "assistant", "specialist")
+
+# date formats; job_extraction_service.py:547-550
+DATE_FORMATS = ("%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%d-%m-%Y", "%Y/%m/%d", "%d.%m.%Y", "%Y.%m.%d")
+# same list as Spark to_timestamp patterns (order preserved)
+DATE_FORMATS_SPARK = ("yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy/MM/dd", "dd.MM.yyyy", "yyyy.MM.dd")
+
+# description summarize; job_extraction_service.py:1102-1118
+DESCRIPTION_SUMMARY_LIMIT = 300
+
+# pagination; job_extraction_service.py:446-449 / :267-321
+PAGINATION_PARAMS = ("page=", "paged=", "p=", "pg=")
+PAGINATION_MAX_PAGE = 10
+
+# fetch cache semantics; app/services/cache.py:15, crawler.py:462,474
+CACHE_TTL_SECONDS = 3600
+CACHE_MIN_HTML_LEN = 500
+
+# page size cap kept as a semantic predicate; scrapy_career_spider.py:105
+MAX_PAGE_BYTES = 1024 * 1024

@@ -1,0 +1,154 @@
+"""Frontier expansion operators — one crawl batch as a DataFrame pipeline.
+
+This is the Spark re-expression of the reference spider's per-page loop
+(scrapy_career_spider.py:156-209 homepage, :417-495 pages): link harvest →
+validity filter → per-page dedup → priority bucketing → per-bucket budget →
+urljoin → same-domain gate → scheduler dedup (URL-seen anti-join).
+
+Determinization note (SURVEY.md §4.3): the reference's ``list(set(links))``
+is hash-order nondeterministic; the determinized model — shared verbatim by
+the plain-Python golden simulator in tests/golden_crawl.py — keeps FIRST
+OCCURRENCE document order within each page. Everything downstream
+(discovered_seq, bucket ranks, the final URL-seen set) is a pure function of
+that order, so Spark run ≡ golden run, bit for bit.
+
+Scale shape (what the plan compiles to):
+- parse UDF runs once per scheduled page, AFTER url-only filters
+- link pipeline is explode + window ops partitioned by (seed, parent) —
+  narrow keys, no skew (a page yields ≤ ~100 links)
+- the seen anti-join is the only big shuffle; it joins on url_hash BIGINT
+  (sort-merge at scale, AQE-converted to broadcast when the batch is small;
+  optionally bloom-prefiltered — operators/seen.py)
+- hot-host skew in the parse stage is defeated by salted repartition:
+  repartition(host, pmod(xxhash64(url), SALT)) — W2
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_ai_spark import constants as K
+from crawler_ai_spark.functions import filters as FL
+from crawler_ai_spark.functions.html import explode_links
+from crawler_ai_spark.functions.urls import canonicalize_udf, url_hash
+
+PARSE_SALT_BUCKETS = 8
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = PARSE_SALT_BUCKETS) -> DataFrame:
+    """W2 — spread a hot host over ``salt_buckets`` partitions while keeping
+    locality for cold hosts. AQE fixes skewed *joins*; this fixes the skewed
+    *parse/fetch* stage, which AQE cannot see into."""
+    return df.repartition(
+        n_partitions,
+        F.col("host"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)),
+    )
+
+
+def harvest_links(parsed: DataFrame) -> DataFrame:
+    """Parsed pages → candidate child links with deterministic per-page order.
+
+    Input: columns url (parent), seed_url, seed_host, page_order (per-seed
+    processing rank of the parent), parse (struct).
+    Output: one row per (parent, unique valid href) with bucket priority and
+    within-bucket rank, budget-capped — the spider's prioritize + [:max]
+    (scrapy_career_spider.py:179-208/:476-495)."""
+    links = explode_links(parsed).where(F.col("href").isNotNull())
+
+    # F1 — raw-href validity vs the SEED's domain (spider :280-325)
+    links = links.where(FL.is_valid_link_expr(F.col("href"), F.col("seed_host")))
+
+    # per-page first-occurrence dedup (determinized list(set(...)), :252)
+    w_first = Window.partitionBy("seed_url", "url", "href").orderBy("link_pos")
+    links = (
+        links.withColumn("_occ", F.row_number().over(w_first))
+        .where(F.col("_occ") == 1)
+        .drop("_occ")
+    )
+
+    # O1 — priority bucket from the raw href (:327-415)
+    links = links.withColumn("priority", FL.priority_expr(F.col("href")))
+
+    # O2 — per-(page, bucket) budget: first N by document order (:185-186)
+    w_bucket = Window.partitionBy("seed_url", "url", "priority").orderBy("link_pos")
+    links = (
+        links.withColumn("bucket_rank", F.row_number().over(w_bucket))
+        .where(F.col("bucket_rank") <= FL.priority_budget_expr(F.col("priority")))
+    )
+
+    # P1 — canonicalize (urljoin + fragment strip), then F2 same-domain gate
+    links = links.withColumn("child_url", canonicalize_udf(F.col("url"), F.col("href")))
+    links = links.where(FL.same_domain_expr(F.col("child_url"), F.col("seed_host")))
+    return links
+
+
+def assign_sequence(links: DataFrame, seq_offsets: DataFrame | None = None) -> DataFrame:
+    """Deterministic discovered_seq per seed (SURVEY.md §4.3 — no
+    monotonically_increasing_id): order = (parent processing order, bucket
+    priority desc, within-bucket rank), continuing each seed's counter via
+    ``seq_offsets(seed_url, seq_offset)``."""
+    w = Window.partitionBy("seed_url").orderBy(
+        F.col("page_order").asc(), F.col("priority").desc(), F.col("bucket_rank").asc(), F.col("link_pos").asc()
+    )
+    out = links.withColumn("_rn", F.row_number().over(w))
+    if seq_offsets is not None:
+        out = out.join(F.broadcast(seq_offsets), "seed_url", "left").withColumn(
+            "discovered_seq", F.col("_rn") + F.coalesce(F.col("seq_offset"), F.lit(0))
+        ).drop("seq_offset")
+    else:
+        out = out.withColumn("discovered_seq", F.col("_rn"))
+    return out.drop("_rn")
+
+
+def dedup_against_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """D2 — the scheduler's URL-seen anti-join, keyed on xxhash64(url).
+
+    Within-batch duplicates collapse to the FIRST discovery (min
+    discovered_seq) — Scrapy's fingerprint dedup admits the first yield.
+    ``seen`` needs only a ``url_hash`` column."""
+    w = Window.partitionBy("seed_url", "url_hash").orderBy("discovered_seq")
+    firsts = (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return firsts.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+
+
+def with_url_hash(df: DataFrame, url_col: str = "child_url") -> DataFrame:
+    return df.withColumn("url_hash", url_hash(F.col(url_col)))
+
+
+def apply_robots(frontier: DataFrame, host_rules: DataFrame | None) -> DataFrame:
+    """W3 — robots gate: drop frontier URLs whose path starts with a
+    disallowed prefix. Broadcast join (host_rules is small). Default
+    allow-all reproduces the reference (ROBOTSTXT_OBEY=False,
+    crawler_ai/settings.py:9)."""
+    if host_rules is None:
+        return frontier
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return (
+        frontier.join(F.broadcast(host_rules.select("host", "disallow_prefixes")), "host", "left")
+        .where(~blocked)
+        .drop("disallow_prefixes")
+    )
+
+
+def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tuple[DataFrame, DataFrame]:
+    """W2 politeness budget: at most N URLs per host per batch (the batch
+    analogue of DOWNLOAD_DELAY=1/s — crawl rate × batch wall-time). Returns
+    (scheduled, deferred); deferred rows re-enter the next batch's frontier
+    unchanged, preserving their discovered_seq (so ordering is stable)."""
+    if per_host_per_batch is None:
+        return frontier, frontier.limit(0)
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("discovered_seq").asc())
+    ranked = frontier.withColumn("_hr", F.row_number().over(w))
+    scheduled = ranked.where(F.col("_hr") <= per_host_per_batch).drop("_hr")
+    deferred = ranked.where(F.col("_hr") > per_host_per_batch).drop("_hr")
+    return scheduled, deferred

@@ -1,0 +1,295 @@
+"""D2 at scale — partitioned Bloom URL-seen set (+ cuckoo fallback).
+
+The reference's ``visited_urls: set`` / Scrapy request-fingerprint dedup
+(job_extraction_service.py:326-338, crawler_ai/settings.py:69) becomes, at
+10^10-URL scale, a two-tier structure (SURVEY.md §1.3):
+
+- FAST PATH: per-host-bucket Bloom filters, built and probed with
+  Arrow-vectorized numpy inside ``applyInPandas``/``cogroup`` — a candidate
+  whose bucket bloom says "absent" is DEFINITELY new and skips the exact
+  join entirely (at steady state that is ~95%+ of candidates, so the big
+  anti-join shrinks by ~20×).
+- CORRECTNESS PATH: the exact left-anti join against the ``seen`` table
+  (operators/frontier.dedup_against_seen) for the "maybe present" residue —
+  bloom false positives can never drop a truly-new URL because every
+  "maybe" is re-checked exactly.
+
+Why not Spark's runtime bloom-join (spark.sql.optimizer.runtime.bloomFilter):
+it is rebuilt per query and never persisted; a crawl needs the filter to
+live ACROSS batches. These blobs are committed with each batch (an Iceberg
+side table in production; parquet here) and unioned by bucket on read.
+
+Sizing: bits_per_key=10, k=7 → ~0.8% false-positive rate. At 10^10 keys
+that's 12.5 GB of bitmap split over n_buckets blobs (e.g. 8192 buckets →
+~1.5 MB/blob); each executor core touches only the blobs of the buckets in
+its partition (cogroup aligns candidates and blobs by bucket), so memory
+per task stays O(blob), not O(filter).
+
+The cuckoo filter (deletable — models the reference's 1h fetch-cache TTL
+eviction, app/services/cache.py:15-33) is provided for the recrawl path and
+property-tested; the crawl loop's scheduler dedup itself never deletes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_BITS_PER_KEY = 10
+DEFAULT_N_HASHES = 7
+DEFAULT_N_BUCKETS = 64  # sandbox default; thousands at 10^10 scale
+
+
+def bucket_expr(host, n_buckets: int = DEFAULT_N_BUCKETS):
+    """bucket(N, host) — the Iceberg partition transform equivalent."""
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# vectorized double hashing (numpy, runs inside Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bit_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) array of bit indices for each key (double hashing)."""
+    x = keys.astype(np.uint64)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(x ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bitmap: np.ndarray, positions: np.ndarray) -> None:
+    flat = positions.reshape(-1)
+    np.bitwise_or.at(bitmap, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+
+def _test_bits(bitmap: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Per-key boolean: all k bits set → maybe present."""
+    byte_idx = positions >> 3
+    bit_mask = (1 << (positions & 7)).astype(np.uint8)
+    hits = (bitmap[byte_idx] & bit_mask) != 0
+    return hits.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# build / probe as grouped Arrow operations
+# ---------------------------------------------------------------------------
+
+BLOOM_SCHEMA = StructType(
+    [
+        StructField("bucket_id", IntegerType()),
+        StructField("bitmap", BinaryType()),
+        StructField("n_keys", LongType()),
+    ]
+)
+
+
+def build_bloom(
+    seen: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    bits_per_key: int = DEFAULT_BITS_PER_KEY,
+    n_hashes: int = DEFAULT_N_HASHES,
+    expected_keys_per_bucket: int | None = None,
+) -> DataFrame:
+    """seen(url_hash) → one bloom blob per host bucket (applyInPandas).
+
+    Blob size is fixed per bucket from ``expected_keys_per_bucket`` (or the
+    observed group size) so blobs from successive batches of the same bucket
+    can be OR-merged (same m) — the persistence trick that makes the filter
+    survive across crawl batches."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        n = max(len(keys), 1)
+        cap = expected_keys_per_bucket or n
+        m_bits = max(64, int(cap * bits_per_key))
+        bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+        _set_bits(bitmap, _bit_positions(keys, m_bits, n_hashes))
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "bitmap": [bitmap.tobytes()],
+                "n_keys": [len(keys)],
+            }
+        )
+
+    with_bucket = seen.withColumn("bucket_id", bucket_expr(F.col("url_hash"), n_buckets))
+    return with_bucket.groupBy("bucket_id").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def merge_blooms(blooms: DataFrame) -> DataFrame:
+    """OR-merge per-bucket blobs from multiple batches (same m per bucket)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+        size = max(a.size for a in arrs)
+        acc = np.zeros(size, dtype=np.uint8)
+        for a in arrs:
+            if a.size != size:  # differing m: skip-merge conservatively
+                continue
+            acc |= a
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "bitmap": [acc.tobytes()],
+                "n_keys": [int(pdf["n_keys"].sum())],
+            }
+        )
+
+    return blooms.groupBy("bucket_id").applyInPandas(_merge, BLOOM_SCHEMA)
+
+
+def bloom_split(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` via a bucket-aligned cogroup probe.
+
+    Rows with maybe_seen = false are DEFINITELY new (bloom has no false
+    negatives); rows with true go to the exact anti-join."""
+    from pyspark.sql.types import BooleanType
+
+    with_bucket = candidates.withColumn("bucket_id", bucket_expr(F.col("url_hash"), n_buckets))
+    out_schema = StructType(
+        with_bucket.schema.fields + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype="bool"))
+        if bloom_pdf.empty:
+            return cand_pdf.assign(maybe_seen=False)
+        bitmap = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        m_bits = bitmap.size * 8
+        keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        maybe = _test_bits(bitmap, _bit_positions(keys, m_bits, n_hashes))
+        return cand_pdf.assign(maybe_seen=maybe)
+
+    return (
+        with_bucket.groupBy("bucket_id")
+        .cogroup(blooms.groupBy("bucket_id"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def dedup_with_bloom(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Bloom-prefiltered exact scheduler dedup: equals
+    frontier.dedup_against_seen(candidates, seen) exactly, but only the
+    bloom-"maybe" residue pays the big anti-join shuffle."""
+    from crawler_ai_spark.operators.frontier import dedup_against_seen
+
+    cand_cols = candidates.columns
+    tagged = bloom_split(candidates, blooms, n_buckets)
+    definitely_new = tagged.where(~F.col("maybe_seen")).select(*cand_cols)
+    residue = tagged.where(F.col("maybe_seen")).select(*cand_cols)
+    checked = residue.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+    merged = definitely_new.unionByName(checked)
+    # within-batch first-yield-wins dedup still applies across the union
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seed_url", "url_hash").orderBy("discovered_seq")
+    return merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter (deletable fallback — recrawl/TTL path)
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Minimal (2,4)-cuckoo filter over int64 keys: insert / contains /
+    delete. Models the reference's TTL'd fetch-cache eviction
+    (app/services/cache.py:22): when a page's 1h TTL lapses the key is
+    DELETED so the URL becomes schedulable again — a bloom can't delete,
+    hence the fallback (north rule)."""
+
+    FINGERPRINT_BITS = 16
+    BUCKET_SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        n_buckets = 1
+        while n_buckets * self.BUCKET_SLOTS < capacity * 1.25:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.BUCKET_SLOTS), dtype=np.uint16)
+        self._rng_state = np.uint64(0x2545F4914F6CDD1D)
+
+    def _fingerprint(self, key: int) -> int:
+        fp = int(_splitmix64(np.array([key], dtype=np.uint64))[0]) & 0xFFFF
+        return fp or 1  # 0 means empty slot
+
+    def _index1(self, key: int) -> int:
+        return int(_splitmix64(np.array([key ^ 0xABCDEF], dtype=np.uint64))[0]) % self.n_buckets
+
+    def _index2(self, i1: int, fp: int) -> int:
+        h = int(_splitmix64(np.array([fp], dtype=np.uint64))[0])
+        return (i1 ^ h) % self.n_buckets
+
+    def _try_put(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        for s in range(self.BUCKET_SLOTS):
+            if row[s] == 0:
+                row[s] = fp
+                return True
+        return False
+
+    def insert(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        i2 = self._index2(i1, fp)
+        if self._try_put(i1, fp) or self._try_put(i2, fp):
+            return True
+        idx = i1
+        for _ in range(self.MAX_KICKS):
+            self._rng_state = _splitmix64(np.array([self._rng_state], dtype=np.uint64))[0]
+            slot = int(self._rng_state) % self.BUCKET_SLOTS
+            fp, self.table[idx][slot] = int(self.table[idx][slot]), fp
+            idx = self._index2(idx, fp)
+            if self._try_put(idx, fp):
+                return True
+        return False  # table full
+
+    def _slots(self, key: int):
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        return fp, i1, self._index2(i1, fp)
+
+    def contains(self, key: int) -> bool:
+        fp, i1, i2 = self._slots(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp, i1, i2 = self._slots(key)
+        for idx in (i1, i2):
+            row = self.table[idx]
+            hit = np.nonzero(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = 0
+                return True
+        return False

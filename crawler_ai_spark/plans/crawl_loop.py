@@ -1,0 +1,369 @@
+"""W1 — the multi-batch frontier-expansion loop, checkpointed and resumable.
+
+The reference's Scrapy event loop (scrapy_career_spider.py; pagination BFS
+job_extraction_service.py:323-367) becomes a driver-side batch loop: each
+batch is one DataFrame lineage frontier → fetch(join pages) → parse →
+harvest links → anti-join seen → next frontier, with every state table
+written as an atomically-committed batch directory. In production these
+writes are Iceberg appends (each one a snapshot); the sandbox ships a
+parquet-directory implementation with the same commit semantics (write
+batch dir → fsync → rename _COMMITTED marker), so resume-from-checkpoint is
+identical: find max committed batch, continue.
+
+Determinized crawl model (shared bit-for-bit with tests/golden_crawl.py —
+see operators/frontier.py for why determinization is needed):
+
+- page processing order per seed = (batch asc, priority desc,
+  discovered_seq asc); only fetched pages (present in the pages table)
+  advance the counters — the reference only counts parsed responses.
+- a page P yields links iff crawled_through(P) < max_pages AND
+  career_through(P) < max_career_pages (counters INCLUDE P itself —
+  spider :459-469); depth-0 homepages always yield (:179-208 runs with
+  counters at zero).
+- per page: F1-filter raw hrefs → first-occurrence dedup → priority buckets
+  (100/80/50/10) → first {5,3,2,2} per bucket → urljoin → same-domain →
+  scheduler dedup (first yield wins, then URL-seen anti-join).
+- discovered_seq: per-seed ordinal over yields in (parent order, bucket
+  desc, bucket rank) order, monotone across batches. Assigned BEFORE
+  scheduler dedup (Scrapy assigns queue order at yield time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_ai_spark import constants as K
+from crawler_ai_spark.functions import filters as FL
+from crawler_ai_spark.functions import scoring as SC
+from crawler_ai_spark.functions.html import decoded_html, with_parse
+from crawler_ai_spark.functions.urls import host_expr, url_hash
+from crawler_ai_spark.operators import frontier as FR
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    max_pages: int = K.DEFAULT_MAX_PAGES              # routes.py:60
+    max_career_pages: int = K.DEFAULT_MAX_CAREER_PAGES  # spider :462
+    max_batches: int = 8
+    parallelism: int = 32
+    host_budget_per_batch: int | None = None          # W2 politeness cap
+    salt_buckets: int = FR.PARSE_SALT_BUCKETS
+    use_bloom: bool = False                           # D2 bloom prefilter (operators/seen.py)
+
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "seed_url", "seed_host",
+    "priority", "depth", "discovered_seq", "parent_url",
+]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint store (Iceberg-append semantics over parquet dirs)
+# ---------------------------------------------------------------------------
+
+
+class CrawlStore:
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state")
+
+    def __init__(self, spark: SparkSession, root: str | pathlib.Path):
+        self.spark = spark
+        self.root = pathlib.Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def batch_dir(self, batch_id: int) -> pathlib.Path:
+        return self.root / f"batch_id={batch_id}"
+
+    def committed_batches(self) -> list[int]:
+        out = []
+        for d in self.root.glob("batch_id=*"):
+            if (d / "_COMMITTED").exists():
+                out.append(int(d.name.split("=", 1)[1]))
+        return sorted(out)
+
+    def write(self, batch_id: int, table: str, df: DataFrame) -> None:
+        path = self.batch_dir(batch_id) / table
+        df.write.mode("overwrite").parquet(str(path))
+
+    def commit(self, batch_id: int) -> None:
+        """Atomic batch commit — the parquet stand-in for an Iceberg
+        snapshot commit: data files first, marker last (os.replace-style
+        atomicity mirrors the reference's atomic_write_json,
+        scrapy_career_spider.py:40-53)."""
+        (self.batch_dir(batch_id) / "_COMMITTED").touch()
+
+    def read(self, table: str, batch_id: int) -> DataFrame:
+        return self.spark.read.parquet(str(self.batch_dir(batch_id) / table))
+
+    def read_all(self, table: str, through_batch: int) -> DataFrame:
+        paths = [
+            str(self.batch_dir(b) / table)
+            for b in self.committed_batches()
+            if b <= through_batch and (self.batch_dir(b) / table).exists()
+        ]
+        return self.spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# batch construction
+# ---------------------------------------------------------------------------
+
+
+def init_frontier(seeds: DataFrame) -> DataFrame:
+    """Batch-0 frontier from the seed list (priority 100, depth 0 —
+    spider start_requests :141-154)."""
+    return seeds.select(
+        F.col("seed_url").alias("url"),
+        url_hash(F.col("seed_url")).alias("url_hash"),
+        host_expr(F.col("seed_url")).alias("host"),
+        F.col("seed_url"),
+        host_expr(F.col("seed_url")).alias("seed_host"),
+        F.lit(100).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("discovered_seq"),
+        F.lit(None).cast("string").alias("parent_url"),
+    )
+
+
+def init_seed_state(seeds: DataFrame) -> DataFrame:
+    return seeds.select(
+        "seed_url",
+        F.lit(0).cast("long").alias("crawled_total"),
+        F.lit(0).cast("long").alias("career_total"),
+        F.lit(0).cast("long").alias("seq_offset"),
+        F.coalesce(F.col("max_pages"), F.lit(K.DEFAULT_MAX_PAGES)).alias("max_pages"),
+        F.coalesce(F.col("max_career_pages"), F.lit(K.DEFAULT_MAX_CAREER_PAGES)).alias(
+            "max_career_pages"
+        ),
+    )
+
+
+def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """"Fetch" = join the pre-fetched pages table (S1: the Iceberg pages
+    table IS the fetch cache, SURVEY.md S5); then the single structural
+    parse UDF. Salted repartition defeats hot-host skew in this stage."""
+    fetched = frontier.join(
+        pages.select("url", "warc_ts", "html", "lang"), "url", "left"
+    ).withColumn("fetched", F.col("html").isNotNull())
+    fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
+    parsed = with_parse(fetched)
+    content_lower = F.lower(F.coalesce(decoded_html(F.col("html")), F.lit("")))
+    title_lower = F.lower(F.coalesce(F.col("parse.title"), F.lit("")))
+    career_score = SC.career_score_expr(F.col("url"), content_lower, title_lower)
+    is_listing = FL.is_career_listing_expr(F.col("url"), content_lower, title_lower)
+    return (
+        parsed.withColumn("career_score", F.when(F.col("fetched"), career_score).otherwise(F.lit(0.0)))
+        .withColumn(
+            "is_career_page",
+            F.col("fetched") & is_listing & (career_score >= F.lit(K.CAREER_SCORE_THRESHOLD)),
+        )
+        .withColumn(
+            "career_indicators",
+            F.when(
+                F.col("fetched"), SC.career_indicators_expr(F.col("url"), content_lower, title_lower)
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn("page_bytes", F.coalesce(F.length(F.col("html")), F.lit(0)))
+    )
+
+
+def order_and_gate(parsed: DataFrame, seed_state: DataFrame) -> DataFrame:
+    """Per-seed processing order + cumulative stop-condition gate."""
+    w_order = Window.partitionBy("seed_url").orderBy(
+        F.col("priority").desc(), F.col("discovered_seq").asc()
+    )
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = parsed.join(F.broadcast(seed_state), "seed_url", "left")
+    # only fetched pages advance counters (no response → no parse_page)
+    df = df.withColumn(
+        "page_order",
+        F.sum(F.col("fetched").cast("long")).over(w_cum),
+    )
+    df = df.withColumn(
+        "career_cum", F.sum(F.col("is_career_page").cast("long")).over(w_cum)
+    )
+    crawled_through = F.col("crawled_total") + F.col("page_order")
+    career_through = F.col("career_total") + F.col("career_cum")
+    return df.withColumn(
+        "yields_links",
+        F.col("fetched")
+        & (
+            (F.col("depth") == 0)
+            | (
+                (crawled_through < F.col("max_pages"))
+                & (career_through < F.col("max_career_pages"))
+            )
+        ),
+    )
+
+
+def extract_job_urls(parsed: DataFrame) -> DataFrame:
+    """Job URLs from career pages (spider :743-826): ALL links, urljoined,
+    F3-classified, distinct per career page. No budget/validity filter —
+    the reference's Method 1 walks every <a href>."""
+    from crawler_ai_spark.functions.html import explode_links
+    from crawler_ai_spark.functions.urls import canonicalize_udf
+
+    career = parsed.where(F.col("is_career_page"))
+    links = explode_links(career.select("seed_url", "url", "parse"))
+    links = links.where(F.col("href").isNotNull()).withColumn(
+        "job_url", canonicalize_udf(F.col("url"), F.col("href"))
+    )
+    return (
+        links.where(FL.is_job_url_expr(F.col("job_url")))
+        .select("seed_url", F.col("url").alias("career_url"), "job_url")
+        .distinct()
+    )
+
+
+def next_frontier(gated: DataFrame, seen: DataFrame, seed_state: DataFrame) -> DataFrame:
+    """Links of yield-allowed pages → scheduled child frontier rows."""
+    yielding = gated.where(F.col("yields_links")).select(
+        "seed_url", "seed_host", "url", "depth", "page_order", "parse"
+    )
+    links = FR.harvest_links(yielding)
+    seq_offsets = seed_state.select("seed_url", F.col("seq_offset"))
+    candidates = FR.assign_sequence(links, seq_offsets)
+    candidates = FR.with_url_hash(candidates, "child_url")
+    fresh = FR.dedup_against_seen(candidates, seen)
+    return fresh.select(
+        F.col("child_url").alias("url"),
+        "url_hash",
+        host_expr(F.col("child_url")).alias("host"),
+        "seed_url",
+        "seed_host",
+        "priority",
+        (F.col("depth") + 1).alias("depth"),
+        F.col("discovered_seq").cast("long").alias("discovered_seq"),
+        F.col("url").alias("parent_url"),
+    ), candidates
+
+
+def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
+    """A4 — per-partition fetch/parse metrics (north rule): one row per
+    (batch, physical partition, host-bucket proxy)."""
+    return (
+        gated.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.col("fetched").cast("long")).alias("fetched"),
+            F.sum((~F.col("fetched")).cast("long")).alias("fetch_errors"),
+            F.sum(F.col("is_career_page").cast("long")).alias("career_pages"),
+            F.sum("page_bytes").alias("bytes"),
+            F.approx_count_distinct("host").alias("hosts"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the loop
+# ---------------------------------------------------------------------------
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    state_root: str | pathlib.Path,
+    cfg: CrawlConfig | None = None,
+    host_rules: DataFrame | None = None,
+    resume: bool = False,
+) -> dict:
+    """Run (or resume) the crawl to completion; returns summary counters.
+
+    Every batch commit is a restart point: kill the driver anywhere, call
+    again with resume=True, and the remaining batches produce bit-identical
+    tables (tests/test_resume.py)."""
+    cfg = cfg or CrawlConfig()
+    store = CrawlStore(spark, state_root)
+
+    done = store.committed_batches() if resume else []
+    if not done:
+        f0 = init_frontier(seeds)
+        store.write(0, "frontier", f0)
+        store.write(0, "seen_delta", f0.select("url_hash", "url", "seed_url"))
+        store.write(0, "seed_state", init_seed_state(seeds))
+        store.commit(0)
+        start = 1
+    else:
+        start = max(done) + 1
+
+    total_scheduled = 0
+    for batch_id in range(start, start + cfg.max_batches):
+        prev = batch_id - 1
+        frontier = store.read("frontier", prev)
+        if frontier.limit(1).count() == 0:
+            break
+        seed_state = store.read("seed_state", prev)
+        seen = store.read_all("seen_delta", prev)
+
+        frontier = FR.apply_robots(frontier, host_rules)
+        frontier, deferred = FR.apply_host_budget(frontier, cfg.host_budget_per_batch)
+
+        parsed = fetch_and_parse(frontier, pages, cfg)
+        gated = order_and_gate(parsed, seed_state).persist()
+
+        visited = gated.select(
+            "seed_url", "url", "priority", "depth", "discovered_seq", "fetched",
+            "career_score", "is_career_page", "page_order", "page_bytes",
+            F.col("parse.title").alias("title"),
+        )
+        store.write(batch_id, "visited", visited)
+
+        career_pages = gated.where(F.col("is_career_page")).select(
+            "seed_url",
+            "url",
+            F.col("parse.title").alias("title"),
+            F.col("career_score").alias("confidence"),
+            F.col("career_indicators").alias("indicators"),
+            F.col("priority").alias("priority_found"),
+            "depth",
+            "discovered_seq",
+        )
+        store.write(batch_id, "career_pages", career_pages)
+        store.write(batch_id, "job_urls", extract_job_urls(gated))
+        store.write(batch_id, "metrics", batch_metrics(gated, batch_id))
+
+        fresh, candidates = next_frontier(gated, seen, seed_state)
+        fresh = fresh.persist()
+        new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
+        store.write(batch_id, "frontier", new_frontier)
+        store.write(batch_id, "seen_delta", fresh.select("url_hash", "url", "seed_url"))
+
+        # advance per-seed counters; seq_offset advances over ALL yielded
+        # candidates (pre-dedup — queue order is assigned at yield time)
+        batch_counts = gated.groupBy("seed_url").agg(
+            F.sum(F.col("fetched").cast("long")).alias("_crawled"),
+            F.sum(F.col("is_career_page").cast("long")).alias("_career"),
+        )
+        seq_max = candidates.groupBy("seed_url").agg(F.max("discovered_seq").alias("_seq_max"))
+        new_state = (
+            seed_state.join(batch_counts, "seed_url", "left")
+            .join(seq_max, "seed_url", "left")
+            .select(
+                "seed_url",
+                (F.col("crawled_total") + F.coalesce(F.col("_crawled"), F.lit(0))).alias("crawled_total"),
+                (F.col("career_total") + F.coalesce(F.col("_career"), F.lit(0))).alias("career_total"),
+                F.greatest(F.col("seq_offset"), F.coalesce(F.col("_seq_max"), F.lit(0))).alias("seq_offset"),
+                "max_pages",
+                "max_career_pages",
+            )
+        )
+        store.write(batch_id, "seed_state", new_state)
+        store.commit(batch_id)
+
+        total_scheduled += frontier.count()
+        gated.unpersist()
+        fresh.unpersist()
+
+    final_batches = store.committed_batches()
+    return {
+        "batches": len(final_batches),
+        "last_batch": max(final_batches),
+        "total_scheduled": total_scheduled,
+    }

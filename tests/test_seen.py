@@ -1,0 +1,103 @@
+"""Bloom/cuckoo URL-seen tests — bloom-vs-exact equivalence (SURVEY.md M4)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.operators import seen as S
+from crawler_ai_spark.operators.frontier import dedup_against_seen
+
+
+@pytest.fixture(scope="module")
+def seen_and_candidates(spark):
+    # 5k seen keys, 5k candidates with 50% overlap, multiple seeds
+    seen = spark.range(0, 5000).select(
+        F.xxhash64(F.concat(F.lit("seen"), F.col("id"))).alias("url_hash")
+    )
+    cand = spark.range(2500, 7500).select(
+        F.xxhash64(F.concat(F.lit("seen"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("https://s/"), F.col("id")).alias("child_url"),
+        F.lit("seed").alias("seed_url"),
+        F.col("id").alias("discovered_seq"),
+    )
+    return seen, cand
+
+
+def test_bloom_no_false_negatives(spark, seen_and_candidates):
+    seen, cand = seen_and_candidates
+    blooms = S.build_bloom(seen, n_buckets=16)
+    tagged = S.bloom_split(cand, blooms, n_buckets=16)
+    # every truly-seen candidate must be tagged maybe_seen
+    missed = (
+        tagged.join(seen, "url_hash", "left_semi").where(~F.col("maybe_seen")).count()
+    )
+    assert missed == 0
+
+
+def test_bloom_dedup_equals_exact_dedup(spark, seen_and_candidates):
+    seen, cand = seen_and_candidates
+    blooms = S.build_bloom(seen, n_buckets=16)
+    exact = {r.url_hash for r in dedup_against_seen(cand, seen).collect()}
+    fast = {
+        r.url_hash
+        for r in S.dedup_with_bloom(cand, seen, blooms, n_buckets=16).collect()
+    }
+    assert fast == exact
+    assert len(exact) == 2500  # ids 5000..7499 are new
+
+
+def test_bloom_false_positive_rate_reasonable(spark, seen_and_candidates):
+    seen, cand = seen_and_candidates
+    blooms = S.build_bloom(seen, n_buckets=16)
+    tagged = S.bloom_split(cand, blooms, n_buckets=16)
+    truly_new = tagged.join(seen, "url_hash", "left_anti")
+    fp = truly_new.where(F.col("maybe_seen")).count()
+    total_new = truly_new.count()
+    assert total_new == 2500
+    assert fp / total_new < 0.05  # 10 bits/key, k=7 → ~0.8% expected
+
+
+def test_merge_blooms_unions_batches(spark):
+    a = spark.range(0, 1000).select(F.xxhash64(F.col("id")).alias("url_hash"))
+    b = spark.range(1000, 2000).select(F.xxhash64(F.col("id")).alias("url_hash"))
+    cap = 2000
+    ba = S.build_bloom(a, n_buckets=4, expected_keys_per_bucket=cap)
+    bb = S.build_bloom(b, n_buckets=4, expected_keys_per_bucket=cap)
+    merged = S.merge_blooms(ba.unionByName(bb))
+    cand = spark.range(0, 2000).select(
+        F.xxhash64(F.col("id")).alias("url_hash"),
+        F.lit("s").alias("seed_url"),
+        F.col("id").alias("discovered_seq"),
+    )
+    tagged = S.bloom_split(cand, merged, n_buckets=4)
+    assert tagged.where(~F.col("maybe_seen")).count() == 0  # all seen → all maybe
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200))
+def test_cuckoo_insert_contains_delete(keys):
+    cf = S.CuckooFilter(capacity=1024)
+    keys = list(keys)
+    for k in keys:
+        assert cf.insert(k)
+    for k in keys:
+        assert cf.contains(k)
+    for k in keys[: len(keys) // 2]:
+        assert cf.delete(k)
+    # deleted keys may still 'maybe' collide with remaining fingerprints,
+    # but remaining keys must all still be present (no false negatives)
+    for k in keys[len(keys) // 2 :]:
+        assert cf.contains(k)
+
+
+def test_cuckoo_ttl_recrawl_semantics():
+    """The reference's 1h cache TTL (cache.py:15-33): expired → deleted →
+    schedulable again."""
+    cf = S.CuckooFilter(capacity=64)
+    url_key = 12345678901
+    assert cf.insert(url_key)
+    assert cf.contains(url_key)       # within TTL: skip fetch
+    assert cf.delete(url_key)         # TTL expired: evict
+    assert cf.insert(url_key)         # recrawl schedules again
