@@ -98,6 +98,11 @@ BLOOM_SCHEMA = StructType(
         StructField("bucket_id", IntegerType()),
         StructField("bitmap", BinaryType()),
         StructField("n_keys", LongType()),
+        # bucketing modulus baked into every blob: probing with a different
+        # n_buckets than the build mis-routes buckets → silent false
+        # negatives, so the probe reads the modulus from the blobs instead
+        # of trusting a caller-supplied value
+        StructField("n_buckets", IntegerType()),
     ]
 )
 
@@ -120,7 +125,10 @@ def build_bloom(
         keys = pdf["url_hash"].to_numpy(dtype=np.int64)
         n = max(len(keys), 1)
         cap = expected_keys_per_bucket or n
-        m_bits = max(64, int(cap * bits_per_key))
+        # round up to a byte boundary: the probe recovers m from the blob
+        # length (bitmap_bytes * 8), so m MUST be byte-aligned or build and
+        # probe hash with different moduli → false negatives
+        m_bits = ((max(64, int(cap * bits_per_key)) + 7) // 8) * 8
         bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
         _set_bits(bitmap, _bit_positions(keys, m_bits, n_hashes))
         return pd.DataFrame(
@@ -128,6 +136,7 @@ def build_bloom(
                 "bucket_id": [int(pdf["bucket_id"].iloc[0])],
                 "bitmap": [bitmap.tobytes()],
                 "n_keys": [len(keys)],
+                "n_buckets": [n_buckets],
             }
         )
 
@@ -139,35 +148,55 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
     """OR-merge per-bucket blobs from multiple batches (same m per bucket)."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bitmaps are only OR-mergeable at equal m; blobs sized differently
+        # (e.g. batches with different key counts) stay as separate rows —
+        # the probe ORs across all blobs of a bucket, so correctness holds
         arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
-        size = max(a.size for a in arrs)
-        acc = np.zeros(size, dtype=np.uint8)
-        for a in arrs:
-            if a.size != size:  # differing m: skip-merge conservatively
-                continue
+        by_size: dict[int, np.ndarray] = {}
+        keys_by_size: dict[int, int] = {}
+        for a, nk in zip(arrs, pdf["n_keys"]):
+            acc = by_size.setdefault(a.size, np.zeros(a.size, dtype=np.uint8))
             acc |= a
+            keys_by_size[a.size] = keys_by_size.get(a.size, 0) + int(nk)
+        sizes = sorted(by_size)
         return pd.DataFrame(
             {
-                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
-                "bitmap": [acc.tobytes()],
-                "n_keys": [int(pdf["n_keys"].sum())],
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])] * len(sizes),
+                "bitmap": [by_size[s].tobytes() for s in sizes],
+                "n_keys": [keys_by_size[s] for s in sizes],
+                "n_buckets": [int(pdf["n_buckets"].iloc[0])] * len(sizes),
             }
         )
 
     return blooms.groupBy("bucket_id").applyInPandas(_merge, BLOOM_SCHEMA)
 
 
+def bloom_buckets(blooms: DataFrame) -> int | None:
+    """The bucketing modulus the blobs were built with (None if no blobs).
+    One tiny driver action over the (small, metadata-sized) blooms table."""
+    row = blooms.select("n_buckets").first()
+    return None if row is None else int(row[0])
+
+
 def bloom_split(
     candidates: DataFrame,
     blooms: DataFrame,
-    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_buckets: int | None = None,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen`` via a bucket-aligned cogroup probe.
 
     Rows with maybe_seen = false are DEFINITELY new (bloom has no false
-    negatives); rows with true go to the exact anti-join."""
+    negatives); rows with true go to the exact anti-join. The bucketing
+    modulus is read from the blobs themselves (see BLOOM_SCHEMA) so probe
+    and build can never disagree."""
     from pyspark.sql.types import BooleanType
+
+    # ALWAYS prefer the modulus recorded in the blobs — a caller-supplied
+    # value that disagrees would mis-route buckets into silent false
+    # negatives; the param is only a fallback for an empty blooms table
+    built_with = bloom_buckets(blooms)
+    n_buckets = built_with if built_with is not None else (n_buckets or DEFAULT_N_BUCKETS)
 
     with_bucket = candidates.withColumn("bucket_id", bucket_expr(F.col("url_hash"), n_buckets))
     out_schema = StructType(
@@ -179,10 +208,14 @@ def bloom_split(
             return cand_pdf.assign(maybe_seen=pd.Series([], dtype="bool"))
         if bloom_pdf.empty:
             return cand_pdf.assign(maybe_seen=False)
-        bitmap = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
-        m_bits = bitmap.size * 8
         keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
-        maybe = _test_bits(bitmap, _bit_positions(keys, m_bits, n_hashes))
+        # a key is maybe-seen if ANY blob of this bucket contains it
+        # (multi-batch blobs may arrive unmerged; each holds a key subset)
+        maybe = np.zeros(len(keys), dtype=bool)
+        for blob in bloom_pdf["bitmap"]:
+            bitmap = np.frombuffer(blob, dtype=np.uint8)
+            m_bits = bitmap.size * 8
+            maybe |= _test_bits(bitmap, _bit_positions(keys, m_bits, n_hashes))
         return cand_pdf.assign(maybe_seen=maybe)
 
     return (
@@ -196,7 +229,7 @@ def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
     blooms: DataFrame,
-    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered exact scheduler dedup: equals
     frontier.dedup_against_seen(candidates, seen) exactly, but only the
