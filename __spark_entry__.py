@@ -1,11 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+The catalog (crawler_ai_spark/catalog.py) holds every query + its DuckDB
+oracle; this module is a thin adapter. entry() runs the flagship frontier
+scheduling query (priority bucketing + per-(host,bucket) budget windows —
+SURVEY.md O1/O2) on sf0.001.
+
+The crawl loop itself (multi-batch frontier expansion, bloom seen-set,
+checkpoint/resume) is not SQL-expressible and is verified by
+`python -m pytest -x -q` against a plain-Python golden simulator and the
+reference's semantics (tests/test_crawl_equivalence.py, test_resume.py,
+test_seen.py)."""
 
 from __future__ import annotations
 
@@ -15,24 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier-scheduling batch over sf0.001."""
+    from crawler_ai_spark.catalog import QUERIES
+
+    return QUERIES["priority_schedule"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_ai_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ai_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,964 @@
+"""The engine's query catalog — every operator exposed as a named query
+plus (where ANSI-SQL-expressible) an independently-written DuckDB oracle.
+
+Registry contract (consumed by __spark_entry__.py / the driver):
+  QUERIES[name] -> callable(spark, sf_dir) -> DataFrame
+  ORACLES[name] -> SQL string over the driver's pre-registered views
+                   (region nation customer supplier part orders lineitem
+                    events documents embeddings), or absent for ops that
+                   are not SQL-expressible (driver then does a weaker
+                   rows-only check).
+
+Parity rules that keep the cross-engine value-hash honest:
+- every computed column is aliased identically on both sides;
+- money/quantity sums are integer-scaled (cents) BIGINTs — float sums are
+  accumulation-order-dependent and would hash-differ;
+- ratio doubles come from identical integer inputs with identical
+  expression shape, rounded to 6;
+- keyword/classifier constants are shared (the oracle SQL is *generated*
+  from the same Python tuples the Spark expressions use — same data,
+  independently-written logic per engine);
+- synthesized crawl inputs (urls, links, html) derive deterministically
+  from documents.doc_id with engine-portable arithmetic, no randomness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_ai_spark import constants as K
+from crawler_ai_spark.functions import filters as FL
+from crawler_ai_spark.pipeline import dedup as DD
+from crawler_ai_spark.pipeline import similarity as SIM
+from crawler_ai_spark.pipeline import textstats as TS
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared synthesized crawl inputs (documents → urls/links/html)
+# ---------------------------------------------------------------------------
+
+_PATH_CASES = [
+    "'/careers'",
+    "'/careers/senior-engineer-' || doc_id",
+    "'/jobs/view/' || doc_id",
+    "'/tuyen-dung'",
+    "'/blog/post-' || doc_id",
+    "'/products/item-' || doc_id",
+    "'/about-us'",
+    "'/login'",
+    "'/job/' || doc_id || '?id=' || doc_id",
+    "'/'",
+    "'/news/2024/01/story-' || doc_id",
+    "'/careers/apply/' || doc_id",
+]
+
+# identical CASE in DuckDB syntax (|| auto-casts ints) and Spark SQL
+_PATH_CASE_SQL = (
+    "CASE (doc_id % 12) "
+    + " ".join(f"WHEN {i} THEN {expr}" for i, expr in enumerate(_PATH_CASES))
+    + " END"
+)
+_PATH_CASE_SPARK = (
+    "CASE CAST(doc_id % 12 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN {expr.replace('doc_id', 'CAST(doc_id AS STRING)')}"
+        for i, expr in enumerate(_PATH_CASES)
+    )
+    + " END"
+)
+
+SYNTH_URLS_CTE = f"""
+synth_urls AS (
+  SELECT doc_id,
+         'site' || (doc_id % 37) || '.example.com' AS host,
+         {_PATH_CASE_SQL} AS path,
+         'https://site' || (doc_id % 37) || '.example.com' || {_PATH_CASE_SQL} AS url
+  FROM documents
+)"""
+
+
+def synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("'site' || CAST(doc_id % 37 AS STRING) || '.example.com'").alias("host"),
+        F.expr(_PATH_CASE_SPARK).alias("path"),
+        F.expr(
+            "'https://site' || CAST(doc_id % 37 AS STRING) || '.example.com' || "
+            + _PATH_CASE_SPARK
+        ).alias("url"),
+    )
+
+
+def _rx_quote(lit: str) -> str:
+    """\\Q…\\E literal-quoting — valid in both Java regex and RE2."""
+    return "\\Q" + lit.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _any_substr_rx(substrings) -> str:
+    return "|".join(_rx_quote(s) for s in substrings)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ===========================================================================
+# 1. crawl-engine operators over synthesized URLs
+# ===========================================================================
+
+
+@_register(
+    "url_parse_norm",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         CASE WHEN regexp_extract(url, '^https?://([^/?#]+)', 1) LIKE 'www.%'
+              THEN substr(regexp_extract(url, '^https?://([^/?#]+)', 1), 5)
+              ELSE regexp_extract(url, '^https?://([^/?#]+)', 1) END AS host_nw
+  FROM synth_urls
+)
+SELECT doc_id, url, host, path,
+       upper(substr(split_part(host_nw, '.', 1), 1, 1)) ||
+       substr(split_part(host_nw, '.', 1), 2) AS company
+FROM parsed ORDER BY doc_id
+""",
+)
+def q_url_parse_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P11 — URL decomposition + company-from-URL on one engine pass."""
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        "url",
+        FL.url_host(F.col("url")).alias("host"),
+        FL.url_path(F.col("url")).alias("path"),
+        FL.company_from_url_expr(F.col("url")).alias("company"),
+    ).orderBy("doc_id")
+
+
+def _job_url_oracle() -> str:
+    skip_rx = _any_substr_rx(K.JOB_URL_SKIP_PATTERNS + K.JOB_URL_SKIP_FILES)
+    job_rx = _any_substr_rx(K.JOB_URL_PATTERNS)
+    query_rx = _any_substr_rx(K.JOB_QUERY_PARAMS)
+    nonjob_rx = _any_substr_rx(K.OBVIOUS_NON_JOB_PATTERNS)
+    sub_rx = "^(?:" + "|".join(_rx_quote(s) for s in K.CAREER_SUBDOMAINS) + ")"
+    return f"""
+WITH {SYNTH_URLS_CTE},
+feat AS (
+  SELECT doc_id, url, lower(url) AS low,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                        '^/+|/+$', '', 'g') AS pstrip
+  FROM synth_urls
+),
+cls AS (
+  SELECT doc_id, url,
+    CASE
+      WHEN regexp_matches(low, {_sql_quote(skip_rx)})
+        OR NOT (url LIKE 'http://%' OR url LIKE 'https://%') THEN FALSE
+      WHEN regexp_matches(host, {_sql_quote(sub_rx)}) AND pstrip <> '' THEN TRUE
+      WHEN regexp_matches(low, {_sql_quote(job_rx)}) THEN TRUE
+      WHEN contains(url, '?') AND regexp_matches(low, {_sql_quote(query_rx)}) THEN TRUE
+      WHEN pstrip <> '' AND regexp_matches(split_part(pstrip, '/', -1), '^[0-9]+$') THEN TRUE
+      ELSE FALSE
+    END AS is_job_url
+  FROM feat
+)
+SELECT doc_id, url, is_job_url FROM cls ORDER BY doc_id
+"""
+
+
+@_register("job_url_classify", oracle=_job_url_oracle())
+def q_job_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — the 4-priority job-URL rule cascade as one boolean column."""
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id", "url", FL.is_job_url_expr(F.col("url")).alias("is_job_url")
+    ).orderBy("doc_id")
+
+
+def _priority_oracle() -> str:
+    car = _any_substr_rx(K.CAREER_KEYWORDS)
+    nav = _any_substr_rx(K.NAV_KEYWORDS)
+    con = _any_substr_rx(K.CONTENT_KEYWORDS)
+    return f"""
+WITH {SYNTH_URLS_CTE},
+prio AS (
+  SELECT doc_id, host, url,
+    CASE WHEN regexp_matches(lower(url), {_sql_quote(car)}) THEN 100
+         WHEN regexp_matches(lower(url), {_sql_quote(nav)}) THEN 80
+         WHEN regexp_matches(lower(url), {_sql_quote(con)}) THEN 50
+         ELSE 10 END AS priority
+  FROM synth_urls
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host, priority ORDER BY doc_id) AS bucket_rank
+  FROM prio
+)
+SELECT doc_id, host, url, priority, bucket_rank
+FROM ranked
+WHERE bucket_rank <= CASE priority WHEN 100 THEN 5 WHEN 80 THEN 3 ELSE 2 END
+ORDER BY host, priority DESC, bucket_rank
+"""
+
+
+@_register("priority_schedule", oracle=_priority_oracle())
+def q_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 — priority bucketing + per-(host, bucket) budget window: the
+    frontier scheduler's core ranking on one batch of candidate URLs."""
+    urls = synth_urls(spark, sf_dir)
+    w = Window.partitionBy("host", "priority").orderBy("doc_id")
+    return (
+        urls.withColumn("priority", FL.priority_expr(F.col("url")))
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .where(F.col("bucket_rank") <= FL.priority_budget_expr(F.col("priority")))
+        .select("doc_id", "host", "url", "priority", "bucket_rank")
+        .orderBy("host", F.col("priority").desc(), "bucket_rank")
+    )
+
+
+@_register(
+    "frontier_dedup",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+candidates AS (SELECT doc_id AS discovered_seq, url, host FROM synth_urls),
+seen AS (SELECT DISTINCT url FROM synth_urls WHERE doc_id % 3 = 0),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY discovered_seq) AS rn
+  FROM candidates
+)
+SELECT f.url, f.host, f.discovered_seq
+FROM firsts f LEFT JOIN seen s ON f.url = s.url
+WHERE f.rn = 1 AND s.url IS NULL
+ORDER BY f.discovered_seq
+""",
+)
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — within-batch first-wins dedup + URL-seen anti-join."""
+    urls = synth_urls(spark, sf_dir)
+    candidates = urls.select(
+        F.col("doc_id").alias("discovered_seq"), "url", "host"
+    )
+    seen = urls.where(F.col("doc_id") % 3 == 0).select("url").distinct()
+    w = Window.partitionBy("url").orderBy("discovered_seq")
+    firsts = (
+        candidates.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    return (
+        firsts.join(seen, "url", "left_anti")
+        .select("url", "host", "discovered_seq")
+        .orderBy("discovered_seq")
+    )
+
+
+@_register(
+    "politeness_budget",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+ranked AS (
+  SELECT host, url, doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS host_rank
+  FROM synth_urls
+)
+SELECT host,
+       count(*) FILTER (WHERE host_rank <= 4) AS scheduled,
+       count(*) FILTER (WHERE host_rank > 4) AS deferred
+FROM ranked GROUP BY host ORDER BY host
+""",
+)
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — per-host politeness cap: ≤ 4 URLs/host/batch, rest deferred."""
+    urls = synth_urls(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    ranked = urls.withColumn("host_rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.sum((F.col("host_rank") <= 4).cast("long")).alias("scheduled"),
+            F.sum((F.col("host_rank") > 4).cast("long")).alias("deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+def _career_score_oracle() -> str:
+    url_rx = _any_substr_rx(K.CAREER_URL_INDICATORS)
+    return f"""
+WITH {SYNTH_URLS_CTE}
+SELECT doc_id, url,
+       round(least(1.0,
+         (CASE WHEN regexp_matches(lower(url), {_sql_quote(url_rx)}) THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN (doc_id % 12) IN (0, 3, 11) THEN 0.3 ELSE 0.0 END)
+       ), 6) AS career_score
+FROM synth_urls ORDER BY doc_id
+"""
+
+
+@_register("career_score_urls", oracle=_career_score_oracle())
+def q_career_score_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (url part) — additive capped career score; the title/content
+    terms use a deterministic proxy (path family) on both engines."""
+    urls = synth_urls(spark, sf_dir)
+    url_hit = F.when(
+        FL.any_substr(F.lower(F.col("url")), K.CAREER_URL_INDICATORS), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    title_hit = F.when(
+        (F.col("doc_id") % 12).isin(0, 3, 11), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    return urls.select(
+        "doc_id",
+        "url",
+        F.round(F.least(F.lit(1.0), url_hit + title_hit), 6).alias("career_score"),
+    ).orderBy("doc_id")
+
+
+def _email_oracle() -> str:
+    # RE2 has no lookaround: use the two overlapping email sweeps (both
+    # RE2-safe) + reject list, as the reference's crawler.py:292-316 does
+    rx1 = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    bad = _any_substr_rx(K.EMAIL_INVALID_SUBSTRINGS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@mail' || (doc_id % 7) ||
+         '.example.com or favicon' || doc_id || '@x.png' AS text
+  FROM documents
+),
+found AS (
+  SELECT doc_id, lower(e) AS email
+  FROM aug, unnest(regexp_extract_all(text, {_sql_quote(rx1)})) AS t(e)
+),
+valid AS (
+  SELECT DISTINCT doc_id, email FROM found
+  WHERE NOT regexp_matches(email, {_sql_quote(bad)})
+)
+SELECT doc_id, email FROM valid ORDER BY doc_id, email
+"""
+
+
+@_register("email_extract", oracle=_email_oracle())
+def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — email sweep + reject-substring filter + dedup, exploded."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' contact: user' || CAST(doc_id AS STRING) || '@mail' || "
+            "CAST(doc_id % 7 AS STRING) || '.example.com or favicon' || "
+            "CAST(doc_id AS STRING) || '@x.png'"
+        ).alias("text"),
+    )
+    rx = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    found = aug.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0))).alias("raw"),
+    ).select("doc_id", F.lower(F.col("raw")).alias("email"))
+    valid = found.where(~FL.any_substr(F.col("email"), K.EMAIL_INVALID_SUBSTRINGS))
+    return valid.distinct().orderBy("doc_id", "email")
+
+
+@_register(
+    "crawl_harvest_links",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+    || '<nav class="navbar"><a href="/careers">Careers</a>'
+    || '<a href="/about-us">About</a><a href="#top">Top</a></nav>'
+    || '<p>body text here</p>'
+    || '<a href="/jobs/view/' || doc_id || '">Open role</a>'
+    || '<a href="javascript:void(0)">Menu</a>'
+    || '<footer><a href="/contact">Contact</a></footer></body></html>' AS html
+  FROM synth_urls WHERE doc_id % 5 = 0
+),
+links AS (
+  SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages
+),
+exploded AS (
+  SELECT doc_id, unnest(hrefs) AS href,
+         unnest(generate_series(0, len(hrefs) - 1)) AS link_pos
+  FROM links
+)
+SELECT doc_id, link_pos, href FROM exploded ORDER BY doc_id, link_pos
+""",
+)
+def q_crawl_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 through the REAL structural parse UDF: synthesized HTML → parse →
+    ordered link explode; the oracle recovers hrefs by regex. Checks that
+    the DOM scanner sees exactly the document-order links."""
+    from crawler_ai_spark.functions.html import explode_links, with_parse
+
+    urls = synth_urls(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    pages = urls.select(
+        "doc_id",
+        F.expr(
+            "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title></head><body>'"
+            " || '<nav class=\"navbar\"><a href=\"/careers\">Careers</a>'"
+            " || '<a href=\"/about-us\">About</a><a href=\"#top\">Top</a></nav>'"
+            " || '<p>body text here</p>'"
+            " || '<a href=\"/jobs/view/' || CAST(doc_id AS STRING) || '\">Open role</a>'"
+            " || '<a href=\"javascript:void(0)\">Menu</a>'"
+            " || '<footer><a href=\"/contact\">Contact</a></footer></body></html>'"
+        ).alias("html"),
+    )
+    parsed = with_parse(pages)
+    return (
+        explode_links(parsed)
+        .where(F.col("href").isNotNull())
+        .select("doc_id", "link_pos", "href")
+        .orderBy("doc_id", "link_pos")
+    )
+
+
+# ===========================================================================
+# 2. relational core (TPC-H-shaped)
+# ===========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-agg with partial aggregation; money integer-
+    scaled to cents so the cross-engine hash is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_price_c"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "top_revenue_orders",
+    oracle="""
+SELECT o.o_orderkey, c.c_mktsegment,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, c.c_mktsegment
+ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (TPC-H Q3 shape). The
+    customer dim is broadcast; lineitem⋈orders shuffles on orderkey."""
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_c")
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "segment_order_stats",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+)
+def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + multi-agg with exact distinct count."""
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "nation_customer_rollup",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation, count(c.c_custkey) AS n_customers
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name, n.n_name ORDER BY region, nation
+""",
+)
+def q_nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-dim-fact join chain, broadcast all the way (J1/J2 shape)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(r)
+        .join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("region", "nation")
+    )
+
+
+@_register(
+    "order_lines_topk",
+    oracle="""
+SELECT o_orderkey, l_linenumber, price_c, rk FROM (
+  SELECT l_orderkey AS o_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+                                     l_linenumber) AS rk
+  FROM lineitem
+) WHERE rk <= 2 AND o_orderkey % 100 = 0
+ORDER BY o_orderkey, rk
+""",
+)
+def q_order_lines_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O5 shape — per-group top-k window (2 priciest lines per order;
+    sampled 1-in-100 orders to keep the result compact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        price_c.desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("price_c", price_c)
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 2) & (F.col("l_orderkey") % 100 == 0))
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "price_c", "rk")
+        .orderBy("o_orderkey", "rk")
+    )
+
+
+@_register(
+    "customer_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM orders WHERE o_custkey % 50 = 0
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window (running revenue per customer, sampled)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).alias("running_c"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ===========================================================================
+# 3. events (streaming-shaped, batch-checked)
+# ===========================================================================
+
+
+@_register(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation (the batch twin of the Structured
+    Streaming rollup in streaming/). The window key is a rendered STRING:
+    formatting round-trips the stored wall-clock value identically in any
+    session timezone, where epoch seconds would shift."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .orderBy("hour_str", "event_type")
+    )
+
+
+@_register(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via lag + cumulative flag-sum — the
+    batch form of streaming session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800000) | F.lag(epoch).over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_millis(F.max("ts").cast("timestamp")) - F.unix_millis(F.min("ts").cast("timestamp")))
+            .cast("long")
+            .alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ===========================================================================
+# 4. corpus pipeline: documents
+# ===========================================================================
+
+
+@_register(
+    "doc_exact_dups",
+    oracle="""
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY text_hash
+""",
+)
+def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dup_groups(docs).orderBy("text_hash")
+
+
+@_register(
+    "doc_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tx FROM documents
+)
+SELECT doc_id,
+       length(tx) AS n_chars,
+       CASE WHEN length(tx) = 0 THEN 0 ELSE len(string_split(tx, ' ')) END AS n_tokens,
+       round(length(tx) / greatest(CASE WHEN length(tx) = 0 THEN 0
+             ELSE len(string_split(tx, ' ')) END, 1), 6) AS mean_token_len,
+       round(1.0 - len(list_distinct(string_split(lower(tx), ' '))) /
+             greatest(CASE WHEN length(tx) = 0 THEN 0
+             ELSE len(string_split(tx, ' ')) END, 1), 6) AS repetition_ratio,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM t ORDER BY doc_id
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char stats + repetition + content fingerprint, one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = TS.quality_columns(t)
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["repetition_ratio"].alias("repetition_ratio"),
+        TS.fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    # argmax with lexicographic tie-break, as a greatest-of-structs trick
+    score_exprs = []
+    for lang in sorted(TS.LANG_MARKERS):
+        markers = ", ".join(_sql_quote(m) for m in TS.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{markers}], t))) AS s_{lang}"
+        )
+    langs = sorted(TS.LANG_MARKERS)
+    # fold left: keep first max
+    best = f"'{langs[0]}'"
+    best_s = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best} END"
+        best_s = f"CASE WHEN s_{lang} > {best_s} THEN s_{lang} ELSE {best_s} END"
+    return f"""
+WITH toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM toksed
+)
+SELECT doc_id,
+       CASE WHEN {best_s} > 0 THEN {best} ELSE 'und' END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+@_register("doc_lang_id", oracle=_lang_oracle())
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+def _jaccard_oracle(threshold: float = 0.5) -> str:
+    return f"""
+WITH toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toksed
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id,
+       round(CAST(i.n_common AS DOUBLE) /
+             (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common)
+      >= {threshold}
+ORDER BY a_id, b_id
+"""
+
+
+@_register("doc_jaccard_pairs", oracle=_jaccard_oracle(0.5))
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+@_register("doc_minhash_dups", oracle=_jaccard_oracle(0.5))
+def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (64 hashes, 32×2 bands) + exact verify — must equal the
+    brute-force Jaccard oracle up to ~1e-6 band-miss recall."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+@_register("doc_simhash_pairs")  # no SQL oracle: signature needs blake2b
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming ≤ 3, pigeonhole-banded).
+    Rows-only driver check; pytest cross-checks against jaccard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
+
+
+@_register(
+    "ngram_top_df",
+    oracle="""
+WITH toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toksed
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+SELECT shingle, count(*) AS df
+FROM ex GROUP BY shingle
+ORDER BY df DESC, shingle LIMIT 20
+""",
+)
+def q_ngram_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 shape — top-k n-grams by document frequency (dedup blocking-key
+    hot-list; also the max_df skew-guard diagnostic)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = DD.with_shingles(docs.select("doc_id", "text"))
+    return (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# 5. embeddings
+# ===========================================================================
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, len(a.embedding) + 1),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+, 6)"""
+
+
+@_register(
+    "emb_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+)
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 10 vectors as queries —
+    the exact ANN baseline (broadcast queries, one corpus scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(queries, emb, k=10, q_id="query_id").orderBy(
+        "query_id", "rank"
+    )
+
+
+@_register(
+    "emb_dup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS_SQL} AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.45
+ORDER BY a_id, b_id
+""",
+)
+def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine ≥ 0.45, brute-force verifier\n    (threshold sits inside this corpus's similarity range so the check is\n    non-trivial; production near-dup dedup would use ~0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_dup_pairs(emb, threshold=0.45).orderBy("a_id", "b_id")
+
+
+@_register("emb_lsh_pairs")  # no oracle: LSH recall < 1 by design
+def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup pairs (the 10^10-scale path for
+    emb_dup_pairs). Rows-only check; pytest measures recall vs brute."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.hyperplane_lsh_pairs(emb, threshold=0.45, dim=64, bits=6).orderBy("a_id", "b_id")
+
+
+@_register(
+    "emb_label_counts",
+    oracle="""
+SELECT label, count(*) AS n_vecs,
+       count(DISTINCT vec_id) AS n_distinct
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def q_emb_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.countDistinct("vec_id").alias("n_distinct"))
+        .orderBy("label")
+    )

@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies, same output contract (query_id, rank, neighbor_id, cosine):
+
+- BRUTE FORCE (``cosine_topk``): query-set × corpus crossJoin with the
+  corpus side broadcast when small, window top-k. Exact; O(|Q|·|C|).
+  This is the verifier and the right plan when |Q| is small (the usual
+  "find neighbors of these 1k probes in the 10B corpus" shape BROADCASTS
+  THE QUERIES, scans the corpus once, and aggregates per query — one pass,
+  no shuffle of the corpus).
+- HYPERPLANE LSH (``hyperplane_topk`` / ``hyperplane_lsh_pairs``): sign of
+  r·v for k random hyperplanes → k-bit bucket signature; candidates share
+  a signature band; exact cosine inside buckets. The corpus shuffles once
+  on (table_id, band_hash) — a uniform key. Recall is tunable by
+  (n_tables, band_bits); collisions P = (1-θ/π)^bits per table.
+
+The hyperplanes are generated from a seeded numpy RNG on the DRIVER and
+broadcast as literal arrays — every executor sees identical planes, no
+Python on the hot path (the projection is a JVM higher-order-function dot
+product)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.pipeline.dedup import _cosine_expr
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Ties and float noise: rank orders by (round(cosine, 6) desc, id asc) so
+    the result is bit-deterministic and engine-portable."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = q.crossJoin(c).withColumn(
+        "cosine", F.round(_cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim))
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Adds ``sig`` ARRAY<BIGINT>[n_tables]: per-table bucket id = the
+    sign-bit pattern of the hyperplane projections. JVM-side: each plane's
+    dot product is an ``aggregate(zip_with(...))`` over literal plane
+    coefficients (codegen'd; no Python)."""
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    table_sigs = []
+    for t in range(n_tables):
+        bit_terms = None
+        for b in range(bits):
+            coeffs = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), coeffs, lambda v, c: v.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bit_terms = bit if bit_terms is None else (bit_terms + bit)
+        table_sigs.append(bit_terms.cast("long"))
+    return df.withColumn("sig", F.array(*table_sigs))
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_tables: int = 8,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) via LSH buckets + exact verify —
+    the scale path behind dedup.embedding_dup_pairs."""
+    sigs = with_lsh_signature(
+        embeddings.select(id_col, vec_col), dim, n_tables, bits, vec_col, seed
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode("sig").alias("table_id", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), "table_id", "bucket")
+    b = banded.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_vec", "b_id", "b_vec")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", _cosine_expr(F.col("a_vec"), F.col("b_vec")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    bits: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of LSH-bucket candidates across tables,
+    exact cosine + window rank. Recall < 1 by design — compare against
+    cosine_topk to measure it (tests do)."""
+    q = with_lsh_signature(
+        queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        dim, n_tables, bits, "q_vec", seed,
+    ).select("query_id", "q_vec", F.posexplode("sig").alias("table_id", "bucket"))
+    c = with_lsh_signature(
+        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        dim, n_tables, bits, "c_vec", seed,
+    ).select("neighbor_id", "c_vec", F.posexplode("sig").alias("table_id", "bucket"))
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table_id", "bucket"])
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,150 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, fingerprinting. All JVM built-ins (no Python) so every
+expression stays inside whole-stage codegen and is oracle-expressible in
+ANSI SQL.
+
+These generalize the reference's text heuristics — keyword-hit scoring
+(career_detector.py:156-267), length gates (job_extraction_service.py:1150),
+ws-collapse normalization (app/utils/text.py:44-46) — into corpus-level
+curation columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram-free heuristic language ID;
+# deliberately tiny + deterministic (a real deployment swaps in fastText —
+# gated behind the same column contract)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "las", "una", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "des", "une", "est", "et"),
+    "vi": ("của", "và", "các", "là", "cho", "với", "này"),
+}
+
+STOPWORDS_EN = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+)
+
+
+def norm_text(text: Column) -> Column:
+    """Whitespace-collapse + trim + lower — the canonical normalization
+    every downstream hash/fingerprint keys on (text.py:44-46 semantics)."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries the
+    way BPE pre-tokenizers do (letters runs, digit runs, single punct)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|\d+|[^A-Za-z\d\s]"), F.lit(0))
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.split(norm_text(text), " ")
+    return {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts, ties → lexicographically first lang,
+    zero hits → 'und'. Pure CASE cascade (deterministic, SQL-portable)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # tie-break order = lexicographic
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature columns (all round(…, 6) doubles):
+
+    - n_chars / n_tokens: raw sizes
+    - mean_token_len: chars per token
+    - stopword_ratio: EN stopword fraction (garbage text → ~0; natural
+      prose → 0.2-0.5)
+    - punct_ratio / digit_ratio / upper_ratio: character-class fractions
+    - repetition_ratio: 1 - distinct_tokens/tokens (boilerplate detector)
+    """
+    t = F.trim(F.regexp_replace(text, r"\s+", " "))
+    toks = F.split(F.lower(t), " ")
+    n_chars = F.length(t)
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(toks))
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.round(n_chars / safe_tokens, 6),
+        "stopword_ratio": F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / safe_tokens, 6
+        ),
+        "punct_ratio": F.round(
+            F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))) / safe_chars, 6
+        ),
+        "digit_ratio": F.round(
+            F.size(F.regexp_extract_all(t, F.lit(r"\d"), F.lit(0))) / safe_chars, 6
+        ),
+        "repetition_ratio": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / safe_tokens, 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] keep-score: length window + stopword presence −
+    repetition penalty (weights mirror the reference's completeness/
+    relevance blend shape, job_analyzer.py:390-412)."""
+    q = quality_columns(text)
+    len_ok = (
+        F.when(q["n_tokens"] < 5, F.lit(0.0))
+        .when(q["n_tokens"] > 5000, F.lit(0.2))
+        .otherwise(F.lit(0.4))
+    )
+    stop_part = F.least(q["stopword_ratio"] * 2, F.lit(0.3))
+    rep_penalty = F.greatest(q["repetition_ratio"] - 0.5, F.lit(0.0)) * 0.6
+    return F.round(F.greatest(len_ok + stop_part + F.lit(0.3) - rep_penalty, F.lit(0.0)), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex) — the
+    exact-dedup / lineage key."""
+    return F.md5(norm_text(text))
+
+
+def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All curation columns in one select (single pass over the corpus)."""
+    t = F.col(text_col)
+    cols = quality_columns(t)
+    out = docs
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return (
+        out.withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(t).cast("long"))
+    )
