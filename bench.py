@@ -1,0 +1,184 @@
+"""Benchmark harness — prints ONE JSON line:
+
+  {"metric": "frontier_urls_per_sec", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "frontier": {"n_candidates":..., "urls_per_sec":...}, ...}
+
+Headline: frontier-expansion throughput (URLs scheduled + deduped per
+second) — the BASELINE.json north metric — measured over a candidate set
+expanded deterministically from the sf documents table to ~1M URLs with a
+Zipf-skewed host distribution, run through the REAL scheduling pipeline:
+priority bucketing → per-(host,priority) budget windows → per-host
+politeness cap → partitioned-bloom + exact anti-join dedup.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     BENCH_QUERIES=0 to skip the per-query section (scaling runs use the
+     frontier stage only).
+
+Scaling evidence (north rule, no real cluster in sandbox): run
+tools/scaling_bench.py — same frontier job at local[8] vs local[32],
+efficiency = (t8/t32)/4; results recorded in BASELINE.md."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+# representative catalog subset for per-query timing (one per family)
+BENCH_QUERY_NAMES = [
+    "priority_schedule",      # frontier scheduling (flagship)
+    "job_url_classify",       # classifier cascade
+    "crawl_harvest_links",    # structural parse UDF
+    "q1_pricing_summary",     # scan-agg
+    "top_revenue_orders",     # 3-way join + top-k
+    "events_sessionize",      # windows
+    "doc_minhash_dups",       # MinHash LSH dedup
+    "doc_stats",              # text curation pass
+    "emb_topk",               # similarity search
+]
+
+CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
+
+
+def build_candidates(spark, sf_dir: str):
+    """~|documents|×MULT candidate URLs, Zipf-skewed hosts (hot host gets
+    ~1/h of traffic — the politeness/skew stress shape), deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    cand = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(CANDIDATE_MULT - 1))).alias("i")
+    )
+    # Zipf-ish host id: k = i*doc cheap hash → host = floor(1/u)-style skew
+    h = F.pmod(F.xxhash64(F.col("doc_id") * CANDIDATE_MULT + F.col("i")), F.lit(1000000))
+    host_id = (F.lit(1000000) / (h + 1)).cast("long") % 500  # rank-skewed
+    seq = F.col("doc_id") * CANDIDATE_MULT + F.col("i")
+    path_kind = F.pmod(seq, F.lit(11))
+    path = (
+        F.when(path_kind == 0, F.concat(F.lit("/careers/role-"), seq.cast("string")))
+        .when(path_kind == 1, F.concat(F.lit("/jobs/view/"), seq.cast("string")))
+        .when(path_kind == 2, F.lit("/tuyen-dung"))
+        .when(path_kind == 3, F.concat(F.lit("/about/team-"), seq.cast("string")))
+        .when(path_kind == 4, F.concat(F.lit("/news/story-"), seq.cast("string")))
+        .when(path_kind == 5, F.concat(F.lit("/blog/post-"), seq.cast("string")))
+        .when(path_kind == 6, F.concat(F.lit("/products/item-"), seq.cast("string")))
+        .when(path_kind == 7, F.concat(F.lit("/contact-"), seq.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), seq.cast("string")))
+    )
+    out = cand.select(
+        seq.alias("discovered_seq"),
+        F.concat(F.lit("host"), host_id.cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://host"), host_id.cast("string"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    # the documents parquet is 1-2 input splits; without an explicit spread
+    # the whole expanded frontier would run on 1-2 cores (a real frontier
+    # read arrives in many storage buckets)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return out.repartition(n_parts, F.col("host"), F.pmod(F.col("discovered_seq"), F.lit(8)))
+
+
+def frontier_bench(spark, sf_dir: str, host_budget: int = 2000) -> dict:
+    """The full scheduling pipeline over the expanded candidate set."""
+    from crawler_ai_spark.functions import filters as FL
+    from crawler_ai_spark.operators import seen as S
+
+    cand = build_candidates(spark, sf_dir).withColumn(
+        "url_hash", F.xxhash64("url")
+    ).withColumn("seed_url", F.lit("bench"))
+    # materialize inputs OUTSIDE the timed window: a real crawl batch reads
+    # its frontier from storage once — regenerating the synthetic lineage
+    # inside every stage would bill generation, not scheduling
+    cand = cand.persist()
+    n_cand_in = cand.count()
+    # seen = every 3rd candidate (stable) — the steady-state dedup shape
+    seen = cand.where(F.pmod(F.col("discovered_seq"), F.lit(3)) == 0).select(
+        "url_hash", "url"
+    )
+    seen = seen.persist()
+    n_seen = seen.count()
+
+    def pipeline(c):
+        from crawler_ai_spark.operators.frontier import salted_budget_rank
+
+        blooms = S.build_bloom(seen, n_buckets=64)
+        prio = c.withColumn("priority", FL.priority_expr(F.col("url")))
+        # two-phase salted rank: the Zipf-hot host would otherwise pin the
+        # whole budget window to one task (W2 skew defeat)
+        budgeted = salted_budget_rank(
+            prio, ["host", "priority"], [F.col("discovered_seq")], F.lit(host_budget),
+            salt_buckets=16,
+        )
+        return S.dedup_with_bloom(budgeted, seen, blooms)
+
+    # warmup on a 5% sample: JVM codegen + JIT compile once, untimed (a
+    # long-lived cluster is always warm; a one-shot cold pass would bill
+    # compilation, not scheduling)
+    pipeline(cand.sample(0.05, seed=1)).count()
+
+    t0 = time.perf_counter()
+    fresh = pipeline(cand).persist()  # crawl_loop persists the batch frontier too
+    n_scheduled = fresh.count()
+    dt = time.perf_counter() - t0
+    n_cand = n_cand_in
+    seen.unpersist()
+    cand.unpersist()
+    return {
+        "n_candidates": n_cand,
+        "n_seen": n_seen,
+        "n_scheduled": n_scheduled,
+        "sec": round(dt, 3),
+        "urls_per_sec": round(n_cand / dt, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    run_queries = os.environ.get("BENCH_QUERIES", "1") != "0"
+
+    from crawler_ai_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    fr = frontier_bench(spark, sf_dir)
+    timings["frontier_schedule"] = fr["sec"]
+    total += fr["sec"]
+
+    if run_queries:
+        from crawler_ai_spark.catalog import QUERIES
+
+        for name in BENCH_QUERY_NAMES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": fr,
+        "cores": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

