@@ -274,3 +274,31 @@ def test_frame_sample_plan(spark):
     plan = MM.frame_sample_plan(media)
     rows = plan.collect()
     assert rows and all(r.frame_no == r.sample_idx * 125 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# P12 byte-parity: Spark summarize expr ≡ pure-Python twin
+# ---------------------------------------------------------------------------
+
+
+def test_summarize_description_parity(spark):
+    from crawler_ai_spark.functions.jobs import summarize_description_expr
+    from crawler_ai_spark.functions.textnorm import summarize_description
+
+    texts = [
+        "",
+        "short one.",
+        "word " * 100,                              # long, spaces only
+        ("s" * 250) + ". " + "tail " * 30,          # period past 60%
+        ("s" * 100) + ". " + ("t" * 400),           # period before 60%
+        "x" * 400,                                   # no period, no space
+        "a. " * 200,
+        "Ünïcodé — wörds " * 40,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i LONG, t STRING")
+    got = {
+        r.i: r.s
+        for r in df.select("i", summarize_description_expr(F.col("t")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == summarize_description(t), (i, got[i], summarize_description(t))
