@@ -1521,3 +1521,260 @@ def q_description_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", J.summarize_description_expr(F.col("text")).alias("summary")
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# 8. wave 4 — sources (S6/S7), contacts (P6), link scoring (C4), merge (D6)
+# ===========================================================================
+
+
+@_register(
+    "social_links_extract",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' follow us https://facebook.com/corp' || (doc_id % 9)
+         || ' and https://www.linkedin.com/company/corp' || (doc_id % 9)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' code at https://github.com/corp' || (doc_id % 9) ELSE '' END AS text
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, 'facebook' AS platform,
+         unnest(regexp_extract_all(text, 'facebook\\.com/[^/\\s]+')) AS handle FROM aug
+  UNION ALL
+  SELECT doc_id, 'linkedin',
+         unnest(regexp_extract_all(text, 'linkedin\\.com/(?:company|in)/[^/\\s]+')) FROM aug
+  UNION ALL
+  SELECT doc_id, 'github',
+         unnest(regexp_extract_all(text, 'github\\.com/[^/\\s]+')) FROM aug
+)
+SELECT DISTINCT doc_id, platform, handle FROM hits
+ORDER BY doc_id, platform, handle
+""",
+)
+def q_social_links_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — per-platform social-link regex sweep, exploded + dedup'd
+    (contact_extractor_service.py:56-63 patterns)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' follow us https://facebook.com/corp' || CAST(doc_id % 9 AS STRING)"
+            " || ' and https://www.linkedin.com/company/corp' || CAST(doc_id % 9 AS STRING)"
+            " || CASE WHEN doc_id % 2 = 0"
+            " THEN ' code at https://github.com/corp' || CAST(doc_id % 9 AS STRING) ELSE '' END"
+        ).alias("text"),
+    )
+    parts = []
+    for platform in ("facebook", "linkedin", "github"):
+        rx = K.SOCIAL_PATTERNS[platform].replace("(company|in)", "(?:company|in)")
+        parts.append(
+            aug.select(
+                "doc_id",
+                F.lit(platform).alias("platform"),
+                F.explode(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0))).alias(
+                    "handle"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().orderBy("doc_id", "platform", "handle")
+
+
+@_register(
+    "sitemap_extract",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+sitemaps AS (
+  SELECT doc_id,
+    '<?xml version="1.0"?><urlset>'
+    || '<url><loc>https://site' || (doc_id % 37) || '.example.com/careers</loc></url>'
+    || '<url><loc>https://site' || (doc_id % 37) || '.example.com/jobs/view/' || doc_id || '</loc></url>'
+    || '<url><loc>https://site' || (doc_id % 37) || '.example.com/blog/post-' || doc_id || '</loc></url>'
+    || '</urlset>' AS xml
+  FROM synth_urls WHERE doc_id % 10 = 0
+),
+locs AS (
+  SELECT doc_id, unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc FROM sitemaps
+)
+SELECT doc_id, loc FROM locs
+WHERE regexp_matches(lower(loc), 'job|career|tuyen-dung|viec-lam|recruit')
+ORDER BY doc_id, loc
+""",
+)
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — sitemap <loc> extraction + job-keyword filter
+    (career_pages_service.py:291-317)."""
+    urls = synth_urls(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    xml = F.expr(
+        "'<?xml version=\"1.0\"?><urlset>'"
+        " || '<url><loc>https://site' || CAST(doc_id % 37 AS STRING) || '.example.com/careers</loc></url>'"
+        " || '<url><loc>https://site' || CAST(doc_id % 37 AS STRING) || '.example.com/jobs/view/' || CAST(doc_id AS STRING) || '</loc></url>'"
+        " || '<url><loc>https://site' || CAST(doc_id % 37 AS STRING) || '.example.com/blog/post-' || CAST(doc_id AS STRING) || '</loc></url>'"
+        " || '</urlset>'"
+    )
+    locs = urls.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(xml, F.lit("<loc>([^<]+)</loc>"), F.lit(1))).alias("loc"),
+    )
+    return (
+        locs.where(F.lower(F.col("loc")).rlike("job|career|tuyen-dung|viec-lam|recruit"))
+        .orderBy("doc_id", "loc")
+    )
+
+
+@_register(
+    "embedded_jobs_extract",
+    oracle="""
+WITH pages AS (
+  SELECT doc_id,
+    '{"jobs": [{"title": "Engineer ' || doc_id || '", "location": "Hanoi", "type": "Full-time"},'
+    || '{"title": "Analyst ' || doc_id || '", "location": "Remote", "type": "Contract"}]}' AS payload
+  FROM documents WHERE doc_id % 8 = 0
+)
+SELECT doc_id,
+       json_extract_string(payload, '$.jobs[' || i || '].title') AS title,
+       json_extract_string(payload, '$.jobs[' || i || '].location') AS location,
+       json_extract_string(payload, '$.jobs[' || i || '].type') AS job_type
+FROM pages, unnest([0, 1]) AS t(i)
+ORDER BY doc_id, title
+""",
+)
+def q_embedded_jobs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — embedded-JSON job arrays parsed with from_json + explode
+    (hidden_job_extractor_requests.py:84-170 semantics)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0)
+    payload = F.expr(
+        "'{\"jobs\": [{\"title\": \"Engineer ' || CAST(doc_id AS STRING) || '\", \"location\": \"Hanoi\", \"type\": \"Full-time\"},'"
+        " || '{\"title\": \"Analyst ' || CAST(doc_id AS STRING) || '\", \"location\": \"Remote\", \"type\": \"Contract\"}]}'"
+    )
+    schema = "STRUCT<jobs: ARRAY<STRUCT<title: STRING, location: STRING, type: STRING>>>"
+    parsed = docs.select("doc_id", F.from_json(payload, schema).alias("p"))
+    return (
+        parsed.select("doc_id", F.explode("p.jobs").alias("j"))
+        .select(
+            "doc_id",
+            F.col("j.title").alias("title"),
+            F.col("j.location").alias("location"),
+            F.col("j.type").alias("job_type"),
+        )
+        .orderBy("doc_id", "title")
+    )
+
+
+def _job_link_score_oracle() -> str:
+    from crawler_ai_spark.functions import scoring as SC
+
+    high = _any_substr_rx(SC._HIGH_PRIORITY_PATHS)
+    med = _any_substr_rx(SC._MEDIUM_PRIORITY_PATHS)
+    pk_hits = " + ".join(
+        f"CASE WHEN contains(low, {_sql_quote(k)}) THEN 1 ELSE 0 END"
+        for k in SC._PATH_KEYWORDS
+    )
+    tk_hits = " + ".join(
+        f"CASE WHEN contains(tlow, {_sql_quote(k)}) THEN 1 ELSE 0 END"
+        for k in SC._TEXT_KEYWORDS
+    )
+    return f"""
+WITH {SYNTH_URLS_CTE},
+links AS (
+  SELECT doc_id, lower(url) AS low,
+         lower(CASE (doc_id % 4) WHEN 0 THEN 'Apply now' WHEN 1 THEN 'Tuyển dụng'
+               WHEN 2 THEN 'Read more' ELSE 'Open position' END) AS tlow,
+         url
+  FROM synth_urls
+)
+SELECT doc_id, url,
+  CAST((CASE WHEN regexp_matches(low, {_sql_quote(high)}) THEN 5 ELSE 0 END)
+  + (CASE WHEN regexp_matches(low, {_sql_quote(med)}) THEN 3 ELSE 0 END)
+  + least({pk_hits}, 3) * 2
+  + least({tk_hits}, 3)
+  + (CASE WHEN len(string_split(regexp_replace(low, '^https?://[^/]*', ''), '/')) - 1
+          BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS INT) AS score
+FROM links ORDER BY doc_id
+"""
+
+
+@_register("job_link_score", oracle=_job_link_score_oracle())
+def q_job_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — job-link score ladder over synthesized (href, anchor text)."""
+    from crawler_ai_spark.functions.scoring import job_link_score_expr
+
+    urls = synth_urls(spark, sf_dir)
+    anchor = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Apply now"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Tuyển dụng"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("Read more"))
+        .otherwise(F.lit("Open position"))
+    )
+    return urls.select(
+        "doc_id", "url", job_link_score_expr(F.col("url"), anchor).alias("score")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "merge_detection_results",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+scrapy AS (
+  SELECT doc_id, url, 1 AS source_rank, doc_id AS seq FROM synth_urls WHERE doc_id % 12 IN (0, 1, 3)
+),
+fallback AS (
+  SELECT doc_id, url, 2 AS source_rank, doc_id AS seq FROM synth_urls WHERE doc_id % 12 IN (0, 2, 11)
+),
+unioned AS (SELECT * FROM scrapy UNION ALL SELECT * FROM fallback),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY source_rank, seq) AS rn
+  FROM unioned
+),
+hosted AS (
+  SELECT doc_id, url, source_rank,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CASE WHEN regexp_matches(lower(url), '/tuyen-dung|/careers/') THEN 1
+              WHEN regexp_matches(lower(url), '/careers$|/career$') THEN 2
+              ELSE 3 END AS prio
+  FROM dedup WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY prio, doc_id) AS k
+  FROM hosted
+)
+SELECT host, url, source_rank, prio FROM ranked WHERE k <= 3
+ORDER BY host, prio, url
+""",
+)
+def q_merge_detection_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/O3 — two detection sources merged with source priority, URL
+    dedup (scrapy wins), per-host priority sort, top-3
+    (career_pages_service.py:1178-1260)."""
+    urls = synth_urls(spark, sf_dir)
+    scrapy = urls.where((F.col("doc_id") % 12).isin(0, 1, 3)).select(
+        "doc_id", "url", F.lit(1).alias("source_rank"), F.col("doc_id").alias("seq")
+    )
+    fallback = urls.where((F.col("doc_id") % 12).isin(0, 2, 11)).select(
+        "doc_id", "url", F.lit(2).alias("source_rank"), F.col("doc_id").alias("seq")
+    )
+    unioned = scrapy.unionByName(fallback)
+    w = Window.partitionBy("url").orderBy("source_rank", "seq")
+    dedup = unioned.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    low = F.lower(F.col("url"))
+    prio = (
+        F.when(low.rlike("/tuyen-dung|/careers/"), 1)
+        .when(low.rlike("/careers$|/career$"), 2)
+        .otherwise(3)
+    )
+    hosted = dedup.select(
+        "doc_id", "url", "source_rank",
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        prio.alias("prio"),
+    )
+    wk = Window.partitionBy("host").orderBy("prio", "doc_id")
+    return (
+        hosted.withColumn("k", F.row_number().over(wk))
+        .where(F.col("k") <= 3)
+        .select("host", "url", "source_rank", "prio")
+        .orderBy("host", "prio", "url")
+    )

@@ -219,8 +219,18 @@ def extract_job_urls(parsed: DataFrame) -> DataFrame:
     )
 
 
-def next_frontier(gated: DataFrame, seen: DataFrame, seed_state: DataFrame) -> DataFrame:
-    """Links of yield-allowed pages → scheduled child frontier rows."""
+def next_frontier(
+    gated: DataFrame,
+    seen: DataFrame,
+    seed_state: DataFrame,
+    use_bloom: bool = False,
+) -> DataFrame:
+    """Links of yield-allowed pages → scheduled child frontier rows.
+
+    ``use_bloom`` routes the seen-dedup through the partitioned bloom
+    prefilter (operators/seen.dedup_with_bloom — identical output, only
+    the bloom-"maybe" residue pays the exact check); the default exact
+    anti-join is the sandbox-scale fast path."""
     yielding = gated.where(F.col("yields_links")).select(
         "seed_url", "seed_host", "url", "depth", "page_order", "parse"
     )
@@ -228,7 +238,13 @@ def next_frontier(gated: DataFrame, seen: DataFrame, seed_state: DataFrame) -> D
     seq_offsets = seed_state.select("seed_url", F.col("seq_offset"))
     candidates = FR.assign_sequence(links, seq_offsets)
     candidates = FR.with_url_hash(candidates, "child_url")
-    fresh = FR.dedup_against_seen(candidates, seen)
+    if use_bloom:
+        from crawler_ai_spark.operators import seen as SN
+
+        blooms = SN.build_bloom(seen.select("url_hash"))
+        fresh = SN.dedup_with_bloom(candidates, seen, blooms)
+    else:
+        fresh = FR.dedup_against_seen(candidates, seen)
     return fresh.select(
         F.col("child_url").alias("url"),
         "url_hash",
@@ -329,7 +345,7 @@ def run_crawl(
         store.write(batch_id, "job_urls", extract_job_urls(gated))
         store.write(batch_id, "metrics", batch_metrics(gated, batch_id))
 
-        fresh, candidates = next_frontier(gated, seen, seed_state)
+        fresh, candidates = next_frontier(gated, seen, seed_state, cfg.use_bloom)
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
         store.write(batch_id, "frontier", new_frontier)

@@ -101,3 +101,40 @@ def test_cuckoo_ttl_recrawl_semantics():
     assert cf.contains(url_key)       # within TTL: skip fetch
     assert cf.delete(url_key)         # TTL expired: evict
     assert cf.insert(url_key)         # recrawl schedules again
+
+
+def test_crawl_bloom_path_identical(spark, fixture_root, tmp_path_factory):
+    """A full crawl with the bloom-prefiltered seen-dedup must produce
+    bit-identical frontier/seen tables to the exact-anti-join crawl."""
+    from pyspark.sql import functions as F
+
+    from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:6]
+    seeds = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+
+    def run(use_bloom, root):
+        run_crawl(
+            spark, pages, seeds, root,
+            CrawlConfig(max_batches=3, parallelism=8, use_bloom=use_bloom),
+        )
+        store = CrawlStore(spark, root)
+        last = max(store.committed_batches())
+        out = {}
+        for t in ("frontier", "seen_delta", "visited"):
+            df = store.read_all(t, last)
+            cols = sorted(df.columns)
+            out[t] = {tuple(str(v) for v in row) for row in df.select(*cols).collect()}
+        return out
+
+    a = run(False, tmp_path_factory.mktemp("exact"))
+    b = run(True, tmp_path_factory.mktemp("bloom"))
+    for t in a:
+        assert a[t] == b[t], f"{t} differs between exact and bloom paths"
