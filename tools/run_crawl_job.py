@@ -1,0 +1,87 @@
+"""spark-submit entry point for the crawl engine (north-rule packaging).
+
+Cluster:
+    zip -r crawler_ai_spark.zip crawler_ai_spark
+    spark-submit --py-files crawler_ai_spark.zip tools/run_crawl_job.py \
+        --pages  s3://bucket/warehouse/pages        # Iceberg/parquet pages table
+        --seeds  s3://bucket/seeds.parquet          # seed_url[, max_pages, max_career_pages]
+        --state  s3://bucket/crawl_state            # checkpointed batch dirs
+        --batches 8 --host-budget 1000 --bloom --resume
+
+Local sandbox smoke:
+    python tools/run_crawl_job.py --fixtures sf0.001 --state /tmp/crawl_state
+
+Every batch commit is a restart point; rerunning with --resume continues
+from the last committed batch and yields bit-identical final tables
+(tests/test_resume.py, test_seen.py::test_crawl_bloom_path_identical)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local runs from any cwd; on a cluster --py-files puts the package on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages table path (parquet/Iceberg dir)")
+    ap.add_argument("--seeds", help="seeds parquet (seed_url[, max_pages, max_career_pages])")
+    ap.add_argument("--fixtures", help="use the built-in fixture corpus at this SF (e.g. sf0.001)")
+    ap.add_argument("--state", required=True, help="checkpoint/state root")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--parallelism", type=int, default=0)
+    ap.add_argument("--host-budget", type=int, default=None,
+                    help="max URLs per host per batch (politeness W2)")
+    ap.add_argument("--bloom", action="store_true", help="bloom-prefiltered seen dedup")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from crawler_ai_spark.plans.crawl_loop import CrawlConfig, run_crawl
+    from crawler_ai_spark.session import get_spark
+
+    spark = get_spark("crawler-ai-spark-crawl")
+    try:
+        if args.fixtures:
+            import pathlib
+
+            from crawler_ai_spark.sources import fixtures as FX
+
+            FX.ensure_all()
+            root = pathlib.Path(FX.FIXTURE_ROOT) / args.fixtures
+            pages = spark.read.parquet(str(root / "pages.parquet")).where(
+                ~F.col("url").endswith(".xml")
+            )
+            seeds = spark.read.parquet(str(root / "seeds.parquet")).select(
+                F.col("seed_url"),
+                F.lit(None).cast("int").alias("max_pages"),
+                F.lit(None).cast("int").alias("max_career_pages"),
+            )
+        else:
+            if not (args.pages and args.seeds):
+                ap.error("--pages and --seeds are required without --fixtures")
+            pages = spark.read.parquet(args.pages)
+            seeds = spark.read.parquet(args.seeds)
+            for col, typ in (("max_pages", "int"), ("max_career_pages", "int")):
+                if col not in seeds.columns:
+                    seeds = seeds.withColumn(col, F.lit(None).cast(typ))
+
+        cfg = CrawlConfig(
+            max_batches=args.batches,
+            parallelism=args.parallelism or spark.sparkContext.defaultParallelism,
+            host_budget_per_batch=args.host_budget,
+            use_bloom=args.bloom,
+        )
+        summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
+        print(json.dumps(summary))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
