@@ -188,7 +188,14 @@ def minhash_lsh_pairs(
     Jaccard. Output identical to ``jaccard_pairs`` up to band-miss recall
     (≥ 1-1e-6 at the default 32×2 banding for j ≥ 0.6)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    # one shingling pass feeds BOTH the signatures and the exact verify —
+    # without the cache the (tokenize + n-gram) scan of the corpus runs 3×
+    # (signatures, then twice in the verify self-join). At 100 TB this
+    # cache is a checkpoint to storage; the plan shape is the same.
+    sh = with_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("id"), "shingles"
+    ).persist()
+    sigs = _signatures_from_shingles(sh, n_hashes)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -206,16 +213,25 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    verified = _verify_pairs_jaccard(docs, candidates, threshold, n, id_col, text_col)
-    return verified
+    return _verify_pairs_jaccard(sh, candidates, threshold)
 
 
-def _verify_pairs_jaccard(docs, candidates, threshold, n, id_col, text_col):
-    """Exact Jaccard on candidate pairs via shingle-array intersection
-    (JVM array ops; the candidate set is small relative to n²)."""
-    sh = with_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("id"), "shingles"
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    per_doc = exploded.groupBy("id").agg(*aggs)
+    return per_doc.select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("sig")
     )
+
+
+def _verify_pairs_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float):
+    """Exact Jaccard on candidate pairs via shingle-array intersection
+    (JVM array ops; the candidate set is small relative to n²).
+    ``sh`` = (id, shingles) — ideally cached by the caller."""
     a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
     b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
     joined = candidates.join(a, "a_id").join(b, "b_id")
