@@ -53,11 +53,17 @@ class CrawlConfig:
     host_budget_per_batch: int | None = None          # W2 politeness cap
     salt_buckets: int = FR.PARSE_SALT_BUCKETS
     use_bloom: bool = False                           # D2 bloom prefilter (operators/seen.py)
+    # W4 — transient-fetch retry budget (crawler.py:157, :199-248): an
+    # unfetched frontier row re-enters the NEXT batch with attempt+1 until
+    # attempt+1 >= max_fetch_attempts. 1 = no retries (the fixture corpus
+    # is static, so a miss is permanent — mirroring the reference's
+    # 404/410 permanent class); the state machine is what W4 specifies.
+    max_fetch_attempts: int = 1
 
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "seed_url", "seed_host",
-    "priority", "depth", "discovered_seq", "parent_url",
+    "priority", "depth", "discovered_seq", "parent_url", "attempt",
 ]
 
 
@@ -125,6 +131,7 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
         F.lit(0).alias("depth"),
         F.lit(0).cast("long").alias("discovered_seq"),
         F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("attempt"),
     )
 
 
@@ -255,6 +262,7 @@ def next_frontier(
         (F.col("depth") + 1).alias("depth"),
         F.col("discovered_seq").cast("long").alias("discovered_seq"),
         F.col("url").alias("parent_url"),
+        F.lit(0).alias("attempt"),
     ), candidates
 
 
@@ -348,6 +356,19 @@ def run_crawl(
         fresh, candidates = next_frontier(gated, seen, seed_state, cfg.use_bloom)
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
+        if cfg.max_fetch_attempts > 1:
+            # W4 — unfetched rows with budget left re-enter the next batch;
+            # they bypass the seen-dedup deliberately (already seen — this
+            # IS the re-fetch of the same URL)
+            retries = (
+                gated.where(
+                    ~F.col("fetched")
+                    & (F.col("attempt") + 1 < F.lit(cfg.max_fetch_attempts))
+                )
+                .withColumn("attempt", F.col("attempt") + 1)
+                .select(*FRONTIER_COLS)
+            )
+            new_frontier = new_frontier.unionByName(retries)
         store.write(batch_id, "frontier", new_frontier)
         store.write(batch_id, "seen_delta", fresh.select("url_hash", "url", "seed_url"))
 

@@ -54,3 +54,37 @@ def test_resume_is_bit_identical(spark, inputs, tmp_path_factory):
         fa = _table_fingerprint(store_a, table, last_a)
         fb = _table_fingerprint(store_b, table, last_b)
         assert fa == fb, f"table {table} differs after resume"
+
+
+def test_retry_rows_reenter_frontier(spark, inputs, tmp_path_factory):
+    """W4 — with max_fetch_attempts=3, an unfetched URL re-enters the next
+    two batches' frontiers with attempt 1 then 2, then stops; with the
+    default budget (1) nothing is retried and outputs are unchanged."""
+    pages, seeds = inputs
+    # drop one known child page from the corpus → that URL never fetches
+    victim = (
+        pages.where(F.col("url").endswith("/careers")).select("url").limit(1).collect()[0].url
+    )
+    holey = pages.where(F.col("url") != victim)
+
+    root = tmp_path_factory.mktemp("retry")
+    run_crawl(
+        spark, holey, seeds, root,
+        CrawlConfig(max_batches=4, parallelism=8, max_fetch_attempts=3),
+    )
+    store = CrawlStore(spark, root)
+    last = max(store.committed_batches())
+    frontier_all = store.read_all("frontier", last)
+    attempts = sorted(
+        r.attempt for r in frontier_all.where(F.col("url") == victim).collect()
+    )
+    # scheduled once at attempt 0 (batch 0 frontier is written pre-fetch),
+    # retried at attempts 1 and 2, never at 3
+    assert attempts == [1, 2] or attempts == [0, 1, 2], attempts
+
+    # default budget: the victim appears only once across all frontiers
+    root2 = tmp_path_factory.mktemp("noretry")
+    run_crawl(spark, holey, seeds, root2, CrawlConfig(max_batches=4, parallelism=8))
+    store2 = CrawlStore(spark, root2)
+    f2 = store2.read_all("frontier", max(store2.committed_batches()))
+    assert f2.where(F.col("url") == victim).count() <= 1
