@@ -1778,3 +1778,154 @@ def q_merge_detection_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "url", "source_rank", "prio")
         .orderBy("host", "prio", "url")
     )
+
+
+# ===========================================================================
+# 9. wave 5 — detection confidence (C5), job-count estimate (A5),
+#    robots gate (W3), ordered merge-dedup (D5)
+# ===========================================================================
+
+
+@_register(
+    "detection_confidence",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+per_host AS (
+  SELECT host,
+         count(*) FILTER (WHERE (doc_id % 12) IN (0, 3, 11)) AS n_career,
+         count(*) FILTER (WHERE (doc_id % 12) IN (1, 2, 8)) AS n_potential,
+         count(*) AS n_total
+  FROM synth_urls GROUP BY host
+)
+SELECT host, n_career, n_potential, n_total,
+       round(least(least(n_career * 0.3, 1.0)
+             + least(n_potential * 0.1, 0.3)
+             + least(n_total / 100.0, 0.2), 1.0), 6) AS confidence
+FROM per_host ORDER BY host
+""",
+)
+def q_detection_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — detection confidence over per-host aggregates
+    (career_pages_service.py:915-930)."""
+    from crawler_ai_spark.functions.scoring import detection_confidence_expr
+
+    urls = synth_urls(spark, sf_dir)
+    per_host = urls.groupBy("host").agg(
+        F.sum(((F.col("doc_id") % 12).isin(0, 3, 11)).cast("long")).alias("n_career"),
+        F.sum(((F.col("doc_id") % 12).isin(1, 2, 8)).cast("long")).alias("n_potential"),
+        F.count("*").alias("n_total"),
+    )
+    return per_host.select(
+        "host", "n_career", "n_potential", "n_total",
+        F.round(
+            detection_confidence_expr(
+                F.col("n_career"), F.col("n_potential"), F.col("n_total")
+            ),
+            6,
+        ).alias("confidence"),
+    ).orderBy("host")
+
+
+@_register(
+    "job_count_estimate",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(lower(text), 'job')) - 1 AS INT)
+       + CAST(len(string_split(lower(text), 'position')) - 1 AS INT) AS job_mentions
+FROM documents ORDER BY doc_id
+""",
+)
+def q_job_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — html.count('job') + html.count('position')
+    (career_pages_service.py:688) as split-size arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    mentions = (
+        (F.size(F.split(low, "job", -1)) - 1) + (F.size(F.split(low, "position", -1)) - 1)
+    ).cast("int")
+    return docs.select("doc_id", mentions.alias("job_mentions")).orderBy("doc_id")
+
+
+@_register(
+    "robots_gate",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+rules AS (
+  SELECT DISTINCT host,
+         CASE WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 3 = 0
+              THEN ['/login', '/news/'] ELSE [] END AS disallow_prefixes
+  FROM synth_urls
+)
+SELECT u.doc_id, u.url
+FROM synth_urls u JOIN rules r ON u.host = r.host
+WHERE NOT EXISTS (
+  SELECT 1 FROM unnest(r.disallow_prefixes) AS t(p)
+  WHERE u.path LIKE p || '%'
+)
+ORDER BY u.doc_id
+""",
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — robots disallow-prefix gate via the engine's broadcast
+    host_rules join (every 3rd host disallows /login and /news/)."""
+    from crawler_ai_spark.operators.frontier import apply_robots
+
+    urls = synth_urls(spark, sf_dir)
+    rules = (
+        urls.select("host")
+        .distinct()
+        .withColumn(
+            "disallow_prefixes",
+            F.when(
+                F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 3 == 0,
+                F.array(F.lit("/login"), F.lit("/news/")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    gated = apply_robots(urls.select("doc_id", "url", "host"), rules)
+    return gated.select("doc_id", "url").orderBy("doc_id")
+
+
+@_register(
+    "ordered_contact_merge",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+primary_vals AS (
+  SELECT doc_id, 'val' || (doc_id % 5) AS value, 1 AS source_rank, doc_id AS seq
+  FROM synth_urls WHERE doc_id % 2 = 0
+),
+secondary_vals AS (
+  SELECT doc_id, 'val' || (doc_id % 7) AS value, 2 AS source_rank, doc_id AS seq
+  FROM synth_urls WHERE doc_id % 3 = 0
+),
+unioned AS (SELECT * FROM primary_vals UNION ALL SELECT * FROM secondary_vals),
+ranked AS (
+  SELECT value, source_rank, seq,
+         row_number() OVER (PARTITION BY value ORDER BY source_rank, seq) AS rn
+  FROM unioned
+)
+SELECT value, source_rank, seq FROM ranked WHERE rn = 1 ORDER BY value
+""",
+)
+def q_ordered_contact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — list(dict.fromkeys(a+b)) merge semantics: first occurrence
+    wins across ordered sources (contact_extractor_service.py:259-266)."""
+    urls = synth_urls(spark, sf_dir)
+    prim = urls.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("val"), (F.col("doc_id") % 5).cast("string")).alias("value"),
+        F.lit(1).alias("source_rank"),
+        F.col("doc_id").alias("seq"),
+    )
+    sec = urls.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("val"), (F.col("doc_id") % 7).cast("string")).alias("value"),
+        F.lit(2).alias("source_rank"),
+        F.col("doc_id").alias("seq"),
+    )
+    w = Window.partitionBy("value").orderBy("source_rank", "seq")
+    return (
+        prim.unionByName(sec)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("value", "source_rank", "seq")
+        .orderBy("value")
+    )
