@@ -1929,3 +1929,114 @@ def q_ordered_contact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value", "source_rank", "seq")
         .orderBy("value")
     )
+
+
+# ===========================================================================
+# 10. wave 6 — early-rejection rules (F5) + career-detector score (C2)
+# ===========================================================================
+
+
+def _early_rejection_oracle() -> str:
+    r1 = _any_substr_rx(K.STRONG_NON_CAREER_INDICATORS)
+    r4 = _any_substr_rx(K.EARLY_FILE_EXTENSIONS)
+    r6 = _any_substr_rx(K.EARLY_NON_CAREER_PATHS)
+    r7 = _any_substr_rx(K.EARLY_JOB_DETAIL_INDICATORS)
+    return f"""
+WITH {SYNTH_URLS_CTE},
+feat AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)) AS path,
+         lower(coalesce(nullif(regexp_extract(url, '\\?([^#]*)', 1), ''), '')) AS query,
+         CASE WHEN regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                                  '^/+|/+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(
+                regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                               '^/+|/+$', '', 'g'), '/+')) END AS depth
+  FROM synth_urls
+)
+SELECT doc_id, url,
+  CASE
+    WHEN regexp_matches(path || ' ' || query, {_sql_quote(r1)}) THEN 'non_career_indicator'
+    WHEN regexp_matches(path, {_sql_quote("|".join(K.EARLY_DATE_PATTERNS))}) THEN 'date_pattern'
+    WHEN regexp_matches(path, {_sql_quote("|".join(K.EARLY_ID_PATTERNS))}) THEN 'long_id'
+    WHEN regexp_matches(path, {_sql_quote(r4)}) THEN 'file_extension'
+    WHEN depth > {K.EARLY_MAX_PATH_DEPTH} THEN 'path_too_deep'
+    WHEN regexp_matches(path, {_sql_quote(r6)}) THEN 'non_career_path'
+    WHEN depth > 1 AND regexp_matches(path, {_sql_quote(r7)}) THEN 'job_detail_page'
+  END AS rejection_reason
+FROM feat ORDER BY doc_id
+"""
+
+
+@_register("early_rejection", oracle=_early_rejection_oracle())
+def q_early_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — the 7-rule early-rejection cascade with first-match reason."""
+    from crawler_ai_spark.functions.detector import early_rejection_reason_expr
+
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id", "url", early_rejection_reason_expr(F.col("url")).alias("rejection_reason")
+    ).orderBy("doc_id")
+
+
+def _career_detector_oracle() -> str:
+    sub = _any_substr_rx(K.C2_NON_CAREER_SUBPAGES)
+    high = _any_substr_rx(K.C2_HIGH_PRIORITY_PATTERNS)
+    med = _any_substr_rx(K.C2_MEDIUM_PRIORITY_PATTERNS)
+    exact = _any_substr_rx(K.CAREER_EXACT_PATTERNS)
+    kw_list = ", ".join(_sql_quote(k) for k in K.CAREER_KEYWORDS_VI)
+    nk_list = ", ".join(_sql_quote(k) for k in K.C2_NON_CAREER_KEYWORDS)
+    qp_list = ", ".join(_sql_quote(p) for p in K.C2_QUERY_PARAMS)
+    clean_list = ", ".join(_sql_quote(p) for p in K.C2_CLEAN_PATHS)
+    return f"""
+WITH {SYNTH_URLS_CTE},
+feat AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)) AS path,
+         lower(coalesce(nullif(regexp_extract(url, '\\?([^#]*)', 1), ''), '')) AS query,
+         CASE WHEN regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                                  '^/+|/+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(
+                regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                               '^/+|/+$', '', 'g'), '/+')) END AS depth
+  FROM synth_urls
+),
+scored AS (
+  SELECT doc_id, url, path, query, depth,
+    (CASE WHEN regexp_matches(path, {_sql_quote(high)})
+           AND NOT regexp_matches(path, {_sql_quote(sub)}) THEN 5 ELSE 0 END)
+    + (CASE WHEN regexp_matches(path, {_sql_quote(med)}) THEN 3 ELSE 0 END)
+    + least(len(list_filter([{kw_list}],
+        k -> contains(path, k) OR contains(query, k))), 3) * 2
+    + (CASE WHEN regexp_matches(path, {_sql_quote(exact)})
+           AND NOT regexp_matches(path, {_sql_quote(sub)}) THEN 4 ELSE 0 END)
+    + len(list_filter([{qp_list}], p -> list_contains(
+        list_transform(list_filter(string_split(query, '&'), x -> x <> ''),
+                       x -> string_split(x, '=')[1]), p)))
+    + (CASE WHEN list_contains([{clean_list}], path) THEN 2 ELSE 0 END)
+    + len(list_filter([{nk_list}],
+        k -> contains(path, k) OR contains(query, k))) * -3
+    + (CASE WHEN depth > 3 THEN -(depth - 3) ELSE 0 END)
+    + (CASE WHEN regexp_matches(path, '/\\d+') OR regexp_matches(path, '/[a-f0-9]{{4,}}')
+            THEN -2 ELSE 0 END)
+    + (CASE WHEN regexp_matches(path, '[%&$#@!]') THEN -1 ELSE 0 END)
+    AS score
+  FROM feat
+)
+SELECT doc_id, url, CAST(score AS INT) AS score,
+       score >= {K.C2_ACCEPT_THRESHOLD} AS accepted
+FROM scored ORDER BY doc_id
+"""
+
+
+@_register("career_detector_score", oracle=_career_detector_oracle())
+def q_career_detector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — the full detector score ladder with penalties + accept flag."""
+    from crawler_ai_spark.functions.detector import career_detector_score_expr
+
+    urls = synth_urls(spark, sf_dir)
+    score = career_detector_score_expr(F.col("url"))
+    return urls.select(
+        "doc_id", "url", score.alias("score"),
+        (score >= F.lit(K.C2_ACCEPT_THRESHOLD)).alias("accepted"),
+    ).orderBy("doc_id")

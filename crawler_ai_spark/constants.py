@@ -417,3 +417,168 @@ CACHE_MIN_HTML_LEN = 500
 
 # page size cap kept as a semantic predicate; scrapy_career_spider.py:105
 MAX_PAGE_BYTES = 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# F5 early-rejection + C2 detector score inputs — career_detector.py:56-267
+# ---------------------------------------------------------------------------
+
+# app/utils/constants.py:154-202
+STRONG_NON_CAREER_INDICATORS = (
+    'blog', 'news', 'article', 'post', 'story', 'tin-tuc', 'tin', 'bai-viet',
+    'whitepaper', 'ebook', 'ebooks', 'guide', 'tutorial', 'manual',
+    'documentation', 'case-study', 'case-studies', 'success-story',
+    'testimonial', 'review', 'press', 'media', 'publication', 'research',
+    'analysis', 'report', 'product', 'products', 'service', 'services',
+    'solution', 'solutions', 'about', 'contact', 'company', 'team',
+    'leadership', 'investor', 'partnership', 'partners', 'client',
+    'customer', 'enterprise', 'industry', 'market', 'business', 'commercial',
+    'trade', 'technology', 'tech', 'digital', 'transformation',
+    'implementation', 'deployment', 'development', 'deploy', 'successfully',
+    'application', 'software', 'platform', 'system', 'infrastructure',
+    'architecture', 'api', 'sdk', 'framework', 'library', 'tool', 'tools',
+    'webinar', 'conference', 'workshop', 'training', 'certification',
+    'event', 'events', 'seminar', 'meetup', 'summit', 'forum', 'award',
+    'recognition', 'milestone', 'achievement', 'celebration', 'login',
+    'register', 'signup', 'signin', 'account', 'profile', 'dashboard',
+    'panel', 'admin', 'control', 'manage', 'settings', 'user', 'member',
+    'community', 'forum', 'support', 'help', 'cart', 'checkout', 'payment',
+    'order', 'purchase', 'buy', 'shop', 'store', 'marketplace', 'pricing',
+    'price', 'cost', 'fee', 'home', 'main', 'index', 'search', 'filter',
+    'sort', 'category', 'tag', 'author', 'privacy', 'terms', 'policy',
+    'legal', 'sitemap', 'rss', 'feed', 'subscribe', 'newsletter',
+    'doanh-nghiep', 'khach-hang', 'doi-tac', 'san-pham', 'dich-vu',
+    'giai-phap', 'cong-nghe', 'chuyen-gia', 'kinh-nghiem', 'du-an',
+    'nghien-cuu', 'phan-tich', 'bao-cao', 'tai-lieu', 'huong-dan',
+    'thanh-cong', 'danh-gia', 'nhan-xet', 'cam-nhan', 'chia-se', 'su-kien',
+    'hoi-thao', 'dao-tao', 'chung-chi', 'giai-thuong', 'dang-nhap',
+    'dang-ky', 'tai-khoan', 'quan-ly', 'cai-dat', 'gio-hang', 'thanh-toan',
+    'dat-hang', 'mua-hang', 'cua-hang', 'trang-chu', 'tim-kiem', 'danh-muc',
+    'the', 'tac-gia', 'quyen-rieng-tu', 'dieu-khoan', 'chinh-sach',
+    'phap-ly',
+)
+
+# app/utils/constants.py:8-60 (career_detector scoring keywords)
+CAREER_KEYWORDS_VI = (
+    'tuyen-dung', 'tuyển-dụng', 'tuyendung', 'viec-lam', 'việc-làm',
+    'vieclam', 'co-hoi', 'cơ-hội', 'cohoi', 'nhan-vien', 'nhân-viên',
+    'nhanvien', 'tuyen', 'tuyển', 'ung-vien', 'ứng-viên', 'ungvien',
+    'cong-viec', 'công-việc', 'congviec', 'lam-viec', 'làm-việc', 'lamviec',
+    'moi', 'mời', 'thu-viec', 'thử-việc', 'thuviec', 'chinh-thuc',
+    'chính-thức', 'chinhthuc', 'nghe-nghiep', 'nghề-nghiệp', 'nghenghiep',
+    'co-hoi-nghe-nghiep', 'cơ-hội-nghề-nghiệp', 'cohoinghenghiep',
+    'tim-viec', 'tìm-việc', 'timviec', 'dang-tuyen', 'đang-tuyển',
+    'dangtuyen', 'tuyen-dung-nhan-vien', 'tuyển-dụng-nhân-viên',
+    'tuyendungnhanvien', 'tuyen-dung-developer', 'tuyển-dụng-developer',
+    'tuyendungdeveloper', 'tuyen-dung-engineer', 'tuyển-dụng-engineer',
+    'tuyendungengineer', 'tuyen-dung-analyst', 'tuyển-dụng-analyst',
+    'tuyendunganalyst', 'tuyen-dung-manager', 'tuyển-dụng-manager',
+    'tuyendungmanager', 'tuyen-dung-designer', 'tuyển-dụng-designer',
+    'tuyendungdesigner', 'tuyen-dung-tester', 'tuyển-dụng-tester',
+    'tuyendungtester', 'tuyen-dung-qa', 'tuyển-dụng-qa', 'tuyendungqa',
+    'tuyen-dung-devops', 'tuyển-dụng-devops', 'tuyendungdevops',
+    'tuyen-dung-data', 'tuyển-dụng-data', 'tuyendungdata', 'tuyen-dung-ai',
+    'tuyển-dụng-ai', 'tuyendungai', 'tuyen-dung-ml', 'tuyển-dụng-ml',
+    'tuyendungml', 'tuyen-dung-ui', 'tuyển-dụng-ui', 'tuyendungui',
+    'tuyen-dung-ux', 'tuyển-dụng-ux', 'tuyendungux', 'tuyen-dung-pm',
+    'tuyển-dụng-pm', 'tuyendungpm', 'tuyen-dung-ba', 'tuyển-dụng-ba',
+    'tuyendungba', 'tuyen-dung-scrum', 'tuyển-dụng-scrum', 'tuyendungscrum',
+    'tuyen-dung-agile', 'tuyển-dụng-agile', 'tuyendungagile', 'developer',
+    'dev', 'programmer', 'engineer', 'software', 'tech', 'technology', 'it',
+    'career', 'job', 'recruitment', 'employment', 'work', 'position',
+    'opportunity', 'vacancy', 'apply', 'application', 'hiring', 'join-us',
+    'team', 'talent', 'careers', 'jobs', 'open-role', 'open-roles',
+    'we-are-hiring', 'work-with-us', 'join-our-team', 'grow-with-us',
+    'build-with-us', 'create-with-us', 'innovate-with-us', 'full-time',
+    'part-time', 'remote', 'hybrid', 'onsite', 'on-site', 'freelance',
+    'contract', 'internship', 'intern', 'graduate', 'entry-level', 'senior',
+    'junior', 'lead', 'principal', 'frontend', 'front-end', 'backend',
+    'back-end', 'fullstack', 'full-stack', 'mobile', 'web', 'data', 'ai',
+    'ml', 'machine-learning', 'devops', 'qa', 'test', 'testing', 'ui', 'ux',
+    'design', 'product',
+)
+
+# app/utils/constants.py:215-233
+CAREER_EXACT_PATTERNS = (
+    '/tuyen-dung', '/tuyển-dụng', '/tuyendung', '/viec-lam', '/việc-làm',
+    '/vieclam', '/co-hoi', '/cơ-hội', '/cohoi', '/nhan-vien', '/nhân-viên',
+    '/nhanvien', '/ung-vien', '/ứng-viên', '/ungvien', '/cong-viec',
+    '/công-việc', '/congviec', '/lam-viec', '/làm-việc', '/lamviec', '/moi',
+    '/mời', '/thu-viec', '/thử-việc', '/thuviec', '/chinh-thuc',
+    '/chính-thức', '/chinhthuc', '/nghe-nghiep', '/nghề-nghiệp',
+    '/nghenghiep', '/co-hoi-nghe-nghiep', '/cơ-hội-nghề-nghiệp',
+    '/cohoinghenghiep', '/tim-viec', '/tìm-việc', '/timviec', '/dang-tuyen',
+    '/đang-tuyển', '/dangtuyen', '/career', '/careers', '/job', '/jobs',
+    '/hiring', '/recruitment', '/employment', '/vacancy', '/vacancies',
+    '/opportunity', '/opportunities', '/position', '/positions', '/apply',
+    '/application', '/applications', '/join-us', '/joinus', '/work-with-us',
+    '/workwithus', '/open-role', '/open-roles', '/openrole', '/openroles',
+    '/we-are-hiring', '/wearehiring', '/talent', '/team',
+)
+
+# career_detector.py:69-75 (note the bare '/\d{4}' — any 4-digit run)
+EARLY_DATE_PATTERNS = (r"/\d{4}[/-]\d{1,2}[/-]\d{1,2}", r"/\d{4}/\d{1,2}", r"/\d{1,2}/\d{4}", r"/\d{4}")
+# career_detector.py:80-85 (note '[a-f0-9]{4,}' catches hex-looking words)
+EARLY_ID_PATTERNS = (r"/[a-f0-9]{8,}", r"/\d{5,}", r"/[a-z0-9]{10,}", r"/[a-f0-9]{4,}")
+# career_detector.py:91-93
+EARLY_FILE_EXTENSIONS = (
+    ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx", ".jpg",
+    ".jpeg", ".png", ".gif", ".mp4", ".avi", ".zip", ".xml", ".json",
+    ".txt", ".csv", ".html", ".htm")
+# career_detector.py:100 (depth limit) / constants.py:260
+EARLY_MAX_PATH_DEPTH = 2
+# career_detector.py:148-157
+EARLY_JOB_DETAIL_INDICATORS = (
+    "/job/", "/jobs/", "/position/", "/career/", "/opportunity/", "/vacancy/",
+    "/apply/", "/application/", "/tuyen-dung/", "/viec-lam/", "/co-hoi/",
+    "/ung-vien/", "/cong-viec/")
+# career_detector.py:166-171 (C2 high), :187-194 (medium), :173-180 + :216-222 (subpage excl.)
+C2_HIGH_PRIORITY_PATTERNS = (
+    "/tuyen-dung", "/tuyển-dụng", "/tuyendung", "/career", "/careers",
+    "/job", "/jobs", "/recruitment", "/hiring", "/employment")
+C2_MEDIUM_PRIORITY_PATTERNS = (
+    "/viec-lam", "/việc-làm", "/vieclam", "/co-hoi", "/cơ-hội", "/cohoi",
+    "/nhan-vien", "/nhân-viên", "/nhanvien", "/ung-vien", "/ứng-viên",
+    "/ungvien", "/position", "/positions", "/opportunity", "/vacancy",
+    "/vacancies", "/apply")
+C2_NON_CAREER_SUBPAGES = (
+    "/careers/our-culture", "/careers/benefits", "/careers/recruitment-process",
+    "/careers/training-courses", "/careers/opening-positions",
+    "/careers/career-your-benefits", "/careers/team", "/careers/leadership",
+    "/careers/company", "/careers/about", "/careers/contact",
+    "/careers/partnership", "/careers/investor")
+# career_detector.py:232-236
+C2_QUERY_PARAMS = ("job", "career", "position", "hiring", "recruitment", "apply")
+# career_detector.py:239-241
+C2_CLEAN_PATHS = ("/career", "/careers", "/job", "/jobs", "/tuyen-dung", "/viec-lam")
+# career_detector.py:247-250
+C2_NON_CAREER_KEYWORDS = ("blog", "news", "article", "product", "service", "about", "contact")
+# app/utils/constants.py:254
+C2_ACCEPT_THRESHOLD = 8
+
+# career_detector.py:102-137 (rule 6 path list)
+EARLY_NON_CAREER_PATHS = (
+    '/services/', '/service/', '/products/', '/product/', '/solutions/',
+    '/solution/', '/about/', '/contact/', '/news/', '/blog/', '/article/',
+    '/post/', '/events/', '/event/', '/webinar/', '/conference/',
+    '/training/', '/certification/', '/workshop/', '/case-study/',
+    '/case-studies/', '/success-story/', '/testimonial/', '/review/',
+    '/whitepaper/', '/ebook/', '/ebooks/', '/guide/', '/tutorial/',
+    '/documentation/', '/manual/', '/api/', '/sdk/', '/framework/',
+    '/library/', '/tool/', '/tools/', '/platform/', '/system/',
+    '/infrastructure/', '/architecture/', '/deployment/', '/implementation/',
+    '/login/', '/register/', '/signup/', '/signin/', '/account/',
+    '/profile/', '/dashboard/', '/panel/', '/admin/', '/control/',
+    '/manage/', '/settings/', '/cart/', '/checkout/', '/payment/', '/order/',
+    '/purchase/', '/buy/', '/shop/', '/store/', '/marketplace/', '/pricing/',
+    '/price/', '/cost/', '/fee/', '/search/', '/filter/', '/sort/',
+    '/category/', '/tag/', '/author/', '/privacy/', '/terms/', '/policy/',
+    '/legal/', '/sitemap/', '/rss/', '/feed/', '/subscribe/', '/newsletter/',
+    '/dich-vu/', '/san-pham/', '/giai-phap/', '/tin-tuc/', '/bai-viet/',
+    '/su-kien/', '/hoi-thao/', '/dao-tao/', '/chung-chi/', '/giai-thuong/',
+    '/thanh-cong/', '/danh-gia/', '/nhan-xet/', '/cam-nhan/', '/chia-se/',
+    '/dang-nhap/', '/dang-ky/', '/tai-khoan/', '/quan-ly/', '/cai-dat/',
+    '/gio-hang/', '/thanh-toan/', '/dat-hang/', '/mua-hang/', '/cua-hang/',
+    '/trang-chu/', '/tim-kiem/', '/danh-muc/', '/the/', '/tac-gia/',
+    '/quyen-rieng-tu/', '/dieu-khoan/', '/chinh-sach/', '/phap-ly/',
+)

@@ -1,0 +1,104 @@
+"""F5/C2 parity against the REFERENCE'S OWN functions (SURVEY.md §5.1):
+the Spark expressions must produce the same rejection rule and the same
+integer score as executing /root/reference's check_early_rejection /
+calculate_career_score on a diverse URL battery."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark import constants as K
+from crawler_ai_spark.functions.detector import (
+    career_detector_score_expr,
+    early_rejection_reason_expr,
+)
+
+_REASON_MAP = {
+    "Contains non-career indicator": "non_career_indicator",
+    "Contains date pattern": "date_pattern",
+    "Contains long ID pattern": "long_id",
+    "Contains file extension": "file_extension",
+    "Path too deep": "path_too_deep",
+    "Contains non-career path": "non_career_path",
+    "Job detail page detected": "job_detail_page",
+}
+
+URLS = [
+    "https://acme.example.com/careers",
+    "https://acme.example.com/career",
+    "https://acme.example.com/jobs",
+    "https://acme.example.com/tuyen-dung",
+    "https://acme.example.com/viec-lam",
+    "https://acme.example.com/careers/our-culture",
+    "https://acme.example.com/careers/benefits",
+    "https://acme.example.com/recruitment?job=1",
+    "https://acme.example.com/hiring?career=x&apply=now",
+    "https://acme.example.com/news/2024/01/story",
+    "https://acme.example.com/blog/post",
+    "https://acme.example.com/products/item",
+    "https://acme.example.com/about",
+    "https://acme.example.com/a/b/c/d",
+    "https://acme.example.com/x.pdf",
+    "https://acme.example.com/12345",
+    "https://acme.example.com/deadbeef",
+    "https://acme.example.com/jobs/view",
+    "https://acme.example.com/apply/form",
+    "https://acme.example.com/",
+    "https://acme.example.com/tuyendung",
+    "https://acme.example.com/positions?position=dev&hiring=yes",
+    "https://acme.example.com/career%20page",
+    "https://acme.example.com/viec-lam/ha-noi",
+    "https://acme.example.com/nghe-nghiep",
+    "https://acme.example.com/opportunity",
+]
+
+
+@pytest.fixture(scope="module")
+def ref_detector():
+    sys.modules.setdefault("bs4", types.ModuleType("bs4"))
+    sys.modules["bs4"].BeautifulSoup = object
+    sys.path.insert(0, "/root/reference")
+    from app.services import career_detector as cd
+
+    return cd
+
+
+def test_early_rejection_matches_reference(spark, ref_detector):
+    cd = ref_detector
+    expected = {}
+    for u in URLS:
+        rejected, reason = cd.check_early_rejection(u, cd.analyze_url_structure(u))
+        if not rejected:
+            expected[u] = None
+        else:
+            cat = next((v for k, v in _REASON_MAP.items() if reason.startswith(k)), reason)
+            expected[u] = cat
+    df = spark.createDataFrame([(u,) for u in URLS], "url STRING")
+    got = {
+        r.url: r.reason
+        for r in df.select(
+            "url", early_rejection_reason_expr(F.col("url")).alias("reason")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_career_score_matches_reference(spark, ref_detector):
+    cd = ref_detector
+    expected = {
+        u: cd.calculate_career_score(u, cd.analyze_url_structure(u))[0] for u in URLS
+    }
+    df = spark.createDataFrame([(u,) for u in URLS], "url STRING")
+    got = {
+        r.url: r.score
+        for r in df.select(
+            "url", career_detector_score_expr(F.col("url")).alias("score")
+        ).collect()
+    }
+    assert got == expected, {
+        u: (got[u], expected[u]) for u in URLS if got[u] != expected[u]
+    }
