@@ -2040,3 +2040,105 @@ def q_career_detector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url", score.alias("score"),
         (score >= F.lit(K.C2_ACCEPT_THRESHOLD)).alias("accepted"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# 11. wave 7 — C3 URL career confidence
+# ===========================================================================
+
+
+def _c3_oracle() -> str:
+    # the confidence fold must add terms in the reference's exact order
+    # (left-assoc double addition) — thresholds sit on FP edges like
+    # 0.3+0.3+0.2 = 0.7999999999999999. DuckDB's binder caps expression
+    # depth at 128, so the ~290-term chain is staged through CTEs in
+    # batches of 60 (same addition order overall).
+    terms = []
+    for kw in K.C3_EXACT_KEYWORDS:
+        terms.append(f"(CASE WHEN contains(path, {_sql_quote(kw)}) THEN 1.0 ELSE 0.0 END)")
+    for kw in K.C3_GENERIC_KEYWORDS:
+        q = _sql_quote
+        terms.append(
+            f"(CASE WHEN contains(path, {q('/' + kw)}) OR contains(path, {q(kw + '/')})"
+            f" OR contains(path, {q('-' + kw)}) OR contains(path, {q(kw + '-')})"
+            f" OR list_contains(segs, {q(kw)}) THEN 0.3 ELSE 0.0 END)"
+        )
+    for pat in K.C3_CAREER_PATTERNS:
+        terms.append(f"(CASE WHEN contains(path, {_sql_quote(pat)}) THEN 1.2 ELSE 0.0 END)")
+    for kw in K.C3_DOMAIN_KEYWORDS:
+        terms.append(f"(CASE WHEN contains(dom, {_sql_quote(kw)}) THEN 0.05 ELSE 0.0 END)")
+    for b in K.C3_JOB_BOARDS:
+        terms.append(f"(CASE WHEN contains(dom, {_sql_quote(b)}) THEN 0.5 ELSE 0.0 END)")
+    terms.append("(CASE WHEN depth <= 2 THEN 0.2 ELSE 0.0 END)")
+
+    base_cols = "doc_id, url, path, dom, query, segs, depth"
+    ctes, prev, acc = [], "feat", "CAST(0.0 AS DOUBLE)"
+    for i in range(0, len(terms), 60):
+        chunk = " + ".join([acc] + terms[i : i + 60])
+        name = f"s{i // 60}"
+        ctes.append(f"{name} AS (SELECT {base_cols}, ({chunk}) AS acc FROM {prev})")
+        prev, acc = name, "acc"
+    pen_terms = [
+        f"(CASE WHEN contains(path, {_sql_quote(p)}) THEN {w} ELSE 0.0 END)"
+        for p, w in K.C3_PENALTIES
+    ]
+    strong = " OR ".join(
+        f"contains(path, {_sql_quote(p)})" for p, w in K.C3_PENALTIES if w <= -0.5
+    )
+    ctes.append(
+        f"scored AS (SELECT {base_cols}, acc AS conf_pre, "
+        f"(acc + {' + '.join(pen_terms)}) AS conf_final, ({strong}) AS strong_pen FROM {prev})"
+    )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SYNTH_URLS_CTE},
+feat AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)) AS path,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS dom,
+         coalesce(nullif(regexp_extract(url, '\\?([^#]*)', 1), ''), '') AS query,
+         string_split_regex(regexp_replace(
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '^/+|/+$', '', 'g'), '/+') AS segs,
+         CASE WHEN regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                                  '^/+|/+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(
+                regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '^/+|/+$', '', 'g'), '/+')) END AS depth
+  FROM synth_urls
+),
+{chain}
+SELECT doc_id, url,
+  CASE WHEN lower(url) LIKE '%.xml' OR lower(url) LIKE '%.rss' OR lower(url) LIKE '%.atom' THEN 0.0
+       WHEN NOT (url LIKE 'http://%' OR url LIKE 'https://%') THEN 0.0
+       WHEN list_contains(['/', '', '/index.html', '/index.php', '/default.html', '/default.php'], path)
+            AND query = '' THEN 0.0
+       WHEN dom LIKE 'career.%' OR dom LIKE 'careers.%' OR dom LIKE 'jobs.%' THEN 2.0
+       WHEN depth > 4 THEN conf_pre
+       ELSE conf_final END AS confidence,
+  CASE WHEN lower(url) LIKE '%.xml' OR lower(url) LIKE '%.rss' OR lower(url) LIKE '%.atom' THEN FALSE
+       WHEN NOT (url LIKE 'http://%' OR url LIKE 'https://%') THEN FALSE
+       WHEN list_contains(['/', '', '/index.html', '/index.php', '/default.html', '/default.php'], path)
+            AND query = '' THEN FALSE
+       WHEN dom LIKE 'career.%' OR dom LIKE 'careers.%' OR dom LIKE 'jobs.%' THEN TRUE
+       WHEN depth > 4 THEN FALSE
+       ELSE conf_final >= 0.8 END AS is_career_page
+FROM scored ORDER BY doc_id
+"""
+
+
+@_register("url_career_confidence", oracle=_c3_oracle())
+def q_url_career_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — the URL confidence analyzer (order-faithful float fold; parity
+    vs the reference's own coroutine in tests/test_detector_parity.py)."""
+    from crawler_ai_spark.functions.confidence import career_confidence_expr
+
+    urls = synth_urls(spark, sf_dir)
+    c = career_confidence_expr(F.col("url"))
+    return (
+        urls.withColumn("c", c)
+        .select(
+            "doc_id", "url",
+            F.col("c.confidence").alias("confidence"),
+            F.col("c.is_career_page").alias("is_career_page"),
+        )
+        .orderBy("doc_id")
+    )

@@ -582,3 +582,78 @@ EARLY_NON_CAREER_PATHS = (
     '/trang-chu/', '/tim-kiem/', '/danh-muc/', '/the/', '/tac-gia/',
     '/quyen-rieng-tu/', '/dieu-khoan/', '/chinh-sach/', '/phap-ly/',
 )
+
+
+# ---------------------------------------------------------------------------
+# C3 — URL career confidence (career_pages_service.py:328-476)
+# ---------------------------------------------------------------------------
+
+# :383 — 8 exact keywords, +1.0 each (substring in path)
+C3_EXACT_KEYWORDS = ('career', 'careers', 'jobs', 'employment', 'tuyen-dung', 'viec-lam', 'co-hoi-nghe-nghiep', 'tuyen-nhan-vien')
+# :389 — generic keywords, +0.3 each (segment/dash/slash-bounded-ish)
+C3_GENERIC_KEYWORDS = ('dev', 'software', 'tech', 'ml', 'ai', 'testing', 'it', 'digital')
+# :399-406 — career patterns, +1.2 each ('/careers' matches '/career' AND '/careers' AND '/careers/')
+C3_CAREER_PATTERNS = (
+    '/career', '/careers', '/jobs', '/employment', '/tuyen-dung', '/viec-lam', '/co-hoi-nghe-nghiep', '/tuyen-nhan-vien', '/tuyendung', '/vieclam', '/cohoi', '/tuyennhanvien', '/recruitment', '/hiring', '/opportunities', '/positions', '/vacancies', '/openings', '/join-us', '/work-with-us', '/careers/', '/tuyen-dung/', '/viec-lam/', '/hop-tac-tuyen-dung')
+
+# career_pages_service.py:28-32 — CAREER_KEYWORDS_VI + extras (duplicates kept: they double-count)
+C3_DOMAIN_KEYWORDS = (
+    'tuyen-dung', 'tuyển-dụng', 'tuyendung', 'viec-lam', 'việc-làm',
+    'vieclam', 'co-hoi', 'cơ-hội', 'cohoi', 'nhan-vien', 'nhân-viên',
+    'nhanvien', 'tuyen', 'tuyển', 'ung-vien', 'ứng-viên', 'ungvien',
+    'cong-viec', 'công-việc', 'congviec', 'lam-viec', 'làm-việc', 'lamviec',
+    'moi', 'mời', 'thu-viec', 'thử-việc', 'thuviec', 'chinh-thuc',
+    'chính-thức', 'chinhthuc', 'nghe-nghiep', 'nghề-nghiệp', 'nghenghiep',
+    'co-hoi-nghe-nghiep', 'cơ-hội-nghề-nghiệp', 'cohoinghenghiep',
+    'tim-viec', 'tìm-việc', 'timviec', 'dang-tuyen', 'đang-tuyển',
+    'dangtuyen', 'tuyen-dung-nhan-vien', 'tuyển-dụng-nhân-viên',
+    'tuyendungnhanvien', 'tuyen-dung-developer', 'tuyển-dụng-developer',
+    'tuyendungdeveloper', 'tuyen-dung-engineer', 'tuyển-dụng-engineer',
+    'tuyendungengineer', 'tuyen-dung-analyst', 'tuyển-dụng-analyst',
+    'tuyendunganalyst', 'tuyen-dung-manager', 'tuyển-dụng-manager',
+    'tuyendungmanager', 'tuyen-dung-designer', 'tuyển-dụng-designer',
+    'tuyendungdesigner', 'tuyen-dung-tester', 'tuyển-dụng-tester',
+    'tuyendungtester', 'tuyen-dung-qa', 'tuyển-dụng-qa', 'tuyendungqa',
+    'tuyen-dung-devops', 'tuyển-dụng-devops', 'tuyendungdevops',
+    'tuyen-dung-data', 'tuyển-dụng-data', 'tuyendungdata', 'tuyen-dung-ai',
+    'tuyển-dụng-ai', 'tuyendungai', 'tuyen-dung-ml', 'tuyển-dụng-ml',
+    'tuyendungml', 'tuyen-dung-ui', 'tuyển-dụng-ui', 'tuyendungui',
+    'tuyen-dung-ux', 'tuyển-dụng-ux', 'tuyendungux', 'tuyen-dung-pm',
+    'tuyển-dụng-pm', 'tuyendungpm', 'tuyen-dung-ba', 'tuyển-dụng-ba',
+    'tuyendungba', 'tuyen-dung-scrum', 'tuyển-dụng-scrum', 'tuyendungscrum',
+    'tuyen-dung-agile', 'tuyển-dụng-agile', 'tuyendungagile', 'developer',
+    'dev', 'programmer', 'engineer', 'software', 'tech', 'technology', 'it',
+    'career', 'job', 'recruitment', 'employment', 'work', 'position',
+    'opportunity', 'vacancy', 'apply', 'application', 'hiring', 'join-us',
+    'team', 'talent', 'careers', 'jobs', 'open-role', 'open-roles',
+    'we-are-hiring', 'work-with-us', 'join-our-team', 'grow-with-us',
+    'build-with-us', 'create-with-us', 'innovate-with-us', 'full-time',
+    'part-time', 'remote', 'hybrid', 'onsite', 'on-site', 'freelance',
+    'contract', 'internship', 'intern', 'graduate', 'entry-level', 'senior',
+    'junior', 'lead', 'principal', 'frontend', 'front-end', 'backend',
+    'back-end', 'fullstack', 'full-stack', 'mobile', 'web', 'data', 'ai',
+    'ml', 'machine-learning', 'devops', 'qa', 'test', 'testing', 'ui', 'ux',
+    'design', 'product', 'career', 'careers', 'jobs', 'employment',
+    'work-with-us', 'join-us', 'opportunities', 'vacancies', 'positions',
+    'tuyen-dung', 'viec-lam', 'co-hoi', 'tuyen-nhan-vien',
+)
+
+# career_pages_service.py:34-37 — JOB_BOARD_DOMAINS + extras (dupes kept; set order irrelevant: all +0.5)
+C3_JOB_BOARDS = (
+    '123job.vn', 'angel.co', 'careerbuilder.vn', 'careerlink.vn', 'dice.com',
+    'github.com/jobs', 'glassdoor.com', 'indeed.com', 'jobstreet.vn',
+    'linkedin.com/jobs', 'monster.com', 'mywork.com.vn', 'remote.co',
+    'simplyhired.com', 'stackoverflow.com/jobs', 'timviec365.vn', 'topcv.vn',
+    'vietnamworks.com', 'weworkremotely.com', 'ziprecruiter.com', 'jobs.vn',
+    'careerlink.vn', 'topcv.vn', 'mywork.vn', 'indeed.com',
+    'linkedin.com/jobs', 'glassdoor.com',
+)
+
+# :441-461 — penalties in dict (insertion) order; reason set when <= -0.5
+C3_PENALTIES = (
+    ('/product', -0.5), ('/service', -0.5), ('/news', -0.4), ('/blog', -0.4),
+    ('/blogs', -0.4), ('/post', -0.4), ('/posts', -0.4), ('/article', -0.4),
+    ('/insights', -0.4), ('/showcase', -0.4), ('/case-', -0.4), ('/about', -0.3),
+    ('/contact', -0.3), ('/admin', -0.8), ('/login', -0.8), ('sitemap.xml', -1.0),
+    ('robots.txt', -1.0), ('.xml', -0.8), ('.json', -0.8),
+)

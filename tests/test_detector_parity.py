@@ -102,3 +102,84 @@ def test_career_score_matches_reference(spark, ref_detector):
     assert got == expected, {
         u: (got[u], expected[u]) for u in URLS if got[u] != expected[u]
     }
+
+
+# ---------------------------------------------------------------------------
+# C3 — URL career confidence vs the reference's _analyze_url_for_career
+# ---------------------------------------------------------------------------
+
+C3_URLS = [
+    "https://acme.example.com/careers",
+    "https://acme.example.com/career",
+    "https://acme.example.com/jobs/",
+    "https://careers.acme.example.com/open",
+    "https://jobs.acme.example.com/",
+    "https://acme.example.com/",
+    "https://acme.example.com/index.html",
+    "https://acme.example.com/sitemap.xml",
+    "ftp://acme.example.com/careers",
+    "https://acme.example.com/a/b/c/d/e",
+    "https://acme.example.com/dev/tech",            # 0.3+0.3+0.2 FP-edge
+    "https://acme.example.com/digital-ml",          # dash-bounded generics
+    "https://acme.example.com/tuyen-dung",
+    "https://acme.example.com/viec-lam/ha-noi",
+    "https://acme.example.com/blog/dev",
+    "https://acme.example.com/products/login",
+    "https://acme.example.com/about",
+    "https://acme.example.com/join-us",
+    "https://acme.example.com/work-with-us",
+    "https://topcv.vn/viec-lam",
+    "https://acme.example.com/news.json",
+    "https://acme.example.com/hop-tac-tuyen-dung",
+    "https://acme.example.com/testing",
+    "https://acme.example.com/it",
+    "https://acme.example.com/case-studies/ai",
+    "https://acme.example.com/showcase",
+]
+
+_C3_REASON_MAP = {
+    "XML/sitemap content": "xml",
+    "Non-HTTP URL": "non_http",
+    "Homepage": "homepage",
+    "Path too deep": "path_too_deep",
+    "Strong non-career pattern": "strong_non_career",
+    "Low confidence score": "low_confidence",
+}
+
+
+@pytest.fixture(scope="module")
+def ref_service():
+    sys.modules.setdefault("bs4", types.ModuleType("bs4"))
+    sys.modules["bs4"].BeautifulSoup = object
+    sys.modules.setdefault("aiohttp", types.ModuleType("aiohttp"))
+    sys.modules["aiohttp"].ClientSession = object
+    sys.modules["aiohttp"].ClientTimeout = object
+    sys.modules["aiohttp"].TCPConnector = object
+    sys.path.insert(0, "/root/reference")
+    from app.services.career_pages_service import CareerPagesService
+
+    return CareerPagesService()
+
+
+def test_career_confidence_matches_reference(spark, ref_service):
+    import asyncio
+
+    from crawler_ai_spark.functions.confidence import career_confidence_expr
+
+    expected = {}
+    for u in C3_URLS:
+        a = asyncio.run(ref_service._analyze_url_for_career(u, "https://acme.example.com", True))
+        reason = a["rejection_reason"]
+        cat = None
+        if reason:
+            cat = next((v for k, v in _C3_REASON_MAP.items() if reason.startswith(k)), reason)
+        expected[u] = (a["confidence"], a["is_career_page"], a["is_potential"], cat)
+
+    df = spark.createDataFrame([(u,) for u in C3_URLS], "url STRING")
+    rows = df.select("url", career_confidence_expr(F.col("url")).alias("c")).collect()
+    got = {
+        r.url: (r.c.confidence, r.c.is_career_page, r.c.is_potential, r.c.rejection)
+        for r in rows
+    }
+    mismatches = {u: (got[u], expected[u]) for u in C3_URLS if got[u] != expected[u]}
+    assert not mismatches, mismatches
