@@ -2142,3 +2142,68 @@ def q_url_career_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# 12. wave 8 — C7 job analyzers
+# ===========================================================================
+
+
+def _analyzers_oracle() -> str:
+    from crawler_ai_spark.functions.analyzers import ALL_TECHNOLOGIES
+
+    tech_list = ", ".join(_sql_quote(t) for t in ALL_TECHNOLOGIES)
+    level_case = "CASE "
+    for level, patterns in K.JOB_LEVEL_PATTERNS:
+        rx = "|".join(f"(?:{p})" for p in patterns)
+        level_case += f"WHEN regexp_matches(low, {_sql_quote(rx)}) THEN '{level}' "
+    level_case += "ELSE 'UNKNOWN' END"
+    cat_case = "CASE "
+    for category, keywords in K.JOB_CATEGORIES:
+        rx = _any_substr_rx(keywords)
+        cat_case += f"WHEN regexp_matches(low, {_sql_quote(rx)}) THEN '{category}' "
+    cat_case += "ELSE 'OTHER' END"
+    return f"""
+WITH cards AS (
+  SELECT doc_id, {_TITLE_CASE_SQL} AS title,
+         substr(text, 1, 120)
+         || CASE WHEN doc_id % 2 = 0 THEN ' built with python and react on aws' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' docker kubernetes ci/cd' ELSE '' END AS body
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, title, lower(title) AS low, lower(body) AS blow FROM cards
+)
+SELECT doc_id, title,
+       {level_case} AS level,
+       {cat_case} AS category,
+       list_sort(list_distinct(list_filter([{tech_list}], t -> contains(blow, t)))) AS technologies
+FROM feat ORDER BY doc_id
+"""
+
+
+@_register("job_analyzers", oracle=_analyzers_oracle())
+def q_job_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — level, category, and technology extraction in one pass
+    (parity vs the reference's JobAnalyzer in tests/test_detector_parity)."""
+    from crawler_ai_spark.functions.analyzers import (
+        job_category_expr,
+        job_level_expr,
+        technologies_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.expr(
+        "substr(text, 1, 120)"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' built with python and react on aws' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' docker kubernetes ci/cd' ELSE '' END"
+    )
+    cards = docs.select(
+        "doc_id", F.expr(_TITLE_CASE_SQL).alias("title"), body.alias("body")
+    )
+    return cards.select(
+        "doc_id", "title",
+        job_level_expr(F.col("title")).alias("level"),
+        job_category_expr(F.col("title")).alias("category"),
+        technologies_expr(F.col("body")).alias("technologies"),
+    ).orderBy("doc_id")

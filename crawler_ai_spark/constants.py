@@ -657,3 +657,41 @@ C3_PENALTIES = (
     ('/contact', -0.3), ('/admin', -0.8), ('/login', -0.8), ('sitemap.xml', -1.0),
     ('robots.txt', -1.0), ('.xml', -0.8), ('.json', -0.8),
 )
+
+
+# ---------------------------------------------------------------------------
+# C7 — job analyzers (job_analyzer.py:54-388; app/utils/job_constants.py)
+# ---------------------------------------------------------------------------
+
+# job_constants.py TECHNOLOGY_KEYWORDS (category order preserved)
+TECHNOLOGY_KEYWORDS = (
+    ('PROGRAMMING_LANGUAGES', ('javascript', 'js', 'typescript', 'ts', 'python', 'java', 'c#', 'c++', 'php', 'ruby', 'go', 'rust', 'swift', 'kotlin', 'scala', 'r', 'matlab')),
+    ('FRONTEND_FRAMEWORKS', ('react', 'angular', 'vue', 'svelte', 'next.js', 'nuxt', 'gatsby', 'ember', 'backbone', 'jquery', 'bootstrap', 'tailwind')),
+    ('BACKEND_FRAMEWORKS', ('node.js', 'express', 'django', 'flask', 'laravel', 'spring', 'asp.net', 'rails', 'fastapi', 'gin', 'echo')),
+    ('DATABASES', ('mysql', 'postgresql', 'mongodb', 'redis', 'elasticsearch', 'cassandra', 'dynamodb', 'firebase', 'supabase', 'sqlite')),
+    ('CLOUD_PLATFORMS', ('aws', 'azure', 'google cloud', 'gcp', 'heroku', 'digitalocean', 'linode', 'vultr', 'cloudflare', 'vercel', 'netlify')),
+    ('DEVOPS_TOOLS', ('docker', 'kubernetes', 'jenkins', 'gitlab', 'github actions', 'terraform', 'ansible', 'prometheus', 'grafana', 'elk stack')),
+    ('MOBILE_FRAMEWORKS', ('react native', 'flutter', 'xamarin', 'ionic', 'cordova', 'native android', 'native ios', 'swift', 'kotlin')),
+)
+
+# job_constants.py JOB_LEVEL_PATTERNS (first-match order)
+JOB_LEVEL_PATTERNS = (
+    ('JUNIOR', ('junior\\s+\\w+', 'entry\\s*level', 'beginner', 'fresh', 'graduate', 'new\\s+grad', 'recent\\s+graduate', '0-2\\s+years', '1-3\\s+years')),
+    ('MIDDLE', ('middle\\s+\\w+', 'mid\\s*level', 'intermediate', 'mid\\s+level', '3-5\\s+years', '2-5\\s+years', '3-7\\s+years')),
+    ('SENIOR', ('senior\\s+\\w+', 'experienced', 'advanced', 'expert', '5\\+\\s+years', '5-10\\s+years', '7\\+\\s+years')),
+    ('LEAD', ('lead\\s+\\w+', 'team\\s+lead', 'technical\\s+lead', 'senior\\s+lead', 'leadership', 'team\\s+leader')),
+    ('PRINCIPAL', ('principal\\s+\\w+', 'architect', 'specialist', 'consultant', 'expert\\s+level', 'senior\\s+specialist')),
+)
+
+# job_constants.py JOB_CATEGORIES (first-match order)
+JOB_CATEGORIES = (
+    ('ENGINEERING', ('software engineer', 'developer', 'programmer', 'coder', 'frontend developer', 'backend developer', 'full-stack developer', 'devops engineer', 'data engineer', 'machine learning engineer', 'mobile developer', 'qa engineer', 'test engineer', 'system administrator')),
+    ('DESIGN', ('ui/ux designer', 'graphic designer', 'product designer', 'visual designer', 'interaction designer', 'user researcher', 'designer', 'creative designer')),
+    ('MANAGEMENT', ('project manager', 'product manager', 'engineering manager', 'team lead', 'technical lead', 'scrum master', 'agile coach', 'program manager')),
+    ('MARKETING', ('marketing specialist', 'digital marketing', 'content marketing', 'social media manager', 'seo specialist', 'growth hacker', 'brand manager')),
+    ('SALES', ('sales representative', 'account manager', 'business development', 'sales manager', 'customer success', 'sales engineer')),
+    ('DATA', ('data scientist', 'data analyst', 'business analyst', 'data engineer', 'machine learning engineer', 'statistician', 'research analyst')),
+    ('HR', ('hr manager', 'recruiter', 'talent acquisition', 'hr specialist', 'people operations', 'hr coordinator', 'talent manager')),
+    ('FINANCE', ('financial analyst', 'accountant', 'finance manager', 'controller', 'cfo', 'financial advisor', 'investment analyst')),
+    ('OPERATIONS', ('operations manager', 'operations analyst', 'process improvement', 'supply chain', 'logistics', 'operations specialist')),
+)

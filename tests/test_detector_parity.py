@@ -183,3 +183,97 @@ def test_career_confidence_matches_reference(spark, ref_service):
     }
     mismatches = {u: (got[u], expected[u]) for u in C3_URLS if got[u] != expected[u]}
     assert not mismatches, mismatches
+
+
+# ---------------------------------------------------------------------------
+# C7 — job analyzers vs the reference's JobAnalyzer
+# ---------------------------------------------------------------------------
+
+TITLES = [
+    "Senior Java Developer",
+    "Junior QA Engineer",
+    "entry level tester",
+    "Mid Level Designer",
+    "Lead DevOps (AWS & K8s)",
+    "Principal Architect",
+    "Head of Marketing",
+    "intern",
+    "ab",
+    "",
+    "Backend Developer 2024",
+    "Växjö Dev",
+    "a " + "very " * 40 + "long title engineer",
+    "Product Manager - Payments",
+    "fresh graduate software engineer",
+    "5-10 years experienced architect",
+]
+
+TECH_TEXTS = [
+    "we use Python and React on AWS with Docker and Kubernetes",
+    "Java/Spring backend, Postgres, Redis, deployed to GCP",
+    "plain text with no tech at all... or is there",
+    "",
+    "ML pipelines in PyTorch and TensorFlow on Azure",
+]
+
+
+@pytest.fixture(scope="module")
+def ref_analyzer():
+    sys.path.insert(0, "/root/reference")
+    from app.services.job_analyzer import JobAnalyzer
+
+    return JobAnalyzer()
+
+
+def test_technologies_match_reference(spark, ref_analyzer):
+    from crawler_ai_spark.functions.analyzers import technologies_expr
+
+    expected = {t: sorted(set(ref_analyzer.extract_technologies(t))) for t in TECH_TEXTS}
+    df = spark.createDataFrame([(t,) for t in TECH_TEXTS], "t STRING")
+    got = {
+        r.t: sorted(r.techs)
+        for r in df.select("t", technologies_expr(F.col("t")).alias("techs")).collect()
+    }
+    assert got == expected
+
+
+def test_level_and_category_match_reference(spark, ref_analyzer):
+    from crawler_ai_spark.functions.analyzers import job_category_expr, job_level_expr
+
+    exp_level = {t: ref_analyzer.extract_job_level(t) for t in TITLES if t}
+    exp_cat = {t: ref_analyzer.categorize_job(t) for t in TITLES if t}
+    df = spark.createDataFrame([(t,) for t in TITLES if t], "t STRING")
+    rows = df.select(
+        "t", job_level_expr(F.col("t")).alias("lvl"), job_category_expr(F.col("t")).alias("cat")
+    ).collect()
+    got_level = {r.t: r.lvl for r in rows}
+    got_cat = {r.t: r.cat for r in rows}
+    assert got_level == exp_level
+    assert got_cat == exp_cat
+
+
+def test_title_analysis_matches_reference(spark, ref_analyzer):
+    from crawler_ai_spark.functions.analyzers import analyze_title_expr
+
+    expected = {}
+    for t in TITLES:
+        a = ref_analyzer.analyze_job_title(t)
+        expected[t] = (
+            a.get("normalized"),
+            a.get("length"),
+            a.get("word_count"),
+            a["valid"],
+            round(float(a["score"]), 6),
+            tuple(a["issues"]),
+        )
+    df = spark.createDataFrame([(t,) for t in TITLES], "t STRING")
+    rows = df.select("t", analyze_title_expr(F.col("t")).alias("a")).collect()
+    got = {
+        r.t: (
+            r.a.normalized, r.a.length, r.a.word_count, r.a.valid,
+            round(r.a.score, 6), tuple(r.a.issues),
+        )
+        for r in rows
+    }
+    mismatches = {t: (got[t], expected[t]) for t in TITLES if got[t] != expected[t]}
+    assert not mismatches, mismatches
