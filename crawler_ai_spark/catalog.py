@@ -2207,3 +2207,90 @@ def q_job_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
         job_category_expr(F.col("title")).alias("category"),
         technologies_expr(F.col("body")).alias("technologies"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# 13. wave 9 — F7 rule-based job validation
+# ===========================================================================
+
+
+def _job_validation_oracle() -> str:
+    urlrx = _any_substr_rx(K.F7_NON_JOB_URL_PATTERNS)
+    crit = _any_substr_rx(K.F7_CRITICAL_REJECT)
+    pos_list = ", ".join(_sql_quote(p) for p in K.F7_POSITIVE_INDICATORS)
+    tkw = _any_substr_rx(K.F7_JOB_TITLE_KEYWORDS)
+    bword = _any_substr_rx(K.F7_BORDERLINE_TITLE_WORDS)
+    return f"""
+WITH cards AS (
+  SELECT doc_id, {_TITLE_CASE_SQL} AS title,
+         CASE WHEN doc_id % 6 = 0 THEN 'Responsibilities: build. Requirements: experience. salary and benefits.'
+              WHEN doc_id % 6 = 1 THEN 'short'
+              WHEN doc_id % 6 = 2 THEN 'about us and our core values page with company overview inside'
+              WHEN doc_id % 6 = 3 THEN substr(text, 1, 80)
+              WHEN doc_id % 6 = 4 THEN 'apply with resume today for this opening with experience'
+              ELSE '' END AS description,
+         CASE WHEN doc_id % 5 = 0 THEN 'https://x' || doc_id || '.com/news/item'
+              ELSE 'https://x' || doc_id || '.com/jobs/' || doc_id END AS url
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, title, description, url,
+         trim(title) AS t, trim(description) AS d, lower(url) AS u,
+         lower(trim(title) || ' ' || trim(description)) AS content,
+         lower(trim(title)) AS tl
+  FROM cards
+),
+scored AS (
+  SELECT doc_id, title, description, url, t, d, u, content, tl,
+         len(list_filter([{pos_list}], p -> contains(content, p))) AS pc,
+         (length(t) > 5 AND regexp_matches(tl, {_sql_quote(tkw)})) AS titleish,
+         (length(t) > 5 AND regexp_matches(tl, {_sql_quote(bword)})) AS borderline
+  FROM feat
+)
+SELECT doc_id, url,
+  CASE WHEN regexp_matches(u, {_sql_quote(urlrx)}) THEN FALSE
+       WHEN t = '' AND d = '' THEN FALSE
+       WHEN d = '' OR length(d) < {K.F7_MIN_DESCRIPTION_LEN} THEN FALSE
+       WHEN regexp_matches(content, {_sql_quote(crit)}) THEN FALSE
+       WHEN pc = 0 AND titleish THEN TRUE
+       WHEN pc >= 3 THEN TRUE
+       WHEN pc >= 1 AND (borderline OR titleish) THEN TRUE
+       ELSE FALSE END AS is_valid_job
+FROM scored ORDER BY doc_id
+"""
+
+
+@_register("job_validation", oracle=_job_validation_oracle())
+def q_job_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — the rule-based job-validation cascade (parity vs the
+    reference's coroutine in tests/test_detector_parity)."""
+    from crawler_ai_spark.functions.validation import validate_job_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    desc = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("Responsibilities: build. Requirements: experience. salary and benefits."))
+        .when(F.col("doc_id") % 6 == 1, F.lit("short"))
+        .when(F.col("doc_id") % 6 == 2,
+              F.lit("about us and our core values page with company overview inside"))
+        .when(F.col("doc_id") % 6 == 3, F.substring("text", 1, 80))
+        .when(F.col("doc_id") % 6 == 4,
+              F.lit("apply with resume today for this opening with experience"))
+        .otherwise(F.lit(""))
+    )
+    url = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.expr("'https://x' || CAST(doc_id AS STRING) || '.com/news/item'"),
+    ).otherwise(
+        F.expr("'https://x' || CAST(doc_id AS STRING) || '.com/jobs/' || CAST(doc_id AS STRING)")
+    )
+    cards = docs.select(
+        "doc_id", F.expr(_TITLE_CASE_SQL).alias("title"), desc.alias("description"),
+        url.alias("url"),
+    )
+    return cards.select(
+        "doc_id", "url",
+        validate_job_expr(F.col("title"), F.col("description"), F.col("url")).alias(
+            "is_valid_job"
+        ),
+    ).orderBy("doc_id")

@@ -695,3 +695,85 @@ JOB_CATEGORIES = (
     ('FINANCE', ('financial analyst', 'accountant', 'finance manager', 'controller', 'cfo', 'financial advisor', 'investment analyst')),
     ('OPERATIONS', ('operations manager', 'operations analyst', 'process improvement', 'supply chain', 'logistics', 'operations specialist')),
 )
+
+
+# ---------------------------------------------------------------------------
+# F7 — rule-based job validation (job_extraction_service.py:1120-1279)
+# ---------------------------------------------------------------------------
+
+# job_extraction_service.py:1135-1148
+F7_NON_JOB_URL_PATTERNS = (
+    '/chinh-sach-bao-mat', '/privacy-policy', '/privacy',
+    '/dieu-khoan-dich-vu', '/terms-of-service', '/terms', '/cookie-policy',
+    '/cookies', '/legal', '/about', '/about-us', '/gioi-thieu', '/contact',
+    '/lien-he', '/lien-lac', '/news', '/tin-tuc', '/blog', '/services',
+    '/dich-vu', '/san-pham', '/products', '/home', '/homepage', '/trang-chu',
+    '/login', '/register', '/sign-up', '/dang-nhap', '/dang-ky', '/en/',
+    '/english/', '/lang/', '.jpg', '.png', '.gif', '.pdf', '.doc', '.docx',
+)
+
+# job_extraction_service.py:1176-1193
+F7_CRITICAL_REJECT = (
+    '404', 'not found', 'page not found', 'error', 'trang không tìm thấy',
+    'privacy policy', 'chính sách bảo mật', 'terms of service',
+    'điều khoản dịch vụ', 'cookie policy', 'chính sách cookie',
+    'legal notice', 'thông báo pháp lý', 'about us', 'giới thiệu công ty',
+    'company overview', 'tổng quan công ty', 'our story',
+    'câu chuyện của chúng tôi', 'company history', 'lịch sử công ty',
+    'our team', 'đội ngũ của chúng tôi', 'leadership team', 'ban lãnh đạo',
+    'mission vision', 'tầm nhìn sứ mệnh', 'core values', 'giá trị cốt lõi',
+    'contact us', 'liên hệ với chúng tôi', 'get in touch',
+    'contact information', 'our services', 'dịch vụ của chúng tôi',
+    'service portfolio', 'danh mục dịch vụ', 'our products',
+    'sản phẩm của chúng tôi', 'product catalog', 'danh mục sản phẩm',
+    'login', 'đăng nhập', 'register', 'đăng ký', 'sign up', 'sign in',
+    'create account', 'tạo tài khoản', 'forgot password', 'quên mật khẩu',
+)
+
+# job_extraction_service.py:1201-1236
+F7_POSITIVE_INDICATORS = (
+    'responsibilities', 'requirements', 'qualifications', 'skills required',
+    'job description', 'position summary', 'role overview',
+    'what you will do', 'we are looking for', 'ideal candidate',
+    'successful candidate', 'experience', 'years of experience', 'education',
+    'degree', 'salary', 'compensation', 'benefits', 'package', 'bonus',
+    'apply', 'application', 'submit cv', 'send resume', 'full-time',
+    'part-time', 'contract', 'temporary', 'permanent', 'remote', 'hybrid',
+    'on-site', 'work from home', 'developer', 'engineer', 'manager',
+    'analyst', 'designer', 'specialist', 'coordinator', 'assistant',
+    'executive', 'senior', 'junior', 'lead', 'principal', 'intern',
+    'vacancy', 'opening', 'opportunity', 'hiring', 'trách nhiệm', 'yêu cầu',
+    'kỹ năng', 'kinh nghiệm', 'mô tả công việc', 'vị trí tuyển dụng',
+    'ứng viên lý tưởng', 'bạn sẽ làm gì', 'chúng tôi đang tìm kiếm',
+    'học vấn', 'bằng cấp', 'chứng chỉ', 'lương', 'mức lương', 'phúc lợi',
+    'chế độ đãi ngộ', 'ứng tuyển', 'nộp hồ sơ', 'gửi cv',
+    'làm việc toàn thời gian', 'làm việc bán thời gian', 'hợp đồng',
+    'thời vụ', 'làm việc từ xa', 'làm việc tại nhà', 'hybrid',
+    'lập trình viên', 'kỹ sư', 'quản lý', 'phân tích', 'thiết kế',
+    'chuyên viên', 'điều phối viên', 'trợ lý', 'giám đốc', 'cấp cao',
+    'cấp thấp', 'trưởng nhóm', 'thực tập sinh', 'vị trí tuyển dụng',
+    'cơ hội việc làm',
+)
+
+# job_extraction_service.py:1246-1258
+F7_JOB_TITLE_KEYWORDS = (
+    'assistant', 'designer', 'engineer', 'developer', 'manager', 'analyst',
+    'specialist', 'coordinator', 'executive', 'intern', 'senior', 'junior',
+    'lead', 'principal', 'administrative', 'ux', 'ui', 'full', 'stack',
+    'frontend', 'backend', 'mobile', 'web', 'software', 'data', 'qa', 'test',
+    'devops', 'product', 'marketing', 'sales', 'hr', 'finance', 'accounting',
+    'legal', 'operations', 'support', 'customer', 'content', 'social',
+    'digital', 'growth', 'business', 'strategy', 'consultant', 'advisor',
+    'director', 'head', 'chief', 'vp', 'cfo', 'cto', 'ceo', 'management',
+    'quản lý', 'nhân sự', 'hrm', 'thực tập sinh', 'intern', 'trainee',
+    'chuyên viên', 'nhân viên', 'kế toán', 'accountant', 'trưởng phòng',
+    'giám đốc', 'phó giám đốc', 'phân tích viên', 'trợ lý', 'assistant',
+    'quản lý dự án', 'project management', 'phát triển kinh doanh',
+    'business development', 'giải pháp', 'solution', 'triển khai',
+    'delivery',
+)
+
+# job_extraction_service.py:1270 — borderline accept words
+F7_BORDERLINE_TITLE_WORDS = ('tuyển dụng', 'hiring', 'job', 'position', 'developer', 'engineer', 'manager')
+# :1166 — minimum description length
+F7_MIN_DESCRIPTION_LEN = 30

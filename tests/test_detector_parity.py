@@ -277,3 +277,51 @@ def test_title_analysis_matches_reference(spark, ref_analyzer):
     }
     mismatches = {t: (got[t], expected[t]) for t in TITLES if got[t] != expected[t]}
     assert not mismatches, mismatches
+
+
+# ---------------------------------------------------------------------------
+# F7 — rule-based job validation vs the reference's coroutine
+# ---------------------------------------------------------------------------
+
+F7_CASES = [
+    # (title, description, url)
+    ("Senior Java Developer", "Responsibilities: build services. Requirements: 5 years of experience.", "https://x.com/jobs/1"),
+    ("Senior Java Developer", "short desc", "https://x.com/jobs/1"),
+    ("", "", "https://x.com/jobs/2"),
+    ("About Us", "We are a great company with core values and mission vision for everyone.", "https://x.com/about"),
+    ("Privacy", "This privacy policy explains how your data is processed at length today.", "https://x.com/jobs/3"),
+    ("DevOps Engineer", "x" * 40, "https://x.com/jobs/4"),
+    ("Random Words Here", "x" * 40, "https://x.com/jobs/5"),
+    ("Designer", "y" * 35, "https://x.com/jobs/6"),
+    ("UX Designer hiring now", "benefits and package on offer for the role", "https://x.com/jobs/7"),
+    ("Quản lý dự án", "mô tả công việc: triển khai giải pháp; yêu cầu: kinh nghiệm", "https://x.com/tuyen-dung/8"),
+    ("Engineer", "salary competitive, apply with resume, experience preferred", "https://x.com/jobs/9"),
+    ("zz", "salary mentioned once here in this borderline description text", "https://x.com/jobs/10"),
+    ("Sales position open", "apply today", "https://x.com/jobs/11"),
+    ("Good Job", "responsibilities listed here thoroughly for this role", "https://x.com/en/jobs/12"),
+]
+
+
+def test_job_validation_matches_reference(spark, ref_service):
+    import asyncio
+
+    from app.services.job_extraction_service import JobExtractionService
+    from crawler_ai_spark.functions.validation import validate_job_expr
+
+    expected = {}
+    for title, desc, url in F7_CASES:
+        verdict = asyncio.run(
+            JobExtractionService._validate_job_with_ai(
+                None, {"title": title, "description": desc}, url
+            )
+        )
+        expected[(title, desc, url)] = verdict
+
+    df = spark.createDataFrame(F7_CASES, "title STRING, description STRING, url STRING")
+    rows = df.select(
+        "title", "description", "url",
+        validate_job_expr(F.col("title"), F.col("description"), F.col("url")).alias("ok"),
+    ).collect()
+    got = {(r.title, r.description, r.url): r.ok for r in rows}
+    mismatches = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
+    assert not mismatches, mismatches
