@@ -1436,8 +1436,8 @@ WITH jobs AS (
 base AS (
   SELECT job_id, title,
          lower(trim(regexp_replace(title, '\\s+', ' ', 'g'))) AS norm,
-         list_filter(string_split(lower(trim(regexp_replace(title, '\\s+', ' ', 'g'))), ' '),
-                     t -> NOT list_contains([{", ".join(_sql_quote(w) for w in K.TITLE_COMMON_WORDS)}], t) AND t <> '') AS toks
+         list_distinct(list_filter(string_split(lower(trim(regexp_replace(title, '\\s+', ' ', 'g'))), ' '),
+                     t -> NOT list_contains([{", ".join(_sql_quote(w) for w in K.TITLE_COMMON_WORDS)}], t) AND t <> '')) AS toks
   FROM jobs
   WHERE length(trim(title)) >= 5
     AND NOT (len(string_split(norm, ' ')) = 1 AND
@@ -1445,11 +1445,13 @@ base AS (
 )
 SELECT a.job_id AS a_id, b.job_id AS b_id
 FROM base a JOIN base b ON a.job_id < b.job_id
-WHERE a.norm = b.norm
-   OR ((len(list_intersect(a.toks, b.toks)) = len(a.toks)
-        OR len(list_intersect(a.toks, b.toks)) = len(b.toks))
-       AND greatest(len(a.toks), len(b.toks)) - len(list_intersect(a.toks, b.toks)) <= 1)
-   OR len(list_intersect(a.toks, b.toks)) >= 3
+WHERE CASE
+  WHEN a.norm = b.norm THEN TRUE
+  WHEN len(list_intersect(a.toks, b.toks)) = len(list_distinct(a.toks))
+    OR len(list_intersect(a.toks, b.toks)) = len(list_distinct(b.toks))
+  THEN (len(list_distinct(a.toks)) - len(list_intersect(a.toks, b.toks)))
+     + (len(list_distinct(b.toks)) - len(list_intersect(a.toks, b.toks))) <= 1
+  ELSE len(list_intersect(a.toks, b.toks)) >= 3 END
 ORDER BY a_id, b_id
 """,
 )
@@ -2293,4 +2295,90 @@ def q_job_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate_job_expr(F.col("title"), F.col("description"), F.col("url")).alias(
             "is_valid_job"
         ),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# 14. wave 10 — F8 user-facing job filters
+# ===========================================================================
+
+
+def _job_filters_oracle() -> str:
+    from crawler_ai_spark.functions.jobfilters import JOB_TYPE_MAPPINGS, LOCATION_PATTERNS
+
+    def type_hit(ftype):
+        kws = (ftype,) + JOB_TYPE_MAPPINGS[ftype]
+        rx = _any_substr_rx(kws)
+        return (
+            f"(regexp_matches(lower(coalesce(job_type, '')), {_sql_quote(rx)})"
+            f" OR regexp_matches(lower(coalesce(title, '')), {_sql_quote(rx)})"
+            f" OR regexp_matches(lower(coalesce(description, '')), {_sql_quote(rx)}))"
+        )
+
+    loc_rx = _any_substr_rx(("hanoi",) + LOCATION_PATTERNS["hanoi"]
+                            + ("ho_chi_minh",) + LOCATION_PATTERNS["ho_chi_minh"])
+    return f"""
+WITH jobs AS (
+  SELECT doc_id, {_TITLE_CASE_SQL} AS title,
+         CASE WHEN doc_id % 4 = 0 THEN 'work from home role with benefits'
+              WHEN doc_id % 4 = 1 THEN 'hợp đồng 6 tháng tại văn phòng'
+              ELSE substr(text, 1, 60) END AS description,
+         CASE WHEN doc_id % 3 = 0 THEN 'Full-time'
+              WHEN doc_id % 3 = 1 THEN 'Internship' END AS job_type,
+         CASE WHEN doc_id % 5 = 0 THEN 'Hà Nội' WHEN doc_id % 5 = 1 THEN 'TP.HCM'
+              WHEN doc_id % 5 = 2 THEN 'Đà Nẵng' END AS location,
+         CASE WHEN doc_id % 6 = 0 THEN CAST(500 + doc_id AS VARCHAR) || ' USD'
+              WHEN doc_id % 6 = 1 THEN 'thỏa thuận' END AS salary
+  FROM documents
+)
+SELECT doc_id, title,
+  ({type_hit('full-time')} OR {type_hit('remote')}) AS matches_type,
+  regexp_matches(lower(coalesce(location, '')), {_sql_quote(loc_rx)}) AS matches_location,
+  (coalesce(salary, '') = ''
+   OR regexp_extract(replace(salary, ',', ''), '(\\d+)', 1) = ''
+   OR (TRY_CAST(regexp_extract(replace(salary, ',', ''), '(\\d+)', 1) AS BIGINT)
+       BETWEEN 600 AND 100000)) AS matches_salary
+FROM jobs ORDER BY doc_id
+""".replace("{_sql", "{_sql")
+
+
+@_register("job_filters", oracle=_job_filters_oracle())
+def q_job_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — type/location/salary filter predicates as columns (parity vs
+    the reference's _apply_job_filters in tests/test_detector_parity)."""
+    from crawler_ai_spark.functions import jobfilters as JF
+
+    docs = _t(spark, sf_dir, "documents")
+    desc = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("work from home role with benefits"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("hợp đồng 6 tháng tại văn phòng"))
+        .otherwise(F.substring("text", 1, 60))
+    )
+    jt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Full-time"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Internship"))
+    )
+    loc = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Hà Nội"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("TP.HCM"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("Đà Nẵng"))
+    )
+    sal = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.expr("CAST(500 + doc_id AS STRING) || ' USD'"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("thỏa thuận"))
+    )
+    jobs = docs.select(
+        "doc_id", F.expr(_TITLE_CASE_SQL).alias("title"), desc.alias("description"),
+        jt.alias("job_type"), loc.alias("location"), sal.alias("salary"),
+    )
+    return jobs.select(
+        "doc_id", "title",
+        JF.matches_job_type_expr(
+            F.col("job_type"), F.col("title"), F.col("description"), ["full-time", "remote"]
+        ).alias("matches_type"),
+        JF.matches_location_expr(F.col("location"), ["hanoi", "ho_chi_minh"]).alias(
+            "matches_location"
+        ),
+        JF.matches_salary_expr(F.col("salary"), 600, 100000).alias("matches_salary"),
     ).orderBy("doc_id")

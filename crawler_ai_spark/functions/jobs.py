@@ -141,10 +141,13 @@ def dedup_jobs_exact(jobs: DataFrame, order_col: str = "discovered_seq") -> Data
 
 
 def _sig_tokens(title: Column) -> Column:
-    """Non-stopword tokens of the normalized title (:2160-2167)."""
+    """Non-stopword token SET of the lowered title (:2164-2167 uses
+    ``set(title.split()) - set(common_words)`` — sets, not lists)."""
     toks = F.split(F.lower(F.trim(F.regexp_replace(title, r"\s+", " "))), " ")
     stop = F.array(*[F.lit(s) for s in K.TITLE_COMMON_WORDS])
-    return F.filter(toks, lambda t: (~F.array_contains(stop, t)) & (t != ""))
+    return F.array_distinct(
+        F.filter(toks, lambda t: (~F.array_contains(stop, t)) & (t != ""))
+    )
 
 
 def fuzzy_title_pairs(jobs: DataFrame, id_col: str = "job_id") -> DataFrame:
@@ -166,7 +169,11 @@ def fuzzy_title_pairs(jobs: DataFrame, id_col: str = "job_id") -> DataFrame:
         )
         .withColumn("toks", _sig_tokens(F.col("title")))
     )
-    blocked = base.select("id", "norm", "toks", F.explode("toks").alias("block"))
+    # block on every significant token PLUS the normalized title itself —
+    # the latter catches equal all-stopword titles whose token set is empty
+    blocked = base.select(
+        "id", "norm", "toks", F.explode("toks").alias("block")
+    ).unionByName(base.select("id", "norm", "toks", F.col("norm").alias("block")))
     a = blocked.select(
         F.col("id").alias("a_id"), F.col("norm").alias("a_norm"),
         F.col("toks").alias("a_toks"), "block",
@@ -181,15 +188,28 @@ def fuzzy_title_pairs(jobs: DataFrame, id_col: str = "job_id") -> DataFrame:
         .select("a_id", "b_id", "a_norm", "b_norm", "a_toks", "b_toks")
         .distinct()
     )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    asz, bsz = F.size("a_toks"), F.size("b_toks")
-    equal = F.col("a_norm") == F.col("b_norm")
-    subset = ((inter == asz) | (inter == bsz)) & (F.greatest(asz, bsz) - inter <= 1)
-    shared3 = inter >= 3
     return (
-        cand.where(equal | subset | shared3)
+        cand.where(titles_similar_expr(
+            F.col("a_norm"), F.col("b_norm"), F.col("a_toks"), F.col("b_toks")
+        ))
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
+    )
+
+
+def titles_similar_expr(a_norm, b_norm, a_toks, b_toks) -> Column:
+    """_are_titles_similar (:2163-2190), exactly: equal strings → similar;
+    set-subset → similar IFF symmetric difference ≤ 1 (and NO fall-through
+    to the shared-words rule on a failed subset — the reference returns
+    False right there); otherwise ≥ 3 shared significant words."""
+    inter = F.size(F.array_intersect(a_toks, b_toks))
+    asz, bsz = F.size(a_toks), F.size(b_toks)
+    sym_diff = (asz - inter) + (bsz - inter)
+    subset = (inter == asz) | (inter == bsz)
+    return (
+        F.when(a_norm == b_norm, F.lit(True))
+        .when(subset, sym_diff <= 1)
+        .otherwise(inter >= 3)
     )
 
 

@@ -325,3 +325,102 @@ def test_job_validation_matches_reference(spark, ref_service):
     got = {(r.title, r.description, r.url): r.ok for r in rows}
     mismatches = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
     assert not mismatches, mismatches
+
+
+# ---------------------------------------------------------------------------
+# D4 — _are_titles_similar direct parity; F8 — job filters parity
+# ---------------------------------------------------------------------------
+
+SIM_PAIRS = [
+    ("senior java developer", "senior java developer"),
+    ("senior java developer", "java developer senior"),
+    ("senior java developer", "senior java developer (remote)"),
+    ("java developer", "java developer (định hướng lead team)"),
+    ("senior backend engineer python", "senior backend engineer go"),
+    ("business analyst", "data analyst"),
+    ("of the and", "of the and"),
+    ("a b c d", "b c d e"),
+    ("one two three four five", "three four five six seven"),
+    ("x y", "x y z"),
+]
+
+
+def test_titles_similar_matches_reference(spark, ref_service):
+    from app.services.job_extraction_service import JobExtractionService
+
+    from crawler_ai_spark.functions.jobs import _sig_tokens, titles_similar_expr
+
+    expected = {
+        (a, b): JobExtractionService._are_titles_similar(None, a, b) for a, b in SIM_PAIRS
+    }
+    df = spark.createDataFrame(SIM_PAIRS, "a STRING, b STRING")
+    rows = df.select(
+        "a", "b",
+        titles_similar_expr(
+            F.col("a"), F.col("b"), _sig_tokens(F.col("a")), _sig_tokens(F.col("b"))
+        ).alias("sim"),
+    ).collect()
+    got = {(r.a, r.b): r.sim for r in rows}
+    assert got == expected, {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
+
+
+F8_JOBS = [
+    # (title, description, job_type, location, salary, posted_date)
+    ("Senior Dev", "great role", "Full-time", "Hà Nội", "20,000,000 VND", "2024-01-02"),
+    ("QA", "part time work", "", "TP.HCM", "", ""),
+    ("Intern", "thực tập sinh", "Internship", "Da Nang", "5 triệu", "15/01/2024"),
+    ("Remote Eng", "work from home ok", "Remote", "", "abc", "not a date"),
+    ("Analyst", "hợp đồng 6 tháng", "Contract", "Cần Thơ", "1200 USD", "2020-01-01"),
+]
+
+
+def test_job_filters_match_reference(spark, ref_service):
+    import asyncio
+
+    from crawler_ai_spark.functions import jobfilters as JF
+
+    svc = ref_service  # CareerPagesService has no filters; need JobExtractionService
+    from app.services.job_extraction_service import JobExtractionService
+
+    jes = JobExtractionService()
+    # reference quirk: job_type_mappings/location_patterns are assigned
+    # inside clear_all_cache() (mis-indented out of __init__); the API
+    # entry points always call it before filtering, so parity does too
+    jes.clear_all_cache()
+    jobs = [
+        {"title": t, "description": d, "job_type": jt, "location": loc,
+         "salary": sal, "posted_date": pd_}
+        for t, d, jt, loc, sal, pd_ in F8_JOBS
+    ]
+    df = spark.createDataFrame(
+        F8_JOBS,
+        "title STRING, description STRING, job_type STRING, location STRING, "
+        "salary STRING, posted_date STRING",
+    )
+
+    scenarios = [
+        dict(job_types_filter=["full-time", "remote"]),
+        dict(job_types_filter=["internship"]),
+        dict(location_filter=["hanoi", "ho_chi_minh"]),
+        dict(salary_range={"min": 1000, "max": 100000}),
+        dict(posted_date_filter="last_week"),
+        dict(job_types_filter=["contract"], location_filter=["can_tho"],
+             salary_range={"min": 0, "max": 2000}),
+    ]
+    for sc in scenarios:
+        expected = {
+            j["title"]
+            for j in asyncio.run(jes._apply_job_filters(jobs, **sc))
+        }
+        sr = sc.get("salary_range")
+        got_df = JF.apply_job_filters(
+            df,
+            job_types=sc.get("job_types_filter"),
+            locations=sc.get("location_filter"),
+            salary_min=(sr or {}).get("min", 0),
+            salary_max=(sr or {}).get("max"),
+            use_salary=sr is not None,
+            posted_date_filter=sc.get("posted_date_filter"),
+        )
+        got = {r.title for r in got_df.collect()}
+        assert got == expected, (sc, got, expected)
