@@ -2382,3 +2382,52 @@ def q_job_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         JF.matches_salary_expr(F.col("salary"), 600, 100000).alias("matches_salary"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "robots_parse",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+bodies AS (
+  SELECT DISTINCT host,
+    CASE WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 = 0
+         THEN 'User-agent: *' || chr(10) || 'Disallow: /login' || chr(10)
+              || 'Disallow: /news/' || chr(10) || 'User-agent: Googlebot'
+              || chr(10) || 'Disallow: /all'
+         WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 = 1
+         THEN 'User-agent: Bingbot' || chr(10) || 'Disallow: /x'
+         WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 = 2
+         THEN 'user-agent: *' || chr(10) || 'disallow:'
+         ELSE '' END AS body
+  FROM synth_urls
+)
+SELECT host,
+  list_sort(list_distinct(list_filter(
+    flatten(list_transform(
+      list_filter(string_split_regex(body, '(?i)user-agent:'),
+                  g -> regexp_matches(g, '^\\s*\\*')),
+      g -> regexp_extract_all(g, '(?im)^\\s*disallow:\\s*(\\S*)\\s*$', 1))),
+    p -> p <> ''))) AS disallow_prefixes
+FROM bodies ORDER BY host
+""",
+)
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — robots.txt body parsing into the gate's rules shape."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    urls = synth_urls(spark, sf_dir)
+    n = F.regexp_extract("host", r"site(\d+)", 1).cast("int")
+    body = (
+        F.when(n % 4 == 0,
+               F.lit("User-agent: *\nDisallow: /login\nDisallow: /news/\n"
+                     "User-agent: Googlebot\nDisallow: /all"))
+        .when(n % 4 == 1, F.lit("User-agent: Bingbot\nDisallow: /x"))
+        .when(n % 4 == 2, F.lit("user-agent: *\ndisallow:"))
+        .otherwise(F.lit(""))
+    )
+    robots = urls.select("host").distinct().withColumn("body", body)
+    return (
+        parse_robots(robots)
+        .select("host", F.array_sort("disallow_prefixes").alias("disallow_prefixes"))
+        .orderBy("host")
+    )

@@ -1,0 +1,33 @@
+"""W3 — robots.txt parsing: raw robots bodies → host_rules(host,
+disallow_prefixes) for operators/frontier.apply_robots.
+
+The reference DISOBEYS robots (ROBOTSTXT_OBEY=False, crawler_ai/
+settings.py:9), so there is no parity target; this implements the
+standard subset the gate consumes: ``User-agent`` groups and their
+``Disallow`` prefixes, taking the union of the ``*`` group(s). Allow
+lines, crawl-delay, and wildcards inside paths are out of scope for the
+prefix gate (a prefix match is what apply_robots implements).
+
+JVM-side: one regexp_extract_all per body picks the "User-agent: *"
+groups, a second picks their Disallow values — no Python in the path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# a "User-agent: *" group runs until the next User-agent line or EOF
+_STAR_GROUP_RX = r"(?is)user-agent:\s*\*\s*\n(.*?)(?=user-agent:|\z)"
+_DISALLOW_RX = r"(?im)^\s*disallow:\s*(\S*)\s*$"
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
+    """(host, body) → (host, disallow_prefixes ARRAY<STRING>).
+
+    Empty ``Disallow:`` lines (allow-all markers) are dropped; hosts whose
+    ``*`` group disallows nothing come back with an empty array."""
+    groups = F.regexp_extract_all(F.col(body_col), F.lit(_STAR_GROUP_RX), F.lit(1))
+    star_text = F.concat_ws("\n", groups)
+    prefixes = F.regexp_extract_all(star_text, F.lit(_DISALLOW_RX), F.lit(1))
+    cleaned = F.array_distinct(F.filter(prefixes, lambda p: p != ""))
+    return robots.select(F.col(host_col).alias("host"), cleaned.alias("disallow_prefixes"))

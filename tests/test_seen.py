@@ -138,3 +138,33 @@ def test_crawl_bloom_path_identical(spark, fixture_root, tmp_path_factory):
     b = run(True, tmp_path_factory.mktemp("bloom"))
     for t in a:
         assert a[t] == b[t], f"{t} differs between exact and bloom paths"
+
+
+def test_robots_parse_and_gate(spark):
+    """W3 end-to-end: robots.txt bodies → rules → frontier gate."""
+    from pyspark.sql import functions as F
+
+    from crawler_ai_spark.operators.frontier import apply_robots
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    bodies = [
+        ("a.com", "User-agent: *\nDisallow: /admin\nDisallow: /tmp/\n\n"
+                  "User-agent: Googlebot\nDisallow: /g-only"),
+        ("b.com", "User-agent: Bingbot\nDisallow: /b-only"),
+        ("c.com", "user-agent: *\ndisallow:\n"),
+        ("d.com", "User-agent: *\r\nDisallow: /x\r\nUser-agent: *\nDisallow: /y"),
+        ("e.com", ""),
+    ]
+    rules = parse_robots(spark.createDataFrame(bodies, "host STRING, body STRING"))
+    got = {r.host: sorted(r.disallow_prefixes) for r in rules.collect()}
+    assert got == {
+        "a.com": ["/admin", "/tmp/"], "b.com": [], "c.com": [],
+        "d.com": ["/x", "/y"], "e.com": [],
+    }
+    frontier = spark.createDataFrame(
+        [(1, "https://a.com/admin/x", "a.com"), (2, "https://a.com/jobs", "a.com"),
+         (3, "https://b.com/b-only", "b.com"), (4, "https://d.com/y/z", "d.com"),
+         (5, "https://zz.com/any", "zz.com")],
+        "id LONG, url STRING, host STRING",
+    )
+    assert sorted(r.id for r in apply_robots(frontier, rules).collect()) == [2, 3, 5]
