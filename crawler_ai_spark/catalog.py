@@ -2431,3 +2431,79 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", F.array_sort("disallow_prefixes").alias("disallow_prefixes"))
         .orderBy("host")
     )
+
+
+@_register(
+    "contacts_table",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' lien he: hr' || (doc_id % 9) || '@corp' || (doc_id % 5) || '.vn'
+         || ' hotline 0' || (90 + doc_id % 10) || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' fb https://facebook.com/corp' || (doc_id % 9) ELSE '' END AS text
+  FROM documents
+),
+emails AS (
+  SELECT doc_id, 'email' AS kind, lower(e) AS value
+  FROM aug, unnest(regexp_extract_all(text,
+    '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b')) AS t(e)
+),
+phones AS (
+  SELECT doc_id, 'phone' AS kind, p AS value
+  FROM aug, unnest(regexp_extract_all(text, '0\\d{1,2}\\s?\\d{3}\\s?\\d{3}\\s?\\d{3}')) AS t(p)
+),
+socials AS (
+  SELECT doc_id, 'social' AS kind, s AS value
+  FROM aug, unnest(regexp_extract_all(text, 'facebook\\.com/[^/\\s]+')) AS t(s)
+),
+merged AS (
+  SELECT DISTINCT * FROM emails
+  UNION SELECT DISTINCT * FROM phones
+  UNION SELECT DISTINCT * FROM socials
+)
+SELECT doc_id, kind, value,
+       row_number() OVER (PARTITION BY doc_id, kind
+                          ORDER BY length(value), value) AS rank
+FROM merged ORDER BY doc_id, kind, rank
+""",
+)
+def q_contacts_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.5 contacts table — P4/P5/P6 extractions exploded into
+    (doc_id, kind, value) with per-kind dedup (D7) and the reference's
+    sort-by-length phone ordering generalized as a rank (O7,
+    contact_extractor_service.py:388)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' lien he: hr' || CAST(doc_id % 9 AS STRING) || '@corp' ||"
+            " CAST(doc_id % 5 AS STRING) || '.vn' || ' hotline 0' ||"
+            " CAST(90 + doc_id % 10 AS STRING) || lpad(CAST(doc_id % 1000000000 AS STRING), 9, '0')"
+            " || CASE WHEN doc_id % 2 = 0 THEN ' fb https://facebook.com/corp' ||"
+            " CAST(doc_id % 9 AS STRING) ELSE '' END"
+        ).alias("text"),
+    )
+    email_rx = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    phone_rx = r"0\d{1,2}\s?\d{3}\s?\d{3}\s?\d{3}"
+    social_rx = r"facebook\.com/[^/\s]+"
+    parts = [
+        aug.select(
+            "doc_id", F.lit("email").alias("kind"),
+            F.explode(F.regexp_extract_all("text", F.lit(email_rx), F.lit(0))).alias("raw"),
+        ).select("doc_id", "kind", F.lower("raw").alias("value")),
+        aug.select(
+            "doc_id", F.lit("phone").alias("kind"),
+            F.explode(F.regexp_extract_all("text", F.lit(phone_rx), F.lit(0))).alias("value"),
+        ),
+        aug.select(
+            "doc_id", F.lit("social").alias("kind"),
+            F.explode(F.regexp_extract_all("text", F.lit(social_rx), F.lit(0))).alias("value"),
+        ),
+    ]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    w = Window.partitionBy("doc_id", "kind").orderBy(F.length("value"), "value")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .orderBy("doc_id", "kind", "rank")
+    )
