@@ -706,14 +706,37 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "doc_exact_dups",
     oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3
+              THEN 'synthetic duplicate template #' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM aug GROUP BY md5(text) HAVING count(*) > 1
 ORDER BY text_hash
 """,
 )
 def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over deterministically-seeded duplicates: 30% of
+    docs are rewritten onto one of 7 templates so the sf0.01 oracle compares
+    NON-empty sets (natural dups first appear at sf0.1 — the round-1 gate
+    was degenerate-green on an empty agreement)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.exact_dup_groups(docs).orderBy("text_hash")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(
+                F.lit("synthetic duplicate template #"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.exact_dup_groups(aug).orderBy("text_hash")
 
 
 @_register(
@@ -939,6 +962,22 @@ def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_dup_pairs(emb, threshold=0.45).orderBy("a_id", "b_id")
 
 
+@_register("emb_ann_topk")  # no oracle: LSH recall < 1 by design
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 — the REGISTERED ANN path (the
+    100 TB plan: bucket join on a uniform (table_id, bucket) key + exact
+    cosine inside buckets; the corpus never crossJoins). ``emb_topk`` stays
+    as the brute-force recall oracle; pytest asserts recall >= 0.9 vs it.
+    Rows-only in the driver gate by design (recall < 1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.hyperplane_topk(
+        queries, emb, k=10, dim=64, n_tables=8, bits=6, q_id="query_id"
+    ).orderBy("query_id", "rank")
+
+
 @_register("emb_lsh_pairs")  # no oracle: LSH recall < 1 by design
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-dup pairs (the 10^10-scale path for
@@ -1113,7 +1152,9 @@ def q_vn_phone_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     class) over deterministically augmented text. RE2/DuckDB cannot express
     the lookbehind, so this is rows-only here; byte-parity vs the pure-
     Python reference pipeline is pinned in tests/test_contacts-style
-    fixtures (functions/textnorm.py twins)."""
+    fixtures (functions/textnorm.py twins). Output is exploded to scalar
+    (doc_id, idx, phone) rows — array columns break the driver's pandas
+    canonicalizer (CORRECTNESS_r01 vn_phone_extract err)."""
     from crawler_ai_spark.functions.contacts import phones_strict_expr
 
     docs = _t(spark, sf_dir, "documents")
@@ -1124,9 +1165,13 @@ def q_vn_phone_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "' ' || CAST(1000000 + doc_id AS STRING)"
         ).alias("text"),
     )
-    return aug.select(
-        "doc_id", phones_strict_expr(F.col("text")).alias("phones")
-    ).orderBy("doc_id")
+    return (
+        aug.select(
+            "doc_id",
+            F.posexplode(phones_strict_expr(F.col("text"))).alias("idx", "phone"),
+        )
+        .orderBy("doc_id", "idx")
+    )
 
 
 @_register(
@@ -1512,11 +1557,33 @@ def q_title_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "description_summarize",
-    oracle=None,  # the 60%-dot/last-space cut is positional string logic —
-)                 # byte-parity vs textnorm.summarize_description in pytest
+    # the reference's cut (job_extraction_service.py:1102-1118): collapse
+    # ws; <=300 keep; else cut at last '.' past 60% of the limit, else last
+    # space, then ' ...'. Lookaround-free — fully RE2/DuckDB-expressible
+    # (greedy '^(.*X)' length = rfind(X)+1 on both engines).
+    oracle="""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS d
+  FROM documents
+),
+h AS (
+  SELECT doc_id, d,
+         length(regexp_extract(substring(d, 1, 300), '^(.*\\.)', 1)) AS dot,
+         length(regexp_extract(substring(d, 1, 300), '^(.* )', 1)) AS spc
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN length(d) <= 300 THEN d
+            ELSE trim(substring(d, 1,
+                 CASE WHEN dot >= 181 THEN dot
+                      WHEN spc > 1 THEN spc
+                      ELSE 300 END)) || ' ...' END AS summary
+FROM h ORDER BY doc_id
+""",
+)
 def q_description_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12 — description summarize column over document text (rows-only;
-    byte-parity vs the pure-Python twin is asserted in pytest)."""
+    """P12 — description summarize column over document text (oracle-gated;
+    byte-parity vs the pure-Python twin is also asserted in pytest)."""
     from crawler_ai_spark.functions import jobs as J
 
     docs = _t(spark, sf_dir, "documents")
@@ -2386,6 +2453,11 @@ def q_job_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "robots_parse",
+    # RFC 9309 multi-agent headers: split on user-agent:, then group
+    # fragments into header blocks — a fragment with no content after its
+    # first line (header_only) shares the rule block of the next fragment;
+    # block_id = count of rule-carrying fragments strictly before it. A
+    # block contributes iff any of its fragments' first line is '*'.
     oracle=f"""
 WITH {SYNTH_URLS_CTE},
 bodies AS (
@@ -2395,24 +2467,55 @@ bodies AS (
               || 'Disallow: /news/' || chr(10) || 'User-agent: Googlebot'
               || chr(10) || 'Disallow: /all'
          WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 = 1
-         THEN 'User-agent: Bingbot' || chr(10) || 'Disallow: /x'
+         THEN 'User-agent: Bingbot' || chr(10) || 'User-agent: *' || chr(10)
+              || 'Disallow: /x' || chr(10) || 'User-agent: Yandex'
+              || chr(10) || 'Disallow: /y'
          WHEN regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 = 2
-         THEN 'user-agent: *' || chr(10) || 'disallow:'
+         THEN 'user-agent: *' || chr(10) || 'user-agent: googlebot'
+              || chr(10) || 'disallow: /shared' || chr(10) || 'disallow:'
          ELSE '' END AS body
   FROM synth_urls
+),
+frags AS (
+  SELECT host,
+         unnest(string_split_regex(body, '(?i)user-agent:')) AS frag,
+         generate_subscripts(string_split_regex(body, '(?i)user-agent:'), 1) AS ord
+  FROM bodies
+),
+marked AS (
+  SELECT host, frag, ord,
+         regexp_matches(frag, '^[^\\S\\n]*\\*') AS is_star,
+         NOT regexp_matches(frag, '\\n\\s*\\S') AS header_only
+  FROM frags WHERE ord > 1
+),
+blocks AS (
+  SELECT host, frag, is_star,
+         coalesce(sum(CASE WHEN header_only THEN 0 ELSE 1 END)
+             OVER (PARTITION BY host ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS block_id
+  FROM marked
+),
+star_blocks AS (
+  SELECT host, block_id FROM blocks GROUP BY host, block_id HAVING bool_or(is_star)
+),
+prefixes AS (
+  SELECT b.host, p
+  FROM blocks b
+  JOIN star_blocks s ON b.host = s.host AND b.block_id = s.block_id,
+       unnest(regexp_extract_all(b.frag, '(?im)^\\s*disallow:\\s*(\\S*)\\s*$', 1)) AS t(p)
+  WHERE p <> ''
 )
-SELECT host,
-  list_sort(list_distinct(list_filter(
-    flatten(list_transform(
-      list_filter(string_split_regex(body, '(?i)user-agent:'),
-                  g -> regexp_matches(g, '^\\s*\\*')),
-      g -> regexp_extract_all(g, '(?im)^\\s*disallow:\\s*(\\S*)\\s*$', 1))),
-    p -> p <> ''))) AS disallow_prefixes
-FROM bodies ORDER BY host
+SELECT bodies.host,
+       coalesce(list_sort(list_distinct(list(p) FILTER (WHERE p IS NOT NULL))),
+                []) AS disallow_prefixes
+FROM bodies LEFT JOIN prefixes ON bodies.host = prefixes.host
+GROUP BY bodies.host ORDER BY bodies.host
 """,
 )
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 — robots.txt body parsing into the gate's rules shape."""
+    """W3 — robots.txt body parsing into the gate's rules shape, incl.
+    RFC 9309 multi-agent group headers (star-after-agent and
+    star-before-agent shared headers both exercised)."""
     from crawler_ai_spark.sources.robots import parse_robots
 
     urls = synth_urls(spark, sf_dir)
@@ -2421,8 +2524,12 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n % 4 == 0,
                F.lit("User-agent: *\nDisallow: /login\nDisallow: /news/\n"
                      "User-agent: Googlebot\nDisallow: /all"))
-        .when(n % 4 == 1, F.lit("User-agent: Bingbot\nDisallow: /x"))
-        .when(n % 4 == 2, F.lit("user-agent: *\ndisallow:"))
+        .when(n % 4 == 1,
+              F.lit("User-agent: Bingbot\nUser-agent: *\nDisallow: /x\n"
+                    "User-agent: Yandex\nDisallow: /y"))
+        .when(n % 4 == 2,
+              F.lit("user-agent: *\nuser-agent: googlebot\n"
+                    "disallow: /shared\ndisallow:"))
         .otherwise(F.lit(""))
     )
     robots = urls.select("host").distinct().withColumn("body", body)

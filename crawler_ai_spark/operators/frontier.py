@@ -155,7 +155,12 @@ def salted_budget_rank(
     ranks within (key, salt) and keeps ≤ budget per salt (parallel across
     salts); phase 2 re-ranks only the ≤ budget×salts survivors per key.
     Identical output to the single window (both phases order by the same
-    deterministic key), ~salt× more parallel on the hot key."""
+    deterministic key), ~salt× more parallel on the hot key.
+
+    ``order_cols`` MUST be a total order within each key partition (append
+    a unique column such as url as the final tie-break) — with ties the
+    phase-1 winners, and hence the two-phase ≡ one-window equivalence,
+    would depend on partition order."""
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
     w1 = Window.partitionBy(*partition_cols, salt).orderBy(*order_cols)
     survivors = (
@@ -178,7 +183,11 @@ def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tu
     unchanged, preserving their discovered_seq (so ordering is stable)."""
     if per_host_per_batch is None:
         return frontier, frontier.limit(0)
-    order = [F.col("priority").desc(), F.col("discovered_seq").asc()]
+    # url is the unique final tie-break: discovered_seq is a PER-SEED
+    # ordinal, so two seeds sharing a host can tie on (priority, seq) —
+    # without it the scheduled/deferred split (and resume determinism)
+    # would depend on partition order
+    order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url").asc()]
     # two-phase salted rank (see salted_budget_rank): a row whose salt-local
     # rank exceeds the budget has ≥ budget same-host rows ahead of it in ITS
     # salt alone, so its host-global rank exceeds the budget too — phase-1

@@ -295,10 +295,16 @@ def dedup_with_bloom(
     blooms: DataFrame,
     n_buckets: int | None = None,
     probe_mode: str = "auto",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered exact scheduler dedup: equals
     frontier.dedup_against_seen(candidates, seen) exactly, but only the
-    bloom-"maybe" residue pays the big anti-join shuffle."""
+    bloom-"maybe" residue pays the big anti-join shuffle.
+
+    Caches two intermediate frames (blooms, tagged). Pass a
+    ``cache_registry`` list to receive them and unpersist AFTER the result
+    is materialized — a looping caller (the crawl loop) would otherwise
+    leak one cached pair into executor storage per batch."""
     from crawler_ai_spark.operators.frontier import dedup_against_seen
 
     from pyspark.sql import Window
@@ -328,6 +334,8 @@ def dedup_with_bloom(
         tagged = broadcast_probe(candidates, blooms).persist()
     else:
         tagged = bloom_split(candidates, blooms, n_buckets).persist()
+    if cache_registry is not None:
+        cache_registry.extend([blooms, tagged])
     definitely_new = tagged.where(~F.col("maybe_seen")).select(*cand_cols)
     residue = tagged.where(F.col("maybe_seen")).select(*cand_cols)
     # exact check of the residue. At steady state the residue is small
@@ -380,11 +388,14 @@ class CuckooFilter:
         self._rng_state = np.uint64(0x2545F4914F6CDD1D)
 
     def _fingerprint(self, key: int) -> int:
-        fp = int(_splitmix64(np.array([key], dtype=np.uint64))[0]) & 0xFFFF
+        # mask to unsigned: xxhash64 keys are signed int64 and numpy's
+        # negative-int -> uint64 conversion is a hard error on new numpy
+        fp = int(_splitmix64(np.array([key & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0]) & 0xFFFF
         return fp or 1  # 0 means empty slot
 
     def _index1(self, key: int) -> int:
-        return int(_splitmix64(np.array([key ^ 0xABCDEF], dtype=np.uint64))[0]) % self.n_buckets
+        k = (key ^ 0xABCDEF) & 0xFFFFFFFFFFFFFFFF
+        return int(_splitmix64(np.array([k], dtype=np.uint64))[0]) % self.n_buckets
 
     def _index2(self, i1: int, fp: int) -> int:
         h = int(_splitmix64(np.array([fp], dtype=np.uint64))[0])

@@ -231,6 +231,7 @@ def next_frontier(
     seen: DataFrame,
     seed_state: DataFrame,
     use_bloom: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Links of yield-allowed pages → scheduled child frontier rows.
 
@@ -249,7 +250,9 @@ def next_frontier(
         from crawler_ai_spark.operators import seen as SN
 
         blooms = SN.build_bloom(seen.select("url_hash"))
-        fresh = SN.dedup_with_bloom(candidates, seen, blooms)
+        fresh = SN.dedup_with_bloom(
+            candidates, seen, blooms, cache_registry=cache_registry
+        )
     else:
         fresh = FR.dedup_against_seen(candidates, seen)
     return fresh.select(
@@ -353,7 +356,10 @@ def run_crawl(
         store.write(batch_id, "job_urls", extract_job_urls(gated))
         store.write(batch_id, "metrics", batch_metrics(gated, batch_id))
 
-        fresh, candidates = next_frontier(gated, seen, seed_state, cfg.use_bloom)
+        batch_caches: list = []
+        fresh, candidates = next_frontier(
+            gated, seen, seed_state, cfg.use_bloom, cache_registry=batch_caches
+        )
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
         if cfg.max_fetch_attempts > 1:
@@ -397,6 +403,8 @@ def run_crawl(
         total_scheduled += frontier.count()
         gated.unpersist()
         fresh.unpersist()
+        for c in batch_caches:  # bloom/tagged caches from dedup_with_bloom
+            c.unpersist()
 
     final_batches = store.committed_batches()
     return {

@@ -16,8 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# a "User-agent: *" group runs until the next User-agent line or EOF
-_STAR_GROUP_RX = r"(?is)user-agent:\s*\*\s*\n(.*?)(?=user-agent:|\z)"
+# RFC 9309 group header: consecutive User-agent lines share the rule block
+# that follows. A "*" group = a star UA line, then zero or more further UA
+# lines (the rest of the shared header), then the rules up to the next UA
+# line (which starts a NEW header, since this one already has rules) or
+# EOF. Star lines anywhere in a header work: the match simply starts at
+# the star line and skips the remaining header lines. Out of scope (as
+# before): blank-line group termination inside a header.
+_STAR_GROUP_RX = (
+    r"(?is)user-agent:[^\S\n]*\*[^\n]*\n"
+    r"(?:[^\S\n]*user-agent:[^\n]*\n)*"
+    r"(.*?)(?=user-agent:|\z)"
+)
 _DISALLOW_RX = r"(?im)^\s*disallow:\s*(\S*)\s*$"
 
 
