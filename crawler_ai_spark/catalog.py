@@ -2614,3 +2614,153 @@ def q_contacts_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rank", F.row_number().over(w))
         .orderBy("doc_id", "kind", "rank")
     )
+
+
+# ===========================================================================
+# 9. wave 5 — embedded job-card extraction (P9b), subdomain search, errors
+# ===========================================================================
+
+
+def _card_aug_spark(docs: DataFrame) -> DataFrame:
+    """documents.text + deterministic card blob (doc_id % 5)."""
+    from crawler_ai_spark.functions import jobcards as JC
+
+    blob = F.lit(JC.CARD_FIXTURE_BLOBS[0])
+    for i in range(1, len(JC.CARD_FIXTURE_BLOBS)):
+        blob = F.when(F.col("doc_id") % 5 == i, F.lit(JC.CARD_FIXTURE_BLOBS[i])).otherwise(blob)
+    return docs.select("doc_id", F.concat(F.col("text"), F.lit("\n"), blob).alias("text"))
+
+
+def _contains_any_sql(expr: str, words) -> str:
+    return "(" + " OR ".join(f"contains({expr}, {_sql_quote(w)})" for w in words) + ")"
+
+
+def _job_cards_oracle() -> str:
+    """DuckDB twin of extract_job_cards. The one lookahead pattern is
+    emulated RE2-safe: `X(\\s+Intern)?` + keep-iff-lower(match)==X, which
+    keeps exactly the occurrences the lookahead accepts."""
+    from crawler_ai_spark.functions import jobcards as JC
+
+    pats = []
+    for i, p in enumerate(JC.CARD_PATTERNS):
+        if i == JC._LOOKAHEAD_IDX:
+            pats.append(
+                f"list_filter(regexp_extract_all(text, {_sql_quote('(?si)' + JC._LOOKAHEAD_RE2)}, 0), "
+                f"m -> lower(m) = {_sql_quote(JC._LOOKAHEAD_KEEP)})"
+            )
+        else:
+            pats.append(f"regexp_extract_all(text, {_sql_quote('(?si)' + p)}, 0)")
+    matches = "flatten([" + ", ".join(pats) + "])"
+
+    blob_case = (
+        "CASE doc_id % 5 "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(b)}" for i, b in enumerate(JC.CARD_FIXTURE_BLOBS)
+        )
+        + " END"
+    )
+    lines = "list_transform(string_split(job_text, chr(10)), l -> trim(l))"
+    kw = _contains_any_sql("lower(l)", JC.TITLE_KEYWORDS)
+    sized = "length(l) > 5 AND length(l) < 100"
+    shape = _sql_quote(JC.TITLE_SHAPE_RX)
+
+    loc_cands = []
+    for p in JC.LOCATION_PATTERNS:
+        raw = f"trim(regexp_extract(job_text, {_sql_quote('(?i)' + p)}, 1))"
+        cl = f"trim(regexp_replace({raw}, {_sql_quote('(?i)' + JC.LOCATION_CLEAN_RX)}, ''))"
+        loc_cands.append(f"CASE WHEN length({cl}) > 0 AND length({cl}) < 100 THEN {cl} END")
+    loc = (
+        "CASE WHEN contains(raw_title, 'Singapore Only') THEN 'Singapore Only' "
+        "WHEN contains(raw_title, 'Fully Remote') THEN 'Fully Remote' "
+        "WHEN contains(raw_title, 'Remote') THEN 'Remote' "
+        "ELSE coalesce(" + ", ".join(loc_cands) + ", '') END"
+    )
+    sal_cands = []
+    for p in JC.SALARY_PATTERNS:
+        raw = f"trim(regexp_extract(job_text, {_sql_quote('(?i)' + p)}, 1))"
+        sal_cands.append(f"CASE WHEN length({raw}) > 0 AND length({raw}) < 100 THEN {raw} END")
+    sal = "coalesce(" + ", ".join(sal_cands) + ", '')"
+    jt = (
+        "CASE WHEN "
+        + _contains_any_sql("lower(job_text)", ["fulltime", "full-time", "toàn thời gian"])
+        + " THEN 'Full-time' WHEN "
+        + _contains_any_sql("lower(job_text)", ["part-time", "parttime", "bán thời gian"])
+        + " THEN 'Part-time' WHEN "
+        + _contains_any_sql("lower(job_text)", ["contract", "hợp đồng"])
+        + " THEN 'Contract' WHEN "
+        + _contains_any_sql("lower(job_text)", ["intern", "thực tập"])
+        + " THEN 'Internship' ELSE 'Full-time' END"
+    )
+    desc = (
+        "trim(array_to_string(list_filter(" + lines + ", "
+        "l -> l <> '' AND NOT " + _contains_any_sql("lower(l)", JC.DESCRIPTION_SKIP_WORDS)
+        + "), chr(10)))"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || chr(10) || {blob_case} AS text FROM documents
+),
+m AS (
+  SELECT doc_id,
+         unnest({matches}) AS job_text,
+         generate_subscripts({matches}, 1) AS pos
+  FROM aug
+),
+tl AS (
+  SELECT doc_id, pos, job_text,
+         coalesce(
+           (list_filter({lines}, l -> {sized} AND ({kw} OR regexp_matches(l, {shape}))))[1],
+           (list_filter({lines}, l -> {sized}))[1],
+           '') AS raw_title
+  FROM m
+),
+ct AS (
+  SELECT doc_id, pos, job_text, raw_title,
+         trim(regexp_replace(trim(regexp_replace(trim(regexp_replace(raw_title,
+           '(Singapore Only|Fully Remote|See Details|See)$', '')),
+           '^com\\s*', '')), '\\s+', ' ', 'g')) AS title
+  FROM tl WHERE raw_title <> ''
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, title ORDER BY pos) AS rn FROM ct
+),
+k AS (
+  SELECT doc_id, pos, job_text, raw_title, title,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS job_index
+  FROM d WHERE rn = 1
+)
+SELECT doc_id, job_index, title,
+       {loc} AS location,
+       {jt} AS job_type,
+       {sal} AS salary,
+       {desc} AS description
+FROM k ORDER BY doc_id, job_index
+"""
+
+
+@_register("job_cards_extract", oracle=_job_cards_oracle())
+def q_job_cards_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9b — embedded job-card extraction (_extract_jobs_by_patterns +
+    _parse_job_text, job_extraction_service.py:2192-2290): 26 ordered
+    patterns, line-based title extraction, clean-title first-wins dedup,
+    location/type/salary/description fields. Reference-exec parity in
+    tests/test_jobcards_parity.py."""
+    from crawler_ai_spark.functions import jobcards as JC
+
+    docs = _t(spark, sf_dir, "documents")
+    return JC.extract_job_cards(_card_aug_spark(docs)).orderBy("doc_id", "job_index")
+
+
+@_register("job_cards_dedup")  # rows-only: the greedy kept-set scan (a job
+# is dropped iff similar to a previously KEPT one) is non-transitive and
+# inherently sequential per page — not SQL-expressible; parity vs the
+# reference's _deduplicate_jobs_by_title is pinned in pytest instead.
+def q_job_cards_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9b+D4 — full _extract_jobs_from_cards: pattern extraction followed
+    by the greedy title-similarity dedup (job_extraction_service.py:
+    2116-2161), as a per-page JVM aggregate fold."""
+    from crawler_ai_spark.functions import jobcards as JC
+
+    docs = _t(spark, sf_dir, "documents")
+    cards = JC.extract_job_cards(_card_aug_spark(docs))
+    return JC.dedup_job_cards(cards).orderBy("doc_id", "job_index")
