@@ -2764,3 +2764,124 @@ def q_job_cards_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cards = JC.extract_job_cards(_card_aug_spark(docs))
     return JC.dedup_job_cards(cards).orderBy("doc_id", "job_index")
+
+
+def _subdomain_oracle() -> str:
+    from crawler_ai_spark.functions import subdomains as SD
+
+    host_of = (
+        "CASE WHEN regexp_matches(u, '(?i)^https?://')"
+        " THEN lower(regexp_extract(u, '(?i)^https?://([^/?#]+)', 1))"
+        " WHEN starts_with(u, '//') THEN lower(regexp_extract(u, '^//([^/?#]+)', 1))"
+        " WHEN regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.\\-]*:') THEN NULL"
+        " ELSE basehost END"
+    )
+    text_arrays = ", ".join(
+        f"list_transform(regexp_extract_all(html, {_sql_quote('(?i)' + p)}, 1), h -> lower(h))"
+        for p in SD.TEXT_URL_PATTERNS
+    )
+    tags = ", ".join(_sql_quote(t) for t in SD.CAREER_SUBDOMAIN_TAGS)
+    return f"""
+WITH p1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'www.site' || CAST(doc_id % 37 AS VARCHAR) || '.vn'
+              ELSE 'app.site' || CAST(doc_id % 37 AS VARCHAR) || '.com.vn' END AS basehost,
+         CAST(doc_id % 37 AS VARCHAR) AS n
+  FROM documents
+),
+p2 AS (
+  SELECT doc_id, basehost,
+         '<html><body><a href="https://career.site' || n || '.vn/jobs">Careers</a>'
+         || '<a href="/tuyen-dung">TD</a>'
+         || '<script src="//cdn.site' || n || '.com.vn/app.js"></script>'
+         || CASE WHEN doc_id % 3 = 0 THEN '"url": "https://jobs.site' || n || '.vn"' ELSE '' END
+         || '<img src="https://static.partner' || n || '.example.org/logo.png">'
+         || '<a href="mailto:hr@site' || n || '.vn">mail</a>'
+         || ' Visit https://intranet.site' || n || '.com.vn now</body></html>' AS html
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, basehost, html,
+         CASE WHEN len(string_split(regexp_replace(basehost, '^www\\.', ''), '.')) >= 3
+              THEN CASE WHEN length((string_split(regexp_replace(basehost, '^www\\.', ''), '.'))[-1]) <= 2
+                        THEN array_to_string((string_split(regexp_replace(basehost, '^www\\.', ''), '.'))[-3:], '.')
+                        ELSE array_to_string((string_split(regexp_replace(basehost, '^www\\.', ''), '.'))[-2:], '.') END
+              ELSE regexp_replace(basehost, '^www\\.', '') END AS root
+  FROM p2
+),
+harv AS (
+  SELECT doc_id, root, h AS host
+  FROM p3, unnest(list_filter(list_distinct(flatten([
+    list_transform(regexp_extract_all(html, {_sql_quote(SD.ATTR_URL_RX)}, 1), u -> {host_of}),
+    {text_arrays}
+  ])), h -> h IS NOT NULL AND h <> '')) AS t(h)
+),
+cands AS (
+  SELECT doc_id, root, host FROM harv
+  WHERE ends_with(host, '.' || root) AND host <> root
+),
+probe AS (SELECT DISTINCT host FROM harv WHERE length(host) % 3 <> 0),
+discovered AS (
+  SELECT DISTINCT doc_id, 'https://' || host AS candidate_url, 'discovered' AS source
+  FROM cands JOIN probe USING (host)
+),
+fallback AS (
+  SELECT doc_id, 'https://' || t || '.' || root AS candidate_url, 'fallback' AS source
+  FROM p3, unnest([{tags}]) AS u(t)
+)
+SELECT doc_id, candidate_url, min(source) AS source
+FROM (SELECT * FROM discovered UNION ALL SELECT * FROM fallback)
+GROUP BY doc_id, candidate_url
+ORDER BY doc_id, candidate_url
+"""
+
+
+def _subdomain_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized base pages: two root shapes (site{n}.vn / site{n}.com.vn
+    — exercising both _safe_domain branches), HTML carrying subdomain refs
+    via attributes, protocol-relative src, JSON url fields, a relative link
+    (resolves to the base host), mailto (no netloc), and an off-domain
+    host (filtered by the subdomain-of gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 37).cast("string")
+    basehost = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("www.site"), n, F.lit(".vn"))
+    ).otherwise(F.concat(F.lit("app.site"), n, F.lit(".com.vn")))
+    html = F.concat(
+        F.lit('<html><body><a href="https://career.site'), n, F.lit('.vn/jobs">Careers</a>'),
+        F.lit('<a href="/tuyen-dung">TD</a>'),
+        F.lit('<script src="//cdn.site'), n, F.lit('.com.vn/app.js"></script>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('"url": "https://jobs.site'), n, F.lit('.vn"')),
+        ).otherwise(F.lit("")),
+        F.lit('<img src="https://static.partner'), n, F.lit('.example.org/logo.png">'),
+        F.lit('<a href="mailto:hr@site'), n, F.lit('.vn">mail</a>'),
+        F.lit(" Visit https://intranet.site"), n, F.lit(".com.vn now</body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), basehost, F.lit("/")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@_register("subdomain_candidates", oracle=_subdomain_oracle())
+def q_subdomain_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain search (career_pages_service.py:932-1111): harvest hosts
+    from base-page HTML, keep subdomains of the root, probe-join for
+    aliveness (probe = harvested hosts with length % 3 != 0 — a
+    deterministic stand-in for _validate_host_alive), union the always-on
+    career fallbacks. Parity of the pure parts (_safe_domain,
+    _is_subdomain_of, _get_minimal_fallback_patterns) in
+    tests/test_subdomain_parity.py."""
+    from crawler_ai_spark.functions import subdomains as SD
+
+    pages = _subdomain_pages(spark, sf_dir)
+    harv = pages.select(
+        F.explode(
+            SD.harvested_hosts_expr(F.col("html"), SD.netloc_expr(F.col("url")))
+        ).alias("host")
+    )
+    probe = harv.where(F.length("host") % 3 != 0).select("host").distinct()
+    return SD.subdomain_search(pages, probe).orderBy("doc_id", "candidate_url")
