@@ -2885,3 +2885,295 @@ def q_subdomain_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = harv.where(F.length("host") % 3 != 0).select("host").distinct()
     return SD.subdomain_search(pages, probe).orderBy("doc_id", "candidate_url")
+
+
+def _fetch_error_oracle() -> str:
+    from crawler_ai_spark.functions import errors as ER
+
+    msg_case = """CASE doc_id % 10
+    WHEN 1 THEN 'Permanent error: HTTP 404 - Not Found'
+    WHEN 2 THEN 'Permanent error: HTTP 410 - Gone'
+    WHEN 3 THEN '503 Service Unavailable - server overloaded'
+    WHEN 4 THEN '429 Rate Limited - too many requests'
+    WHEN 5 THEN '403 Forbidden - likely blocked by server'
+    WHEN 6 THEN 'Connection timeout to host after 15s'
+    WHEN 7 THEN 'Cannot connect: Name or service not known'
+    WHEN 8 THEN 'Connection refused by peer'
+    WHEN 9 THEN 'SSL handshake failed unexpectedly'
+    ELSE NULL END"""
+    whens = " ".join(
+        f"WHEN {_contains_any_sql('lower(error_message)', markers)} THEN {_sql_quote(cls)}"
+        for cls, markers in ER.ERROR_CLASS_MARKERS
+    )
+    return f"""
+WITH msgs AS (
+  SELECT doc_id, {msg_case} AS error_message FROM documents
+),
+classified AS (
+  SELECT doc_id, error_message,
+         CASE WHEN error_message IS NULL THEN NULL {whens} ELSE 'other' END AS error_class
+  FROM msgs
+)
+SELECT doc_id, error_message, error_class,
+       coalesce(error_class IN ('not_found'), FALSE) AS permanent
+FROM classified ORDER BY doc_id
+"""
+
+
+@_register("fetch_error_classify", oracle=_fetch_error_oracle())
+def q_fetch_error_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/W4 — fetch-error taxonomy (crawler.py:424-446) + the permanent
+    class driving per-class retry (:224). Message battery synthesized from
+    the reference's own error strings; variant 6 exercises the ORDERED
+    chain (contains both 'timeout' and 'connection' — timeout must win)."""
+    from crawler_ai_spark.functions import errors as ER
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    msg = (
+        F.when(m == 1, F.lit("Permanent error: HTTP 404 - Not Found"))
+        .when(m == 2, F.lit("Permanent error: HTTP 410 - Gone"))
+        .when(m == 3, F.lit("503 Service Unavailable - server overloaded"))
+        .when(m == 4, F.lit("429 Rate Limited - too many requests"))
+        .when(m == 5, F.lit("403 Forbidden - likely blocked by server"))
+        .when(m == 6, F.lit("Connection timeout to host after 15s"))
+        .when(m == 7, F.lit("Cannot connect: Name or service not known"))
+        .when(m == 8, F.lit("Connection refused by peer"))
+        .when(m == 9, F.lit("SSL handshake failed unexpectedly"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = docs.select("doc_id", msg.alias("error_message"))
+    out = out.withColumn("error_class", ER.fetch_error_class_expr(F.col("error_message")))
+    return out.withColumn(
+        "permanent", ER.is_permanent_error_expr(F.col("error_class"))
+    ).orderBy("doc_id")
+
+
+def _element_check_oracle() -> str:
+    from crawler_ai_spark.functions import elements as EL
+
+    kws = ", ".join(_sql_quote(k) for k in EL.ELEMENT_JOB_KEYWORDS)
+    pm_sum = " + ".join(
+        f"CASE WHEN regexp_matches(low, {_sql_quote(p)}) THEN 1 ELSE 0 END"
+        for p in EL.ELEMENT_JOB_PATTERNS
+    )
+    cls_hit = _contains_any_sql("lower(class_text)", EL.ELEMENT_ATTR_KEYWORDS)
+    id_hit = _contains_any_sql("lower(id_text)", EL.ELEMENT_ATTR_KEYWORDS)
+    return f"""
+WITH el AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'too short'
+      WHEN 1 THEN 'We are hiring a senior developer with experience in cloud systems and a good salary package. Apply now to join our team for full-time work.'
+      WHEN 2 THEN substr(text, 1, 80)
+      WHEN 3 THEN 'Tuyển dụng vị trí kỹ sư phần mềm, việc làm hấp dẫn tại Hà Nội'
+      ELSE 'Liên hệ với chúng tôi qua email để biết thêm chi tiết về sản phẩm.' END AS text,
+    doc_id % 4 = 1 AS has_data_attr,
+    CASE doc_id % 3 WHEN 0 THEN 'job-card featured' WHEN 1 THEN 'menu item' ELSE '' END AS class_text,
+    CASE WHEN doc_id % 7 = 0 THEN 'career-section' ELSE '' END AS id_text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, trim(text) AS stripped, lower(trim(text)) AS low,
+         has_data_attr, class_text, id_text
+  FROM el
+),
+scored AS (
+  SELECT doc_id, stripped,
+         len(list_filter([{kws}], k -> contains(low, k))) AS kw,
+         {pm_sum} AS pm,
+         has_data_attr, {cls_hit} AS cls_hit, {id_hit} AS idh
+  FROM feat
+),
+conf AS (
+  SELECT doc_id, stripped, kw, pm,
+         (CASE WHEN kw > 0 THEN least(kw * 0.2, 0.6) ELSE 0.0 END)
+         + (CASE WHEN pm > 0 THEN least(pm * 0.15, 0.4) ELSE 0.0 END)
+         + (CASE WHEN has_data_attr THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN cls_hit THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN idh THEN 0.2 ELSE 0.0 END) AS c
+  FROM scored
+)
+SELECT doc_id,
+  round(CASE WHEN stripped IS NULL OR length(stripped) < 10 THEN 0.0 ELSE least(c, 1.0) END, 6) AS confidence,
+  CASE WHEN stripped IS NULL OR length(stripped) < 10 THEN FALSE ELSE c >= 0.3 END AS is_likely_job,
+  CASE WHEN stripped IS NULL OR length(stripped) < 10 THEN 'Text too short'
+       ELSE 'Keywords: ' || kw || ', Patterns: ' || pm END AS reason
+FROM conf ORDER BY doc_id
+"""
+
+
+@_register("element_job_check", oracle=_element_check_oracle())
+def q_element_job_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7b — element-confidence validation (element_checker.py:20-101)
+    over synthesized elements: text variants (short/en-rich/natural/vi/
+    none), data-attribute flag, class tokens, id. Reference-exec parity in
+    tests/test_elements_parity.py."""
+    from crawler_ai_spark.functions import elements as EL
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    text = (
+        F.when(m == 0, F.lit("too short"))
+        .when(m == 1, F.lit(
+            "We are hiring a senior developer with experience in cloud systems"
+            " and a good salary package. Apply now to join our team for"
+            " full-time work."))
+        .when(m == 2, F.expr("substr(text, 1, 80)"))
+        .when(m == 3, F.lit("Tuyển dụng vị trí kỹ sư phần mềm, việc làm hấp dẫn tại Hà Nội"))
+        .otherwise(F.lit("Liên hệ với chúng tôi qua email để biết thêm chi tiết về sản phẩm."))
+    )
+    el = docs.select(
+        "doc_id",
+        text.alias("text"),
+        (F.col("doc_id") % 4 == 1).alias("has_data_attr"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("job-card featured"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("menu item"))
+        .otherwise(F.lit(""))
+        .alias("class_text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("career-section")).otherwise(F.lit("")).alias("id_text"),
+    )
+    chk = EL.element_job_check_expr(
+        F.col("text"), F.col("has_data_attr"), F.col("class_text"), F.col("id_text")
+    )
+    return (
+        el.withColumn("_c", chk)
+        .select(
+            "doc_id",
+            F.round(F.col("_c.confidence"), 6).alias("confidence"),
+            F.col("_c.is_likely_job").alias("is_likely_job"),
+            F.col("_c.reason").alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _top_tech_oracle() -> str:
+    from crawler_ai_spark.functions.analyzers import ALL_TECHNOLOGIES
+
+    tech_list = ", ".join(_sql_quote(t) for t in ALL_TECHNOLOGIES)
+    return f"""
+WITH cards AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 120)
+         || CASE WHEN doc_id % 2 = 0 THEN ' built with python and react on aws' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' docker kubernetes ci/cd' ELSE '' END) AS blow
+  FROM documents
+),
+tl AS (
+  SELECT doc_id, list_filter([{tech_list}], t -> contains(blow, t)) AS techs
+  FROM cards
+),
+techs AS (
+  SELECT doc_id, unnest(techs) AS technology FROM tl
+),
+counts AS (
+  SELECT technology, count(*) AS n_jobs FROM techs GROUP BY technology
+),
+ranked AS (
+  SELECT technology, n_jobs,
+         row_number() OVER (ORDER BY n_jobs DESC, technology) AS rank
+  FROM counts
+)
+SELECT rank, technology, n_jobs FROM ranked WHERE rank <= 5 ORDER BY rank
+"""
+
+
+@_register("top_technologies", oracle=_top_tech_oracle())
+def q_top_technologies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — top-5 technologies across extracted jobs
+    (user_friendly_formatter.py:242-248 Counter(...).most_common(5)).
+    Counter's insertion-order tie is determinized to (count desc,
+    technology asc) — the list(set(...)) treatment of round 1. Map-side
+    partial agg then a 5-row TakeOrdered: scale-trivial."""
+    from crawler_ai_spark.functions.analyzers import technologies_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.expr(
+        "substr(text, 1, 120)"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' built with python and react on aws' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' docker kubernetes ci/cd' ELSE '' END"
+    )
+    techs = docs.select(
+        F.explode(technologies_expr(body)).alias("technology")
+    )
+    counts = techs.groupBy("technology").agg(F.count("*").alias("n_jobs"))
+    w = Window.orderBy(F.col("n_jobs").desc(), F.col("technology").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("rank", "technology", "n_jobs")
+        .orderBy("rank")
+    )
+
+
+def _ai_text_oracle() -> str:
+    # independent regex re-derivation, valid for the controlled html shape
+    # (no nested same-name tags, no '>' inside attributes)
+    strip = "html"
+    for tag in ("script", "style", "nav", "header", "footer"):
+        strip = f"regexp_replace({strip}, '(?s)<{tag}.*?</{tag}>', '', 'g')"
+    text = f"regexp_replace({strip}, '<[^>]+>', '', 'g')"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || '<script>var x = 1;</script><style>.a {{ color: red; }}</style></head>'
+    || '<body><nav>Nav Links Here</nav><header>Site Header</header>'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p>First  line with  double  spaces</p>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<aside>Aside kept here</aside>' ELSE '' END
+    || '<div>Line one' || chr(10) || '  indented  chunk  ' || chr(10) || 'tail</div>'
+    || '<footer>Footer stuff</footer></body></html>' AS html
+  FROM documents
+),
+txt AS (SELECT doc_id, {text} AS t FROM pages)
+SELECT doc_id,
+  array_to_string(
+    list_filter(
+      list_transform(
+        flatten(list_transform(string_split(t, chr(10)),
+                               l -> string_split(trim(l), '  '))),
+        c -> trim(c)),
+      c -> c <> ''),
+    ' ') AS ai_text
+FROM txt ORDER BY doc_id
+"""
+
+
+@_register("ai_text_extract", oracle=_ai_text_oracle())
+def q_ai_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — HTML→text variant B (job_extractor.py:257-269): decompose
+    script/style/nav/header/footer (keeping aside — unlike canonical_text),
+    get_text(), per-line strip + double-space chunking. Spark side runs the
+    real parser twin (textnorm.ai_text) as an Arrow-batched pandas UDF; the
+    oracle re-derives the text with regexes valid for this controlled html
+    shape — two independent implementations."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.functions.textnorm import ai_text
+
+    def _fn(s):
+        return s.map(ai_text)
+
+    # real-type annotations set explicitly: the module's PEP-563 string
+    # annotations are unresolvable for pandas_udf's signature inspection
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _ai_text_udf = pandas_udf(_fn, "string")
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Page "), d, F.lit("</title>"),
+        F.lit("<script>var x = 1;</script><style>.a { color: red; }</style></head>"),
+        F.lit("<body><nav>Nav Links Here</nav><header>Site Header</header>"),
+        F.lit("<h1>Doc "), d, F.lit("</h1>"),
+        F.lit("<p>First  line with  double  spaces</p>"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("<aside>Aside kept here</aside>")).otherwise(F.lit("")),
+        F.lit("<div>Line one\n  indented  chunk  \ntail</div>"),
+        F.lit("<footer>Footer stuff</footer></body></html>"),
+    )
+    return docs.select(
+        "doc_id", _ai_text_udf(html).alias("ai_text")
+    ).orderBy("doc_id")

@@ -55,8 +55,13 @@ PARSE_SCHEMA = StructType(
 
 def _parse_one(html_bytes) -> dict:
     if html_bytes is None:
-        html = ""
-    elif isinstance(html_bytes, (bytes, bytearray)):
+        # unfetched page (fetch-error row or no pages row): no response ⇒
+        # NULL text, so the byte-identical-text invariant (parse.text ≡
+        # fixture text) holds null-safely; every other field parses-empty
+        out = _EMPTY_PARSE.copy()
+        out["text"] = None
+        return out
+    if isinstance(html_bytes, (bytes, bytearray)):
         # safe_decode — app/utils/text.py:33-37 (utf-8, errors ignored)
         html = bytes(html_bytes).decode("utf-8", errors="ignore")
     else:
@@ -78,6 +83,23 @@ def _parse_one(html_bytes) -> dict:
         "footer_emails": emails,
         "script_texts": p.script_texts,
     }
+
+
+_EMPTY_PARSE = {
+    "text": "",
+    "title": "",
+    "meta_description": "",
+    "heading_title": "",
+    "description": "",
+    "link_hrefs": [],
+    "link_slots": [],
+    "link_texts": [],
+    "footer_text": "",
+    "footer_tel_hrefs": [],
+    "footer_phones": [],
+    "footer_emails": [],
+    "script_texts": [],
+}
 
 
 @pandas_udf(PARSE_SCHEMA)

@@ -449,3 +449,62 @@ def summarize_description(description: str, max_length: int = K.DESCRIPTION_SUMM
     if space_pos > 0:
         return cutoff[:space_pos].strip() + " ..."
     return cutoff.strip() + " ..."
+
+
+# ---------------------------------------------------------------------------
+# P3 — variant-B text (the "AI-extraction" feed)
+# ---------------------------------------------------------------------------
+
+_AI_DECOMPOSE_TAGS = frozenset({"script", "style", "nav", "header", "footer"})
+
+
+class _AiTextScanner(HTMLParser):
+    """Variant-B scanner: decompose script/style/nav/header/footer ONLY
+    (job_extractor.py:260-262 — unlike canonical_text, aside/noscript are
+    KEPT), then document-order text concatenation (get_text())."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._stack: list[bool] = []
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
+        is_skip = tag in _AI_DECOMPOSE_TAGS
+        self._stack.append(is_skip)
+        if is_skip:
+            self._skip += 1
+
+    def handle_startendtag(self, tag, attrs):
+        pass
+
+    def handle_endtag(self, tag):
+        if self._stack:
+            if self._stack.pop():
+                self._skip -= 1
+
+    def handle_data(self, data):
+        if self._skip == 0:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        return "".join(self._parts)
+
+
+def ai_text(html: str) -> str:
+    """P3 — HTML→text variant B (job_extractor.py:257-269): decompose
+    script/style/nav/header/footer, get_text(), then the reference's
+    line/chunk cleanup: per-line strip, split each line on DOUBLE spaces,
+    strip chunks, join the non-empty ones with single spaces."""
+    scanner = _AiTextScanner()
+    try:
+        scanner.feed(html or "")
+        scanner.close()
+    except Exception:
+        pass
+    raw = scanner.text()
+    lines = (line.strip() for line in raw.splitlines())
+    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
+    return " ".join(chunk for chunk in chunks if chunk)

@@ -151,10 +151,37 @@ def init_seed_state(seeds: DataFrame) -> DataFrame:
 def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """"Fetch" = join the pre-fetched pages table (S1: the Iceberg pages
     table IS the fetch cache, SURVEY.md S5); then the single structural
-    parse UDF. Salted repartition defeats hot-host skew in this stage."""
-    fetched = frontier.join(
-        pages.select("url", "warc_ts", "html", "lang"), "url", "left"
-    ).withColumn("fetched", F.col("html").isNotNull())
+    parse UDF. Salted repartition defeats hot-host skew in this stage.
+
+    S1 error taxonomy: the pages table may carry (status, fetch_error) for
+    failed fetches (html NULL); `fetch_error_class` classifies per
+    crawler.py:424-446 and drives the W4 per-class retry. Legacy pages
+    tables without those columns get them as NULLs."""
+    from crawler_ai_spark.functions.errors import fetch_error_class_expr
+
+    page_cols = ["url", "warc_ts", "html", "lang"]
+    right = pages
+    for c in ("status", "fetch_error"):
+        if c in pages.columns:
+            page_cols.append(c)
+        else:
+            right = right.withColumn(
+                c, F.lit(None).cast("int" if c == "status" else "string")
+            )
+            page_cols.append(c)
+    fetched = (
+        frontier.join(right.select(*page_cols), "url", "left")
+        .withColumn("fetched", F.col("html").isNotNull())
+        .withColumn(
+            "fetch_error",
+            # a frontier row with NO pages row at all is a miss — the
+            # reference's generic transport failure, class 'other'
+            F.when(F.col("fetched"), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("fetch_error"), F.lit("fetch miss: no response"))
+            ),
+        )
+        .withColumn("fetch_error_class", fetch_error_class_expr(F.col("fetch_error")))
+    )
     fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
     parsed = with_parse(fetched)
     content_lower = F.lower(F.coalesce(decoded_html(F.col("html")), F.lit("")))
@@ -339,6 +366,7 @@ def run_crawl(
             "seed_url", "url", "priority", "depth", "discovered_seq", "fetched",
             "career_score", "is_career_page", "page_order", "page_bytes",
             F.col("parse.title").alias("title"),
+            "attempt", "status", "fetch_error", "fetch_error_class",
         )
         store.write(batch_id, "visited", visited)
 
@@ -365,11 +393,17 @@ def run_crawl(
         if cfg.max_fetch_attempts > 1:
             # W4 — unfetched rows with budget left re-enter the next batch;
             # they bypass the seen-dedup deliberately (already seen — this
-            # IS the re-fetch of the same URL)
+            # IS the re-fetch of the same URL). Per-class policy
+            # (crawler.py:197-233): permanent failures (404/410 →
+            # not_found) never retry; transient classes (403/429/503,
+            # timeout, connection, dns, other) back off into the next batch.
+            from crawler_ai_spark.functions.errors import is_permanent_error_expr
+
             retries = (
                 gated.where(
                     ~F.col("fetched")
                     & (F.col("attempt") + 1 < F.lit(cfg.max_fetch_attempts))
+                    & ~is_permanent_error_expr(F.col("fetch_error_class"))
                 )
                 .withColumn("attempt", F.col("attempt") + 1)
                 .select(*FRONTIER_COLS)

@@ -167,10 +167,14 @@ engine with sub-second latency on terabyte-scale datasets for analytics.</p>
 
 
 def _services(host: str, company: str, idx: int) -> str:
+    # /our-offices is this site's fetch-error page (status/message cycles
+    # by rank — _ERROR_CYCLE); the path is keyword-neutral so linking it
+    # changes no career score, only schedules the error URL
     body = f"""<h1>Services</h1>
 <p>{company} offers consulting, managed cloud operations and bespoke software
 delivery. Our services teams operate across three time zones with 24/7
-support coverage and strict SLAs for enterprise customers worldwide.</p>"""
+support coverage and strict SLAs for enterprise customers worldwide.</p>
+<a href="/our-offices">Our offices</a>"""
     return _page(f"Services - {company}", body, host, idx)
 
 
@@ -274,8 +278,27 @@ _SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        ("status", pa.int32()),
+        ("fetch_error", pa.string()),
     ]
 )
+
+# bump when the generated corpus changes shape/content so stale fixture
+# dirs regenerate instead of being reused
+_FIXTURE_VERSION = 2
+
+# per-site fetch-error rows (crawler.py:197-233 status ladder, :424-446
+# message taxonomy): the services page links /our-offices, so the crawl
+# reaches these URLs; html is NULL (fetch failed), the class cycles with
+# site rank. Messages are the reference's own strings.
+_ERROR_CYCLE: list[tuple[int | None, str]] = [
+    (404, "Permanent error: HTTP 404 - Not Found"),
+    (410, "Permanent error: HTTP 410 - Gone"),
+    (503, "503 Service Unavailable - server overloaded"),
+    (429, "429 Rate Limited - too many requests"),
+    (403, "403 Forbidden - likely blocked by server"),
+    (None, "Connection timeout to host"),
+]
 
 
 def generate(sf: str, root: pathlib.Path | None = None, force: bool = False) -> pathlib.Path:
@@ -283,16 +306,22 @@ def generate(sf: str, root: pathlib.Path | None = None, force: bool = False) -> 
     n_sites = SF_SITES[sf]
     out_dir = (root or FIXTURE_ROOT) / sf
     marker = out_dir / "_GENERATED"
-    if marker.exists() and not force:
+    if (
+        marker.exists()
+        and not force
+        and marker.read_text().startswith(f"v={_FIXTURE_VERSION} ")
+    ):
         return out_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = random.Random(42)  # reserved for future perturbations; keeps API stable
 
     urls: list[str] = []
     tss: list[dt.datetime] = []
-    htmls: list[bytes] = []
-    texts: list[str] = []
-    langs: list[str] = []
+    htmls: list[bytes | None] = []
+    texts: list[str | None] = []
+    langs: list[str | None] = []
+    statuses: list[int | None] = []
+    errors: list[str | None] = []
     seeds: list[str] = []
     hosts: list[str] = []
     row = 0
@@ -306,7 +335,19 @@ def generate(sf: str, root: pathlib.Path | None = None, force: bool = False) -> 
             htmls.append(html.encode("utf-8"))
             texts.append(canonical_text(html))
             langs.append(lang)
+            statuses.append(200)
+            errors.append(None)
             row += 1
+        # fetch-error row: linked from the services page, html-less
+        status, msg = _ERROR_CYCLE[rank % len(_ERROR_CYCLE)]
+        urls.append(f"https://site{rank}.example/our-offices")
+        tss.append(_BASE_TS + dt.timedelta(minutes=row))
+        htmls.append(None)
+        texts.append(None)
+        langs.append(None)
+        statuses.append(status)
+        errors.append(msg)
+        row += 1
 
     pages_tbl = pa.Table.from_arrays(
         [
@@ -315,6 +356,8 @@ def generate(sf: str, root: pathlib.Path | None = None, force: bool = False) -> 
             pa.array(htmls, pa.binary()),
             pa.array(texts, pa.string()),
             pa.array(langs, pa.string()),
+            pa.array(statuses, pa.int32()),
+            pa.array(errors, pa.string()),
         ],
         schema=_SCHEMA,
     )
@@ -342,7 +385,7 @@ def generate(sf: str, root: pathlib.Path | None = None, force: bool = False) -> 
     )
     pq.write_table(host_rules_tbl, out_dir / "host_rules.parquet")
 
-    marker.write_text(f"sites={n_sites} rows={row}\n")
+    marker.write_text(f"v={_FIXTURE_VERSION} sites={n_sites} rows={row}\n")
     return out_dir
 
 

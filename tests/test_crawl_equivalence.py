@@ -24,7 +24,7 @@ def corpus(fixture_root):
     pages = {
         u: h.decode("utf-8")
         for u, h in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist())
-        if not u.endswith(".xml")
+        if not u.endswith(".xml") and h is not None  # error rows = no response
     }
     seeds = sorted({u for u in pages if u.endswith(".example/")})
     return pages, seeds

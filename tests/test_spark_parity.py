@@ -97,6 +97,8 @@ def test_parse_udf_text_matches_fixture_golden(spark, pages_sf0001):
 
 
 def test_career_listing_and_score_parity(spark, pages_sf0001):
+    # scoring applies to fetched pages; fetch-error rows carry NULL html
+    pages_sf0001 = pages_sf0001.where(F.col("html").isNotNull())
     parsed = with_parse(pages_sf0001.select("url", "html")).select(
         "url",
         decoded_html(F.col("html")).alias("raw"),
@@ -116,6 +118,7 @@ def test_career_listing_and_score_parity(spark, pages_sf0001):
 
 
 def test_emails_parity(spark, pages_sf0001):
+    pages_sf0001 = pages_sf0001.where(F.col("html").isNotNull())
     got = pages_sf0001.select(
         "url", C.emails_expr(decoded_html(F.col("html"))).alias("emails"), "html"
     ).collect()
