@@ -115,7 +115,9 @@ def _careers_cards(host: str, company: str, idx: int, n_jobs: int) -> str:
     body = f"""<h1>Tuyển dụng - {company}</h1>
 <p>Current openings. Work with us — we are hiring talented engineers.
 Ứng tuyển ngay hôm nay để tham gia đội ngũ của chúng tôi.</p>
-{cards}"""
+{cards}
+<a href="/jobs/view/{100 + idx}">Apply fast</a>
+<a href="/tuyen-dung/ky-su-{idx}">Ứng tuyển nhanh</a>"""
     return _page(f"Tuyển dụng | {company}", body, host, idx)
 
 
@@ -285,7 +287,10 @@ _SCHEMA = pa.schema(
 
 # bump when the generated corpus changes shape/content so stale fixture
 # dirs regenerate instead of being reused
-_FIXTURE_VERSION = 2
+# v3: card career pages link reference-accepted job-URL shapes
+# (/jobs/view/<id>, /tuyen-dung/ky-su-<n>) so the loop's F3 accept path
+# (job_urls table) is exercised end-to-end
+_FIXTURE_VERSION = 3
 
 # per-site fetch-error rows (crawler.py:197-233 status ladder, :424-446
 # message taxonomy): the services page links /our-offices, so the crawl

@@ -45,6 +45,7 @@ def simulate_crawl(
     frontier = [Entry(s, 100, 0, 0, None, s) for s in seed_urls]
     visited_rows: list[dict] = []
     career_rows: list[dict] = []
+    job_url_rows: set[tuple[str, str, str]] = set()
     frontier_rows: list[dict] = [
         dict(batch=0, seed=e.seed, url=e.url, priority=e.priority, depth=e.depth, seq=e.seq)
         for e in frontier
@@ -82,6 +83,15 @@ def simulate_crawl(
                             depth=e.depth, seq=e.seq,
                         )
                     )
+                    # job URLs (spider :743-826): ALL links of a career
+                    # page, urljoined, F3-classified, distinct — no
+                    # validity/budget/same-domain gates
+                    for h, _, _ in parse.out_links:
+                        if not h:
+                            continue
+                        ju = urlrules.canonicalize(e.url, h)
+                        if urlrules.is_job_url(ju):
+                            job_url_rows.add((e.seed, e.url, ju))
             visited_rows.append(
                 dict(
                     batch=batch, seed=e.seed, url=e.url, priority=e.priority,
@@ -126,4 +136,5 @@ def simulate_crawl(
         "career_pages": career_rows,
         "frontier": frontier_rows,
         "seen": {s: sorted(v) for s, v in seen.items()},
+        "job_urls": sorted(job_url_rows),
     }

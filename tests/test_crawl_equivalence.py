@@ -111,3 +111,16 @@ def test_frontier_order_matches(golden, spark_run):
         )
     for key in set(spark_order) | set(golden_order):
         assert sorted(spark_order.get(key, [])) == sorted(golden_order.get(key, [])), key
+
+
+def test_job_urls_match_and_nonempty(golden, spark_run):
+    """F3 accept path INSIDE the loop: card career pages link
+    reference-accepted job-URL shapes (/jobs/view/<id>,
+    /tuyen-dung/ky-su-<n>), so the job_urls table must be non-empty and
+    equal the golden simulator's set."""
+    store, summary = spark_run
+    rows = store.read_all("job_urls", summary["last_batch"]).collect()
+    got = {(r.seed_url, r.career_url, r.job_url) for r in rows}
+    expected = set(map(tuple, golden["job_urls"]))
+    assert expected, "golden simulator found no job URLs — fixtures regressed"
+    assert got == expected
