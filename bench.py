@@ -42,7 +42,9 @@ BENCH_QUERY_NAMES = [
     "events_sessionize",      # windows
     "doc_minhash_dups",       # MinHash LSH dedup
     "doc_stats",              # text curation pass
-    "emb_topk",               # similarity search
+    "emb_topk",               # similarity search (exact verifier)
+    "emb_ann_topk",           # similarity search (LSH scale path)
+    "job_cards_extract",      # 26-pattern card extraction (regex-heavy scan)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

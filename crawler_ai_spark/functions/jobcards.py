@@ -77,6 +77,43 @@ _LOOKAHEAD_IDX = 3
 _LOOKAHEAD_RE2 = r"Solution Delivery Engineer(\s+Intern)?"
 _LOOKAHEAD_KEEP = "solution delivery engineer"  # lower(match) must equal this
 
+# Cheap pre-gates, aligned with CARD_PATTERNS: a pattern's regex runs only
+# when lower(text) CONTAINS one of these literals. Each gate is IMPLIED by
+# any match of its pattern ((?iu) simple folding == lower() for this
+# alphabet), so gating is a pure optimization — the generic patterns
+# backtrack O(len²) per row, and on keyword-free text the gate skips them.
+# None = ungated (no safe cheap literal, e.g. the bare date pattern).
+CARD_PATTERN_GATES: list[tuple[str, ...] | None] = [
+    ("thực tập sinh business analyst",),
+    ("technical solution manager",),
+    ("solution delivery engineer intern",),
+    ("solution delivery engineer",),
+    ("biplus intern",),
+    ("bd manager",),
+    ("business development assistant",),
+    ("java developer (định hướng lead team)",),
+    ("java developer",),
+    ("flutter developer",),
+    ("quản lý nhân sự",),
+    ("thực tập sinh hành chính nhân sự",),
+    ("am - account management",),
+    ("biplus internship program",),
+    ("bd manager - quản lý nhóm phát triển kinh doanh",),
+    ("project management",),
+    ("nhân viên kế toán",),
+    ("trợ lý kinh doanh",),
+    ("singapore only", "fully remote", "remote"),
+    ("[remote-hn]",),
+    ("[remote]",),
+    ("tuyển dụng",),
+    None,
+    ("developer", "engineer", "manager", "analyst", "specialist",
+     "marketing", "test", "freelancer", "assistant", "intern"),
+    ("chuyên viên", "nhân viên", "quản lý", "trưởng phòng",
+     "giám đốc", "phó giám đốc"),
+    ("thực tập sinh", "intern", "trainee", "apprentice"),
+]
+
 TITLE_KEYWORDS = (
     "developer", "engineer", "manager", "analyst",
     "specialist", "assistant", "designer",
@@ -140,11 +177,21 @@ CARD_FIXTURE_BLOBS: list[str] = [
 def card_matches_expr(text: Column) -> Column:
     """ARRAY<STRING> of full-match (group 0) job_texts, in (pattern order,
     match order) — exactly finditer order across the ordered pattern list
-    (:2247-2251). Pure JVM: one regexp_extract_all per pattern."""
-    arrs = [
-        F.regexp_extract_all(text, F.lit("(?siu)" + p), F.lit(0))
-        for p in CARD_PATTERNS
-    ]
+    (:2247-2251). Pure JVM: one regexp_extract_all per pattern, each behind
+    its contains-gate (see CARD_PATTERN_GATES — identical output, ~8× less
+    regex work on natural text)."""
+    low = F.lower(text)
+    empty = F.array().cast("array<string>")
+    arrs = []
+    for p, gates in zip(CARD_PATTERNS, CARD_PATTERN_GATES):
+        extract = F.regexp_extract_all(text, F.lit("(?siu)" + p), F.lit(0))
+        if gates is None:
+            arrs.append(extract)
+            continue
+        hit = F.lit(False)
+        for g in gates:
+            hit = hit | low.contains(g)
+        arrs.append(F.when(hit, extract).otherwise(empty))
     return F.concat(*arrs)
 
 
@@ -256,6 +303,14 @@ def extract_job_cards(
     occurrence per (page, clean_title) wins → 1-based job_index in match
     order. One posexplode + one window shuffle on (page, clean_title) —
     text never joins anything, so the op scales as a linear scan."""
+    # The pattern scan is CPU-bound (~5-10 ms/page), not IO-bound: a small
+    # parquet source arrives as ONE partition and would serialize the whole
+    # scan onto one core. Spread it when (and only when) the source has
+    # fewer partitions than cores — at real corpus scale the source already
+    # has thousands of partitions and no shuffle happens here.
+    target = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     matched = pages.select(
         F.col(id_col),
         F.posexplode(card_matches_expr(F.col(text_col))).alias("pos", "job_text"),
