@@ -3177,3 +3177,71 @@ def q_ai_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", _ai_text_udf(html).alias("ai_text")
     ).orderBy("doc_id")
+
+
+@_register(
+    "head_precheck",
+    # S2 — HEAD availability pre-check (crawler.py:103-134): ok statuses
+    # pass, 404/410 are permanent skips, other statuses carry the reason,
+    # a failed HEAD (NULL status) leaves availability UNKNOWN (try GET)
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+    CASE doc_id % 7 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302
+         WHEN 3 THEN 404 WHEN 4 THEN 410 WHEN 5 THEN 503 ELSE NULL END AS status,
+    CASE doc_id % 7 WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently'
+         WHEN 2 THEN 'Found' WHEN 3 THEN 'Not Found' WHEN 4 THEN 'Gone'
+         WHEN 5 THEN 'Service Unavailable' ELSE NULL END AS reason
+  FROM documents
+)
+SELECT doc_id, CAST(status AS VARCHAR) AS status,
+  CAST(CASE WHEN status IS NULL THEN NULL
+       WHEN status IN (200, 301, 302, 303, 307, 308) THEN TRUE
+       ELSE FALSE END AS VARCHAR) AS available,
+  CASE WHEN status IS NULL THEN 'head failed'
+       WHEN status IN (200, 301, 302, 303, 307, 308) THEN NULL
+       WHEN status IN (404, 410) THEN 'Permanent error: HTTP ' || status
+       ELSE 'HTTP ' || status || ' - ' || reason END AS error
+FROM h ORDER BY doc_id
+""",
+)
+def q_head_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — HEAD pre-check as a status predicate over the pages/probe
+    table: the frontier filter form of check_url_availability
+    (crawler.py:103-134). 404/410 rows never reach the GET stage."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    status = (
+        F.when(m == 0, 200).when(m == 1, 301).when(m == 2, 302)
+        .when(m == 3, 404).when(m == 4, 410).when(m == 5, 503)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    reason = (
+        F.when(m == 0, "OK").when(m == 1, "Moved Permanently")
+        .when(m == 2, "Found").when(m == 3, "Not Found").when(m == 4, "Gone")
+        .when(m == 5, "Service Unavailable").otherwise(F.lit(None).cast("string"))
+    )
+    h = docs.select("doc_id", status.alias("status"), reason.alias("reason"))
+    ok = F.col("status").isin(200, 301, 302, 303, 307, 308)
+    return h.select(
+        "doc_id",
+        # string status: a nullable int column canonicalizes as float NaN
+        # on one engine and None on the other in the driver's gate
+        F.col("status").cast("string").alias("status"),
+        F.when(F.col("status").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(ok)
+        .cast("string")
+        .alias("available"),
+        F.when(F.col("status").isNull(), F.lit("head failed"))
+        .when(ok, F.lit(None).cast("string"))
+        .when(
+            F.col("status").isin(404, 410),
+            F.concat(F.lit("Permanent error: HTTP "), F.col("status").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTP "), F.col("status").cast("string"), F.lit(" - "), F.col("reason")
+            )
+        )
+        .alias("error"),
+    ).orderBy("doc_id")
