@@ -53,6 +53,11 @@ class CrawlConfig:
     host_budget_per_batch: int | None = None          # W2 politeness cap
     salt_buckets: int = FR.PARSE_SALT_BUCKETS
     use_bloom: bool = False                           # D2 bloom prefilter (operators/seen.py)
+    # fixed per-bucket bloom capacity so every batch's DELTA blob shares m
+    # and OR-merges into one blob per bucket (incremental build: each batch
+    # hashes only its fresh keys, never the full seen set). Size for the
+    # expected total keys per bucket at the target crawl scale.
+    bloom_keys_per_bucket: int = 4096
     # W4 — transient-fetch retry budget (crawler.py:157, :199-248): an
     # unfetched frontier row re-enters the NEXT batch with attempt+1 until
     # attempt+1 >= max_fetch_attempts. 1 = no retries (the fixture corpus
@@ -73,7 +78,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         self.spark = spark
@@ -259,13 +264,16 @@ def next_frontier(
     seed_state: DataFrame,
     use_bloom: bool = False,
     cache_registry: list | None = None,
+    blooms: DataFrame | None = None,
 ) -> DataFrame:
     """Links of yield-allowed pages → scheduled child frontier rows.
 
     ``use_bloom`` routes the seen-dedup through the partitioned bloom
     prefilter (operators/seen.dedup_with_bloom — identical output, only
     the bloom-"maybe" residue pays the exact check); the default exact
-    anti-join is the sandbox-scale fast path."""
+    anti-join is the sandbox-scale fast path. Pass ``blooms`` (e.g. the
+    OR-merge of committed per-batch delta blobs) to skip the full
+    rebuild-from-seen — the incremental path run_crawl uses."""
     yielding = gated.where(F.col("yields_links")).select(
         "seed_url", "seed_host", "url", "depth", "page_order", "parse"
     )
@@ -276,7 +284,8 @@ def next_frontier(
     if use_bloom:
         from crawler_ai_spark.operators import seen as SN
 
-        blooms = SN.build_bloom(seen.select("url_hash"))
+        if blooms is None:
+            blooms = SN.build_bloom(seen.select("url_hash"))
         fresh = SN.dedup_with_bloom(
             candidates, seen, blooms, cache_registry=cache_registry
         )
@@ -336,12 +345,24 @@ def run_crawl(
     cfg = cfg or CrawlConfig()
     store = CrawlStore(spark, state_root)
 
+    if cfg.use_bloom:
+        from crawler_ai_spark.operators import seen as SN
+
     done = store.committed_batches() if resume else []
     if not done:
         f0 = init_frontier(seeds)
         store.write(0, "frontier", f0)
         store.write(0, "seen_delta", f0.select("url_hash", "url", "seed_url"))
         store.write(0, "seed_state", init_seed_state(seeds))
+        if cfg.use_bloom:
+            store.write(
+                0,
+                "bloom_delta",
+                SN.build_bloom(
+                    f0.select("url_hash"),
+                    expected_keys_per_bucket=cfg.bloom_keys_per_bucket,
+                ),
+            )
         store.commit(0)
         start = 1
     else:
@@ -385,8 +406,17 @@ def run_crawl(
         store.write(batch_id, "metrics", batch_metrics(gated, batch_id))
 
         batch_caches: list = []
+        # incremental seen-filter: OR-merge the committed per-batch delta
+        # blobs (fixed m — cfg.bloom_keys_per_bucket) instead of re-hashing
+        # the entire seen set; per-batch bloom cost is O(|delta|)
+        blooms = (
+            SN.merge_blooms(store.read_all("bloom_delta", prev))
+            if cfg.use_bloom
+            else None
+        )
         fresh, candidates = next_frontier(
-            gated, seen, seed_state, cfg.use_bloom, cache_registry=batch_caches
+            gated, seen, seed_state, cfg.use_bloom,
+            cache_registry=batch_caches, blooms=blooms,
         )
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
@@ -411,6 +441,15 @@ def run_crawl(
             new_frontier = new_frontier.unionByName(retries)
         store.write(batch_id, "frontier", new_frontier)
         store.write(batch_id, "seen_delta", fresh.select("url_hash", "url", "seed_url"))
+        if cfg.use_bloom:
+            store.write(
+                batch_id,
+                "bloom_delta",
+                SN.build_bloom(
+                    fresh.select("url_hash"),
+                    expected_keys_per_bucket=cfg.bloom_keys_per_bucket,
+                ),
+            )
 
         # advance per-seed counters; seq_offset advances over ALL yielded
         # candidates (pre-dedup — queue order is assigned at yield time)

@@ -168,3 +168,35 @@ def test_robots_parse_and_gate(spark):
         "id LONG, url STRING, host STRING",
     )
     assert sorted(r.id for r in apply_robots(frontier, rules).collect()) == [2, 3, 5]
+
+
+def test_incremental_delta_blooms_equal_full_rebuild(spark):
+    """OR-merged per-batch delta blobs (fixed m via
+    expected_keys_per_bucket) must be BITMAP-identical to one build over
+    the union of keys — the invariant behind the crawl loop's incremental
+    bloom path."""
+    from crawler_ai_spark.operators import seen as S
+
+    batches = [
+        [(i * 2654435761 % (1 << 31),) for i in range(lo, hi)]
+        for lo, hi in [(0, 400), (400, 900), (900, 1000)]
+    ]
+    deltas = [
+        S.build_bloom(
+            spark.createDataFrame(b, "url_hash LONG"),
+            n_buckets=16,
+            expected_keys_per_bucket=256,
+        )
+        for b in batches
+    ]
+    merged = S.merge_blooms(deltas[0].unionByName(deltas[1]).unionByName(deltas[2]))
+    full = S.build_bloom(
+        spark.createDataFrame([r for b in batches for r in b], "url_hash LONG"),
+        n_buckets=16,
+        expected_keys_per_bucket=256,
+    )
+    m = {r.bucket_id: bytes(r.bitmap) for r in merged.collect()}
+    f = {r.bucket_id: bytes(r.bitmap) for r in full.collect()}
+    assert m == f
+    # and exactly one blob per bucket survived the merge (same m everywhere)
+    assert merged.count() == len(m)
