@@ -308,9 +308,12 @@ def extract_job_cards(
     # scan onto one core. Spread it when (and only when) the source has
     # fewer partitions than cores — at real corpus scale the source already
     # has thousands of partitions and no shuffle happens here.
+    # hash on the page id (not round-robin): HashPartitioning(id) satisfies
+    # both downstream windows' clustering ((id, title) and (id)), so the
+    # dedup+index stage runs with NO further exchange — sorts only
     target = pages.sparkSession.sparkContext.defaultParallelism
     if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target)
+        pages = pages.repartition(target, F.col(id_col))
     matched = pages.select(
         F.col(id_col),
         F.posexplode(card_matches_expr(F.col(text_col))).alias("pos", "job_text"),
