@@ -315,6 +315,13 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
             F.count("*").alias("scheduled"),
             F.sum(F.col("fetched").cast("long")).alias("fetched"),
             F.sum((~F.col("fetched")).cast("long")).alias("fetch_errors"),
+            # S1 taxonomy breakdown: permanent (never retried) vs transient
+            F.sum(
+                (F.col("fetch_error_class") == "not_found").cast("long")
+            ).alias("permanent_errors"),
+            F.sum(
+                (~F.col("fetched") & (F.coalesce(F.col("fetch_error_class"), F.lit("")) != "not_found")).cast("long")
+            ).alias("transient_errors"),
             F.sum(F.col("is_career_page").cast("long")).alias("career_pages"),
             F.sum("page_bytes").alias("bytes"),
             F.approx_count_distinct("host").alias("hosts"),
