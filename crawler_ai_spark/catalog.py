@@ -3245,3 +3245,52 @@ def q_head_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("error"),
     ).orderBy("doc_id")
+
+
+def _detection_pipeline_oracle() -> str:
+    # compose the two component oracles as subqueries (their trailing
+    # ORDER BYs are legal-and-ignored inside FROM) — the composition IS the
+    # flagship endpoint flow: F5 gate -> C3 confidence -> O3 per-host top-3
+    er = ORACLES["early_rejection"]
+    c3 = ORACLES["url_career_confidence"]
+    return f"""
+WITH er AS (SELECT * FROM ({er}) t1),
+conf AS (SELECT * FROM ({c3}) t2),
+joined AS (
+  SELECT conf.doc_id, conf.url, conf.confidence, conf.is_career_page,
+         'site' || CAST(conf.doc_id % 37 AS VARCHAR) || '.example.com' AS host
+  FROM conf JOIN er ON conf.doc_id = er.doc_id
+  WHERE er.rejection_reason IS NULL
+),
+ranked AS (
+  SELECT host, url, confidence,
+         row_number() OVER (PARTITION BY host ORDER BY confidence DESC, url) AS rank
+  FROM joined WHERE is_career_page
+)
+SELECT host, rank, url, confidence FROM ranked WHERE rank <= 3
+ORDER BY host, rank
+"""
+
+
+@_register("career_detection_pipeline", oracle=_detection_pipeline_oracle())
+def q_career_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.1 — the flagship detect_career_pages flow composed as ONE
+    DataFrame plan: F5 early-rejection gate → C3 URL confidence → keep
+    career pages → O3 per-host top-3 by confidence. One window shuffle;
+    both scoring stages are pure expressions over the scan."""
+    from crawler_ai_spark.functions.confidence import career_confidence_expr
+    from crawler_ai_spark.functions.detector import early_rejection_reason_expr
+
+    urls = synth_urls(spark, sf_dir)
+    survivors = urls.where(early_rejection_reason_expr(F.col("url")).isNull())
+    scored = survivors.withColumn("c", career_confidence_expr(F.col("url")))
+    career = scored.where(F.col("c.is_career_page")).select(
+        "host", "url", F.col("c.confidence").alias("confidence")
+    )
+    w = Window.partitionBy("host").orderBy(F.col("confidence").desc(), F.col("url").asc())
+    return (
+        career.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("host", "rank", "url", "confidence")
+        .orderBy("host", "rank")
+    )
