@@ -2502,7 +2502,8 @@ prefixes AS (
   SELECT b.host, p
   FROM blocks b
   JOIN star_blocks s ON b.host = s.host AND b.block_id = s.block_id,
-       unnest(regexp_extract_all(b.frag, '(?im)^\\s*disallow:\\s*(\\S*)\\s*$', 1)) AS t(p)
+       unnest(regexp_extract_all(b.frag,
+         '(?im)^[^\\S\\n]*disallow:[^\\S\\n]*(\\S*)[^\\S\\n]*$', 1)) AS t(p)
   WHERE p <> ''
 )
 SELECT bodies.host,

@@ -28,7 +28,10 @@ _STAR_GROUP_RX = (
     r"(?:[^\S\n]*user-agent:[^\n]*\n)*"
     r"(.*?)(?=user-agent:|\z)"
 )
-_DISALLOW_RX = r"(?im)^\s*disallow:\s*(\S*)\s*$"
+# [^\S\n] (line-local whitespace), NOT \s: a greedy \s* after the colon
+# would cross the newline of an empty "Disallow:" line and capture the
+# NEXT line's text as the value (found by the hypothesis property test)
+_DISALLOW_RX = r"(?im)^[^\S\n]*disallow:[^\S\n]*(\S*)[^\S\n]*$"
 
 
 def parse_robots(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
