@@ -153,3 +153,153 @@ def test_error_classifier_property(spark, msgs):
     }
     for i, t in enumerate(texts):
         assert got[i] == _classify_reference(t), (t, got[i])
+
+
+# --------------------------------------------------------------------------
+# P9b — job-card extraction vs the REFERENCE EXECUTED on random pages
+# --------------------------------------------------------------------------
+
+_CARD_WORDS = [
+    "Java Developer", "Solution Delivery Engineer", "Intern", "Thực tập sinh",
+    "Business Analyst", "BD Manager", "Nhân viên kế toán", "Quản lý nhân sự",
+    "Singapore Only", "Fully Remote", "Remote", "See Details", "See", "Apply",
+    "View", "[Remote-HN]", "[Remote]", "Tuyển dụng", "12/05/2024:", "01/02/2025:",
+    "mức lương: 2000 USD", "nơi làm việc: Hà Nội", "salary: $90k", "full-time",
+    "parttime", "hợp đồng", "thực tập", "com", "và", "-", "một đoạn văn thường",
+    "the quick brown fox", "Giám đốc", "kinh doanh", "Chuyên viên",
+]
+
+
+@st.composite
+def card_page(draw):
+    lines = []
+    for _ in range(draw(st.integers(1, 7))):
+        words = draw(st.lists(st.sampled_from(_CARD_WORDS), min_size=0, max_size=6))
+        sep = draw(st.sampled_from([" ", "  "]))
+        lines.append(sep.join(words))
+    return "\n".join(lines)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(card_page(), min_size=1, max_size=12))
+def test_job_cards_random_reference_parity(spark, pages):
+    """Random job-ish pages through BOTH the reference's
+    _extract_jobs_from_cards (executed) and the Spark pipeline."""
+    import sys
+    import types
+
+    sys.modules.setdefault("bs4", types.ModuleType("bs4"))
+    sys.modules["bs4"].BeautifulSoup = object
+    sys.modules.setdefault("aiohttp", types.ModuleType("aiohttp"))
+    for n in ("ClientSession", "ClientTimeout", "TCPConnector"):
+        setattr(sys.modules["aiohttp"], n, object)
+    sys.path.insert(0, "/root/reference")
+    import logging
+
+    logging.disable(logging.CRITICAL)
+    from app.services.job_extraction_service import JobExtractionService
+
+    from crawler_ai_spark.functions import jobcards as JC
+
+    class Soup:
+        def __init__(self, t):
+            self._t = t
+
+        def get_text(self):
+            return self._t
+
+    jes = JobExtractionService()
+    fields = ("job_index", "title", "location", "job_type", "salary", "description")
+    want = {
+        i: [tuple(j.get(f) for f in fields) for j in jes._extract_jobs_from_cards(Soup(t), "https://x.vn/c")]
+        for i, t in enumerate(pages)
+    }
+    df = spark.createDataFrame(list(enumerate(pages)), "doc_id INT, text STRING")
+    rows = JC.dedup_job_cards(JC.extract_job_cards(df)).orderBy("doc_id", "job_index").collect()
+    got: dict[int, list[tuple]] = {i: [] for i, _ in enumerate(pages)}
+    for r in rows:
+        got[r.doc_id].append(tuple(r[f] for f in fields))
+    assert got == want, {
+        i: {"got": got[i], "want": want[i], "page": pages[i]}
+        for i in got
+        if got[i] != want[i]
+    }
+
+
+# --------------------------------------------------------------------------
+# F7b — element check vs the REFERENCE EXECUTED on random elements
+# --------------------------------------------------------------------------
+
+_EL_WORDS = [
+    "job", "career", "hiring", "tuyển dụng", "việc làm", "developer",
+    "full-time", "remote", "salary", "apply", "work", "experience",
+    "mưa rơi trên phố", "sản phẩm", "the", "of", "x",
+]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_EL_WORDS), min_size=0, max_size=12),
+            st.booleans(),
+            st.sampled_from(["", "job-card", "menu item", "career list"]),
+            st.sampled_from(["", "career-1", "main"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_element_check_random_reference_parity(spark, cases):
+    import sys
+    import types
+
+    sys.modules.setdefault("bs4", types.ModuleType("bs4"))
+    sys.modules["bs4"].BeautifulSoup = object
+    sys.modules.setdefault("aiohttp", types.ModuleType("aiohttp"))
+    for n in ("ClientSession", "ClientTimeout", "TCPConnector"):
+        setattr(sys.modules["aiohttp"], n, object)
+    sys.path.insert(0, "/root/reference")
+    from app.services.element_checker import check_element_for_job
+
+    from crawler_ai_spark.functions import elements as EL
+
+    class El:
+        def __init__(self, text, has_data, cls, id_):
+            self._t = text
+            self._a = {}
+            if has_data:
+                self._a["data-job"] = "1"
+            if cls:
+                self._a["class"] = cls.split()
+            if id_:
+                self._a["id"] = id_
+
+        def get_text(self, strip=False):
+            return self._t.strip() if strip else self._t
+
+        def get(self, k, d=None):
+            return self._a.get(k, d)
+
+    texts = [(" ".join(ws), hd, cls, id_) for ws, hd, cls, id_ in cases]
+    want = []
+    for t, hd, cls, id_ in texts:
+        r = check_element_for_job(El(t, hd, cls, id_), "https://x.vn/c")
+        want.append((round(r["confidence"], 9), r["is_likely_job"], r["reason"]))
+    df = spark.createDataFrame(
+        [(i, t, hd, cls, id_) for i, (t, hd, cls, id_) in enumerate(texts)],
+        "i INT, text STRING, hd BOOLEAN, cls STRING, idt STRING",
+    )
+    rows = (
+        df.withColumn(
+            "c",
+            EL.element_job_check_expr(F.col("text"), F.col("hd"), F.col("cls"), F.col("idt")),
+        )
+        .select("i", "c.confidence", "c.is_likely_job", "c.reason")
+        .orderBy("i")
+        .collect()
+    )
+    for i, r in enumerate(rows):
+        assert (round(r.confidence, 9), r.is_likely_job, r.reason) == want[i], (
+            texts[i], (r.confidence, r.is_likely_job, r.reason), want[i],
+        )
