@@ -3295,3 +3295,101 @@ def q_career_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "rank", "url", "confidence")
         .orderBy("host", "rank")
     )
+
+
+@_register(
+    "job_url_pipeline",
+    # §3.2 extract_job_urls composed: F3 accept gate -> C4 link score ->
+    # O4 global sort + O8 limit. Component oracles reused as subqueries.
+    oracle=None,  # set below — needs ORACLES entries registered above
+)
+def q_job_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 — the extract_job_urls endpoint as one plan: classify
+    every candidate URL (F3), keep accepted, score each link (C4), global
+    sort by score then url (O4/O6), top 50 (O8 — TakeOrderedAndProject,
+    no single-partition window)."""
+    from crawler_ai_spark.functions.scoring import job_link_score_expr
+
+    urls = synth_urls(spark, sf_dir)
+    anchor = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Apply now"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Tuyển dụng"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("Read more"))
+        .otherwise(F.lit("Open position"))
+    )
+    accepted = urls.where(FL.is_job_url_expr(F.col("url")))
+    scored = accepted.select(
+        "doc_id", "url", job_link_score_expr(F.col("url"), anchor).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("url").asc()).limit(50)
+
+
+ORACLES["job_url_pipeline"] = f"""
+WITH cls AS (SELECT * FROM ({ORACLES["job_url_classify"]}) t1),
+sc AS (SELECT * FROM ({ORACLES["job_link_score"]}) t2)
+SELECT sc.doc_id, sc.url, sc.score
+FROM sc JOIN cls ON sc.doc_id = cls.doc_id
+WHERE cls.is_job_url
+ORDER BY sc.score DESC, sc.url ASC LIMIT 50
+"""
+
+
+@_register(
+    "job_details_pipeline",
+    oracle=None,  # set below
+)
+def q_job_details_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 — extract_job_details composed: P9 fields + P10 title
+    clean + P12 summary + C6 quality in ONE pass over the shared input
+    (no self-joins — every stage is an expression over the same scan)."""
+    from crawler_ai_spark.functions import jobs as J
+
+    docs = _t(spark, sf_dir, "documents")
+    cards = _cards(spark, sf_dir)
+    joined = docs.select("doc_id", "text").join(cards, "doc_id")
+    title_raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("  Senior <b>Java</b> Developer Fully Remote "))
+        .when(F.col("doc_id") % 4 == 1, F.lit("com Business   Analyst See Details"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("DevOps Engineer"))
+        .otherwise(F.lit("QA   Engineer Remote"))
+    )
+    out = joined.select(
+        "doc_id",
+        J.clean_title_expr(title_raw).alias("title"),
+        J.job_type_expr(F.col("card")).alias("job_type"),
+        J.location_expr(F.col("card")).alias("location"),
+        J.salary_expr(F.col("card")).alias("salary"),
+        J.summarize_description_expr(F.col("text")).alias("summary"),
+    )
+    cols = {
+        "title": F.col("title"),
+        "description": F.col("summary"),
+        "url": F.concat(F.lit("https://x"), F.col("doc_id").cast("string")),
+        "location": F.col("location"),
+        "job_type": F.col("job_type"),
+        "company": F.lit(None).cast("string"),
+        "salary": F.col("salary"),
+        "posted_date": F.lit(None).cast("string"),
+    }
+    from crawler_ai_spark.functions.jobs import completeness_expr
+
+    return out.withColumn("completeness", completeness_expr(cols)).orderBy("doc_id")
+
+
+ORACLES["job_details_pipeline"] = f"""
+WITH tc AS (SELECT * FROM ({ORACLES["title_clean"]}) t1),
+jf AS (SELECT * FROM ({ORACLES["job_fields_extract"]}) t2),
+ds AS (SELECT * FROM ({ORACLES["description_summarize"]}) t3)
+SELECT tc.doc_id, tc.title, jf.job_type, jf.location, jf.salary, ds.summary,
+       round((
+         (CASE WHEN tc.title IS NOT NULL AND trim(tc.title) <> '' THEN 1.0 ELSE 0.0 END
+          + CASE WHEN ds.summary IS NOT NULL AND trim(ds.summary) <> '' THEN 1.0 ELSE 0.0 END
+          + 1.0) / 3.0 * 0.8
+         + (CASE WHEN jf.location IS NOT NULL AND trim(jf.location) <> '' THEN 1.0 ELSE 0.0 END
+            + CASE WHEN jf.job_type IS NOT NULL AND trim(jf.job_type) <> '' THEN 1.0 ELSE 0.0 END
+            + CASE WHEN jf.salary IS NOT NULL AND trim(jf.salary) <> '' THEN 1.0 ELSE 0.0 END
+           ) / 5.0 * 0.2
+       ), 6) AS completeness
+FROM tc JOIN jf ON tc.doc_id = jf.doc_id JOIN ds ON tc.doc_id = ds.doc_id
+ORDER BY tc.doc_id
+"""
