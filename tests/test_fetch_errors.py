@@ -96,3 +96,57 @@ def test_success_rows_have_no_error(crawl_with_retries):
     miss = vis[~vis.fetched & vis.status.isna()]
     assert len(miss) > 0
     assert set(miss.fetch_error_class) <= {"other", "timeout"}
+
+
+def test_host_budget_defers_without_loss(spark, fixture_root, tmp_path_factory):
+    """W2 politeness INSIDE the loop: with a per-host budget, no batch
+    schedules more than the budget per host, and deferred rows re-enter
+    later batches — the final visited set equals the unbudgeted crawl's
+    (nothing is lost, only delayed)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").distinct().collect() if r.url.endswith(".example/")
+    )[:4]
+    seeds = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+
+    def run(budget, batches, root):
+        run_crawl(
+            spark, pages, seeds, root,
+            CrawlConfig(max_batches=batches, parallelism=8, host_budget_per_batch=budget),
+        )
+        return CrawlStore(spark, root)
+
+    free = run(None, 6, tmp_path_factory.mktemp("free"))
+    capped = run(3, 12, tmp_path_factory.mktemp("capped"))
+
+    # per (batch, host): scheduled rows never exceed the budget
+    last = max(capped.committed_batches())
+    for b in capped.committed_batches():
+        if b == 0:
+            continue
+        counts = (
+            capped.read("visited", b)
+            .groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+            .count()
+            .collect()
+        )
+        for r in counts:
+            assert r["count"] <= 3, (b, r.host, r["count"])
+
+    # deferral, not loss: same final visited URL set per seed
+    free_last = max(free.committed_batches())
+    a = {
+        (r.seed_url, r.url)
+        for r in free.read_all("visited", free_last).select("seed_url", "url").collect()
+    }
+    bset = {
+        (r.seed_url, r.url)
+        for r in capped.read_all("visited", last).select("seed_url", "url").collect()
+    }
+    assert a == bset
