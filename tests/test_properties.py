@@ -303,3 +303,18 @@ def test_element_check_random_reference_parity(spark, cases):
         assert (round(r.confidence, 9), r.is_likely_job, r.reason) == want[i], (
             texts[i], (r.confidence, r.is_likely_job, r.reason), want[i],
         )
+
+
+def test_lsh_signature_impls_agree(spark):
+    """The BLAS-matmul signature (scale path) and the JVM expression
+    signature (cross-check) must land every vector in the same buckets."""
+    from pyspark.sql import functions as F
+
+    from crawler_ai_spark.pipeline import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = SIM.with_lsh_signature(emb, 64, 8, 6, impl="jvm").select("vec_id", "sig")
+    b = SIM.with_lsh_signature(emb, 64, 8, 6, impl="pandas").select(
+        "vec_id", F.col("sig").alias("sig2")
+    )
+    assert a.join(b, "vec_id").where(F.col("sig") != F.col("sig2")).count() == 0
