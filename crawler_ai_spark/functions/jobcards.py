@@ -231,7 +231,6 @@ def card_location_expr(title: Column, job_text: Column) -> Column:
     """Location: the card path overrides from the ORIGINAL title
     (:2276-2281, case-sensitive substring checks) and otherwise keeps
     _extract_location_from_text's first valid pattern hit (:2406-2430)."""
-    from_text = F.lit(None).cast("string")
     chain = None
     for p in LOCATION_PATTERNS:
         raw = F.trim(F.regexp_extract(job_text, "(?iu)" + p, 1))

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--host-budget", type=int, default=None,
                     help="max URLs per host per batch (politeness W2)")
     ap.add_argument("--bloom", action="store_true", help="bloom-prefiltered seen dedup")
+    ap.add_argument("--bloom-keys", type=int, default=4096,
+                    help="per-bucket bloom capacity (fixes m so per-batch "
+                         "delta blobs OR-merge; size for total keys/bucket)")
     ap.add_argument("--max-attempts", type=int, default=1,
                     help="fetch attempts per URL (W4 retry rows; 1 = no retry)")
     ap.add_argument("--resume", action="store_true")
@@ -78,6 +81,7 @@ def main() -> None:
             parallelism=args.parallelism or spark.sparkContext.defaultParallelism,
             host_budget_per_batch=args.host_budget,
             use_bloom=args.bloom,
+            bloom_keys_per_bucket=args.bloom_keys,
             max_fetch_attempts=args.max_attempts,
         )
         summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
