@@ -3062,7 +3062,10 @@ WITH cards AS (
   FROM documents
 ),
 tl AS (
-  SELECT doc_id, list_filter([{tech_list}], t -> contains(blow, t)) AS techs
+  -- list_distinct: ALL_TECHNOLOGIES carries duplicate entries (swift,
+  -- kotlin) and Spark's technologies_expr applies array_distinct — without
+  -- it the oracle double-counts those techs on any corpus containing them
+  SELECT doc_id, list_distinct(list_filter([{tech_list}], t -> contains(blow, t))) AS techs
   FROM cards
 ),
 techs AS (

@@ -310,9 +310,16 @@ def extract_job_cards(
     # hash on the page id (not round-robin): HashPartitioning(id) satisfies
     # both downstream windows' clustering ((id, title) and (id)), so the
     # dedup+index stage runs with NO further exchange — sorts only
-    target = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target, F.col(id_col))
+    try:
+        n_parts = pages.rdd.getNumPartitions()
+    except Exception:
+        # .rdd is unavailable under Spark Connect — skip the spread there
+        # (callers can pre-repartition); never force a corpus shuffle
+        n_parts = None
+    if n_parts is not None:
+        target = pages.sparkSession.sparkContext.defaultParallelism
+        if n_parts < target:
+            pages = pages.repartition(target, F.col(id_col))
     matched = pages.select(
         F.col(id_col),
         F.posexplode(card_matches_expr(F.col(text_col))).alias("pos", "job_text"),

@@ -466,14 +466,14 @@ class _AiTextScanner(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._skip = 0
-        self._stack: list[bool] = []
+        self._stack: list[tuple[str, bool]] = []  # (tag, is_skip)
         self._parts: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
             return
         is_skip = tag in _AI_DECOMPOSE_TAGS
-        self._stack.append(is_skip)
+        self._stack.append((tag, is_skip))
         if is_skip:
             self._skip += 1
 
@@ -481,9 +481,19 @@ class _AiTextScanner(HTMLParser):
         pass
 
     def handle_endtag(self, tag):
-        if self._stack:
-            if self._stack.pop():
-                self._skip -= 1
+        # same discipline as _DocScanner.handle_endtag: ignore end tags of
+        # void elements (</br> must not pop a real entry) and pop up to the
+        # MATCHING open tag — a blind pop flips the skip state on mildly
+        # misnested HTML and diverges from bs4's tree-based decompose
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for _ in range(len(self._stack) - i):
+                    _t, was_skip = self._stack.pop()
+                    if was_skip:
+                        self._skip -= 1
+                break
 
     def handle_data(self, data):
         if self._skip == 0:

@@ -183,11 +183,18 @@ def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tu
     unchanged, preserving their discovered_seq (so ordering is stable)."""
     if per_host_per_batch is None:
         return frontier, frontier.limit(0)
-    # url is the unique final tie-break: discovered_seq is a PER-SEED
-    # ordinal, so two seeds sharing a host can tie on (priority, seq) —
-    # without it the scheduled/deferred split (and resume determinism)
-    # would depend on partition order
-    order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url").asc()]
+    # (url, seed_url) is the unique final tie-break: discovered_seq is a
+    # PER-SEED ordinal, so two seeds sharing a host can tie on (priority,
+    # seq) — and the SAME url can appear under two seeds in one batch
+    # (the within-batch dedup is per (seed_url, url_hash)), so url alone
+    # is still not total. Without a total order the scheduled/deferred
+    # split (and resume determinism) would depend on partition order.
+    order = [
+        F.col("priority").desc(),
+        F.col("discovered_seq").asc(),
+        F.col("url").asc(),
+        F.col("seed_url").asc(),
+    ]
     # two-phase salted rank (see salted_budget_rank): a row whose salt-local
     # rank exceeds the budget has ≥ budget same-host rows ahead of it in ITS
     # salt alone, so its host-global rank exceeds the budget too — phase-1

@@ -14,10 +14,13 @@ Two strategies, same output contract (query_id, rank, neighbor_id, cosine):
   on (table_id, band_hash) — a uniform key. Recall is tunable by
   (n_tables, band_bits); collisions P = (1-θ/π)^bits per table.
 
-The hyperplanes are generated from a seeded numpy RNG on the DRIVER and
-broadcast as literal arrays — every executor sees identical planes, no
-Python on the hot path (the projection is a JVM higher-order-function dot
-product)."""
+The hyperplanes are generated from a seeded numpy RNG on the DRIVER —
+every executor sees identical planes. Signatures default to ONE
+Arrow-batched BLAS matmul per partition batch (with_lsh_signature_pandas;
+JVM higher-order-function lambdas evaluate interpreted and are ~50×
+slower per vector); the pure-expression JVM variant is kept as a
+cross-implementation check, and a test pins exact bucket agreement
+between the two."""
 
 from __future__ import annotations
 

@@ -330,6 +330,31 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _bloom_coverage_start(store: CrawlStore, prev: int) -> int | None:
+    """First batch of an unbroken bloom_delta chain that covers ALL seen
+    keys through ``prev``: batch 0's blob is full by construction (its
+    delta IS the whole seen set then), and a _FULL-marked blob covers
+    everything before it. Returns None when no such chain exists (e.g.
+    earlier batches ran without use_bloom) — callers must then fall back
+    to the exact rebuild, or bloom false negatives would re-crawl seen
+    URLs."""
+    batches = [b for b in store.committed_batches() if b <= prev]
+    full_points = [
+        b
+        for b in batches
+        if (store.batch_dir(b) / "bloom_delta").exists()
+        and (b == 0 or (store.batch_dir(b) / "bloom_delta" / "_FULL").exists())
+    ]
+    for start in sorted(full_points, reverse=True):
+        if all(
+            (store.batch_dir(b) / "bloom_delta").exists()
+            for b in batches
+            if b >= start
+        ):
+            return start
+    return None
+
+
 # ---------------------------------------------------------------------------
 # the loop
 # ---------------------------------------------------------------------------
@@ -415,12 +440,28 @@ def run_crawl(
         batch_caches: list = []
         # incremental seen-filter: OR-merge the committed per-batch delta
         # blobs (fixed m — cfg.bloom_keys_per_bucket) instead of re-hashing
-        # the entire seen set; per-batch bloom cost is O(|delta|)
-        blooms = (
-            SN.merge_blooms(store.read_all("bloom_delta", prev))
-            if cfg.use_bloom
-            else None
-        )
+        # the entire seen set; per-batch bloom cost is O(|delta|).
+        # COVERAGE GUARD: a crawl started without --bloom (or resumed from
+        # an older store) has committed batches WITHOUT delta blobs —
+        # merging a partial set would produce bloom FALSE NEGATIVES, which
+        # dedup_with_bloom trusts ("definitely new"), silently re-crawling
+        # seen URLs. Unless a full-coverage chain of blobs exists, fall
+        # back to rebuild-from-seen and write THIS batch's blob over
+        # seen+fresh with a _FULL marker so later batches resume the
+        # incremental path from here.
+        blooms = None
+        bloom_full_catchup = False
+        if cfg.use_bloom:
+            covered_from = _bloom_coverage_start(store, prev)
+            if covered_from is not None:
+                delta_paths = [
+                    str(store.batch_dir(b) / "bloom_delta")
+                    for b in store.committed_batches()
+                    if covered_from <= b <= prev
+                ]
+                blooms = SN.merge_blooms(spark.read.parquet(*delta_paths))
+            else:
+                bloom_full_catchup = True
         fresh, candidates = next_frontier(
             gated, seen, seed_state, cfg.use_bloom,
             cache_registry=batch_caches, blooms=blooms,
@@ -449,14 +490,21 @@ def run_crawl(
         store.write(batch_id, "frontier", new_frontier)
         store.write(batch_id, "seen_delta", fresh.select("url_hash", "url", "seed_url"))
         if cfg.use_bloom:
+            delta_keys = fresh.select("url_hash")
+            if bloom_full_catchup:
+                # over-coverage is safe for a bloom (a superset only raises
+                # the FP rate a little; false negatives stay impossible)
+                delta_keys = seen.select("url_hash").unionByName(delta_keys)
             store.write(
                 batch_id,
                 "bloom_delta",
                 SN.build_bloom(
-                    fresh.select("url_hash"),
+                    delta_keys,
                     expected_keys_per_bucket=cfg.bloom_keys_per_bucket,
                 ),
             )
+            if bloom_full_catchup:
+                (store.batch_dir(batch_id) / "bloom_delta" / "_FULL").touch()
 
         # advance per-seed counters; seq_offset advances over ALL yielded
         # candidates (pre-dedup — queue order is assigned at yield time)

@@ -143,6 +143,10 @@ AI_TEXT_CASES = [
     ),
     ("<style>.x{}</style>", ""),
     ("", ""),
+    # void end tag must not pop a real stack entry (</br> inside nav)
+    ("<nav>menu<br></br>secret nav text</nav><p>real</p>", "real"),
+    # misnested close: </nav> pops through the open <p>, page tail survives
+    ("<nav><p>menu</nav>rest of page", "rest of page"),
 ]
 
 

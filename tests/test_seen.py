@@ -200,3 +200,55 @@ def test_incremental_delta_blooms_equal_full_rebuild(spark):
     assert m == f
     # and exactly one blob per bucket survived the merge (same m everywhere)
     assert merged.count() == len(m)
+
+
+def test_bloom_resume_from_bloomless_store_no_false_negatives(
+    spark, fixture_root, tmp_path_factory
+):
+    """Coverage guard: resuming WITH --bloom from a store whose earlier
+    batches ran WITHOUT it must not re-crawl seen URLs (partial delta
+    blobs would otherwise probe false-negative). The mixed run's tables
+    must equal an all-exact run's."""
+    from pyspark.sql import functions as F
+
+    from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:5]
+    seeds = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+
+    def tables(root):
+        store = CrawlStore(spark, root)
+        last = max(store.committed_batches())
+        out = {}
+        for t in ("frontier", "seen_delta", "visited"):
+            df = store.read_all(t, last)
+            out[t] = {tuple(str(v) for v in row) for row in df.select(*sorted(df.columns)).collect()}
+        return out
+
+    exact_root = tmp_path_factory.mktemp("all_exact")
+    run_crawl(spark, pages, seeds, exact_root, CrawlConfig(max_batches=4, parallelism=8))
+
+    mixed_root = tmp_path_factory.mktemp("mixed")
+    run_crawl(spark, pages, seeds, mixed_root,
+              CrawlConfig(max_batches=2, parallelism=8, use_bloom=False))
+    run_crawl(spark, pages, seeds, mixed_root,
+              CrawlConfig(max_batches=2, parallelism=8, use_bloom=True), resume=True)
+
+    a, b = tables(exact_root), tables(mixed_root)
+    for t in a:
+        assert a[t] == b[t], f"{t} differs: bloom resume re-crawled or dropped rows"
+
+    # and the catch-up batch left a _FULL blob so later batches go incremental
+    store = CrawlStore(spark, mixed_root)
+    markers = [
+        b for b in store.committed_batches()
+        if (store.batch_dir(b) / "bloom_delta" / "_FULL").exists()
+    ]
+    assert markers, "no _FULL catch-up blob written on bloom resume"
