@@ -3396,3 +3396,45 @@ SELECT tc.doc_id, tc.title, jf.job_type, jf.location, jf.salary, ds.summary,
 FROM tc JOIN jf ON tc.doc_id = jf.doc_id JOIN ds ON tc.doc_id = ds.doc_id
 ORDER BY tc.doc_id
 """
+
+
+@_register(
+    "emb_dup_clusters",
+    # transitive closure of the near-dup pairs: DuckDB computes component
+    # labels with a recursive CTE (min reachable id over symmetric edges),
+    # Spark with iterative min-label propagation — independent algorithms,
+    # same fixpoint
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({ORACLES['emb_dup_pairs']}) t
+  UNION ALL
+  -- seeded 6-node chain: the natural sf0.01 pairs are all disjoint edges,
+  -- which would leave multi-hop transitivity untested (degenerate green)
+  SELECT vec_id AS a_id, vec_id + 1 AS b_id FROM embeddings WHERE vec_id < 5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY vec_id
+""",
+)
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS over the embedding pair graph — the keep-one-per-
+    group step after pairwise dedup (pairs alone aren't dedup: matching is
+    transitive only through components). Iterative min-label propagation,
+    O(diameter) rounds of key-joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_dup_pairs(emb, threshold=0.45).select("a_id", "b_id")
+    chain = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"), (F.col("vec_id") + 1).alias("b_id")
+    )
+    cc = DD.connected_components(pairs.unionByName(chain))
+    return cc.select(F.col("node").alias("vec_id"), "cluster_id").orderBy("vec_id")

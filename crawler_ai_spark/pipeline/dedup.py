@@ -364,3 +364,62 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster dedup)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(a, b) near-dup edges → (node, cluster_id=min id in component).
+
+    The "keep one per group" step after ANY pair-producing dedup (MinHash,
+    SimHash, embedding-LSH): pairs only say "these two match"; dedup needs
+    the transitive closure. Iterative min-label propagation — each round
+    every node adopts the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow). Per round: one join + one groupBy — all shuffles on the node
+    id key; the driver only checks the converged-count, so the loop is
+    batch-synchronous exactly like the crawl loop, not a collect()."""
+    a, b = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = new_labels.where(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

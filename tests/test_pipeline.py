@@ -302,3 +302,22 @@ def test_summarize_description_parity(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == summarize_description(t), (i, got[i], summarize_description(t))
+
+
+def test_connected_components_multi_hop(spark):
+    """Label propagation must close transitive chains (min id travels the
+    full diameter), handle stars, and keep disjoint edges separate."""
+    from crawler_ai_spark.pipeline.dedup import connected_components
+
+    edges = [
+        (10, 11), (11, 12), (12, 13), (13, 14),   # chain, min=10
+        (50, 7), (50, 8), (50, 9),                # star, min=7
+        (100, 101),                               # lone edge
+    ]
+    df = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        50: 7, 7: 7, 8: 7, 9: 7,
+        100: 100, 101: 100,
+    }
