@@ -3438,3 +3438,75 @@ def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = DD.connected_components(pairs.unionByName(chain))
     return cc.select(F.col("node").alias("vec_id"), "cluster_id").orderBy("vec_id")
+
+
+@_register(
+    "media_meta",
+    # the oracle PREDICTS the metadata from doc_id arithmetic (the blobs
+    # are constructed deterministically from doc_id); the Spark side
+    # PARSES it back out of the actual bytes through the mapInPandas
+    # byte-budget plumbing — round-trip proof of the binary path. Width/
+    # height stringified (nullable-int NaN/None canonicalization trap).
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+       WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS mime_sniffed,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+       WHEN 3 THEN 12 ELSE 12 END + doc_id % 50 AS BIGINT) AS n_bytes,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 16 + doc_id % 64
+       WHEN 1 THEN 8 + doc_id % 32 WHEN 2 THEN 32 + doc_id % 16 END AS VARCHAR) AS width,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 9 + doc_id % 48
+       WHEN 1 THEN 8 + doc_id % 32 WHEN 2 THEN 24 + doc_id % 16 END AS VARCHAR) AS height
+FROM documents ORDER BY doc_id
+""",
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over opaque binary columns: deterministic
+    container blobs (PNG/GIF/BMP/WAV/MP4 headers + padding) built from
+    doc_id, then mime sniff + header-dimension extraction through the
+    byte-budget mapInPandas plumbing (pipeline/multimodal.py). The decode
+    step itself stays a documented stub (no codecs in this container);
+    this gates everything around it."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.pipeline.multimodal import extract_media_meta
+
+    def _blob(s):
+        out = []
+        for d in s:
+            d = int(d)
+            m, pad = d % 5, b"x" * (d % 50)
+            if m == 0:
+                body = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(
+                    ">II", 16 + d % 64, 9 + d % 48
+                )
+            elif m == 1:
+                body = b"GIF89a" + struct.pack("<HH", 8 + d % 32, 8 + d % 32)
+            elif m == 2:
+                body = b"BM" + b"\x00" * 16 + struct.pack("<ii", 32 + d % 16, 24 + d % 16)
+            elif m == 3:
+                body = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
+            else:
+                body = b"\x00\x00\x00\x18ftypmp42"
+            out.append(body + pad)
+        return pd.Series(out)
+
+    _blob.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    blob_udf = pandas_udf(_blob, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), blob_udf(F.col("doc_id")).alias("content")
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "mime_sniffed",
+        "n_bytes",
+        F.col("width").cast("string").alias("width"),
+        F.col("height").cast("string").alias("height"),
+    ).orderBy("doc_id")
