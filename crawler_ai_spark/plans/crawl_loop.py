@@ -58,6 +58,13 @@ class CrawlConfig:
     # hashes only its fresh keys, never the full seen set). Size for the
     # expected total keys per bucket at the target crawl scale.
     bloom_keys_per_bucket: int = 4096
+    # seen_delta data layout: files per batch append, range-clustered on
+    # url_hash so each file covers a disjoint hash range and the snapshot
+    # manifest's per-file bounds (sources/snapshots.py) prune a point
+    # lookup to ONE file per batch. At 10^10-URL scale set this to
+    # thousands; the per-batch repartitionByRange sampling job is noise
+    # next to the parse stage.
+    seen_delta_files: int = 8
     # W4 — transient-fetch retry budget (crawler.py:157, :199-248): an
     # unfetched frontier row re-enters the NEXT batch with attempt+1 until
     # attempt+1 >= max_fetch_attempts. 1 = no retries (the fixture corpus
@@ -81,9 +88,13 @@ class CrawlStore:
     TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
+        from crawler_ai_spark.sources.snapshots import SnapshotLog
+
         self.spark = spark
         self.root = pathlib.Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.log = SnapshotLog(self.root)
+        self._pending: dict[int, list[str]] = {}
 
     def batch_dir(self, batch_id: int) -> pathlib.Path:
         return self.root / f"batch_id={batch_id}"
@@ -98,18 +109,52 @@ class CrawlStore:
     def write(self, batch_id: int, table: str, df: DataFrame) -> None:
         path = self.batch_dir(batch_id) / table
         df.write.mode("overwrite").parquet(str(path))
+        self._pending.setdefault(batch_id, []).append(table)
 
     def commit(self, batch_id: int) -> None:
-        """Atomic batch commit — the parquet stand-in for an Iceberg
-        snapshot commit: data files first, marker last (os.replace-style
-        atomicity mirrors the reference's atomic_write_json,
-        scrapy_career_spider.py:40-53)."""
+        """Atomic batch commit: data files first, then one snapshot per
+        written table appended to the Iceberg-style log (sources/
+        snapshots.py — manifests with per-file stats + per-partition
+        lineage), marker last (os.replace-style atomicity mirrors the
+        reference's atomic_write_json, scrapy_career_spider.py:40-53).
+        A replayed batch after a mid-commit crash supersedes its stale
+        snapshots — chain-walking readers never see the dead files."""
+        for table in self._pending.pop(batch_id, []):
+            self.log.commit(table, batch_id, self.batch_dir(batch_id) / table)
         (self.batch_dir(batch_id) / "_COMMITTED").touch()
 
+    def _manifest_paths(self, table: str, through_batch: int) -> list[str] | None:
+        """Manifest-planned file list for committed batches ≤ through_batch,
+        or None when any committed batch predates the snapshot log (legacy
+        store) — callers then fall back to directory listing."""
+        logged = {s["batch_id"] for s in self.log.snapshots(table)}
+        want = [
+            b
+            for b in self.committed_batches()
+            if b <= through_batch and (self.batch_dir(b) / table).exists()
+        ]
+        if not want or any(b not in logged for b in want):
+            return None
+        return self.log.data_paths(table, through_batch=through_batch)
+
     def read(self, table: str, batch_id: int) -> DataFrame:
+        paths = [
+            e["path"]
+            for e in self.log.files(table, through_batch=batch_id)
+            if e["batch_id"] == batch_id
+        ]
+        if paths:
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(str(self.batch_dir(batch_id) / table))
 
     def read_all(self, table: str, through_batch: int) -> DataFrame:
+        """All committed appends through a batch — planned from the
+        snapshot manifests (one metadata read) instead of O(batches)
+        directory listings; at object-store scale this is the difference
+        between a LIST storm and a single manifest fetch."""
+        paths = self._manifest_paths(table, through_batch)
+        if paths is not None:
+            return self.spark.read.parquet(*paths)
         paths = [
             str(self.batch_dir(b) / table)
             for b in self.committed_batches()
@@ -384,7 +429,13 @@ def run_crawl(
     if not done:
         f0 = init_frontier(seeds)
         store.write(0, "frontier", f0)
-        store.write(0, "seen_delta", f0.select("url_hash", "url", "seed_url"))
+        store.write(
+            0,
+            "seen_delta",
+            f0.select("url_hash", "url", "seed_url").repartitionByRange(
+                cfg.seen_delta_files, "url_hash"
+            ),
+        )
         store.write(0, "seed_state", init_seed_state(seeds))
         if cfg.use_bloom:
             store.write(
@@ -488,7 +539,13 @@ def run_crawl(
             )
             new_frontier = new_frontier.unionByName(retries)
         store.write(batch_id, "frontier", new_frontier)
-        store.write(batch_id, "seen_delta", fresh.select("url_hash", "url", "seed_url"))
+        store.write(
+            batch_id,
+            "seen_delta",
+            fresh.select("url_hash", "url", "seed_url").repartitionByRange(
+                cfg.seen_delta_files, "url_hash"
+            ),
+        )
         if cfg.use_bloom:
             delta_keys = fresh.select("url_hash")
             if bloom_full_catchup:

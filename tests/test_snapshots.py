@@ -1,0 +1,131 @@
+"""Snapshot-log (Iceberg-style metadata layer) tests — sources/snapshots.py.
+
+Covers the north-rule claims directly: appends produce a parent-linked
+snapshot chain with per-partition lineage, manifest row counts match the
+tables, time travel reproduces any committed prefix, a crash between data
+write and commit is invisible to readers, a replayed batch supersedes its
+stale snapshot, and manifest bounds prune point lookups on the
+range-clustered seen set to a strict subset of files."""
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+from crawler_ai_spark.sources.snapshots import SnapshotLog
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, fixture_root, tmp_path_factory):
+    root = tmp_path_factory.mktemp("snapstore")
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:6]
+    seeds = spark.createDataFrame(
+        [(u, None, None) for u in seeds_urls],
+        "seed_url string, max_pages int, max_career_pages int",
+    )
+    cfg = CrawlConfig(max_batches=3, parallelism=4, seen_delta_files=4)
+    run_crawl(spark, pages, seeds, root, cfg)
+    return CrawlStore(spark, root)
+
+
+def test_chain_is_consistent_and_counts_match(crawled):
+    store = crawled
+    committed = store.committed_batches()
+    assert committed, "crawl produced no committed batches"
+    for table in store.log.tables():
+        chain = store.log.snapshots(table)
+        # parent links walk back monotonically over committed batch ids
+        assert [s["parent_id"] for s in chain] == [None] + [
+            s["snapshot_id"] for s in chain[:-1]
+        ]
+        assert all(s["batch_id"] in committed for s in chain)
+        for snap in chain:
+            actual = store.read(table, snap["batch_id"]).count()
+            assert snap["summary"]["added_rows"] == actual, (table, snap["batch_id"])
+            for entry in snap["manifest"]:
+                assert pathlib.Path(entry["path"]).exists()
+                assert entry["spark_partition"] is not None
+
+
+def test_time_travel_matches_directory_reads(spark, crawled):
+    store = crawled
+    last = max(store.committed_batches())
+    for through in (0, last):
+        paths = store.log.data_paths("seen_delta", through_batch=through)
+        via_manifest = spark.read.parquet(*paths)
+        via_dirs = spark.read.parquet(
+            *[
+                str(store.batch_dir(b) / "seen_delta")
+                for b in store.committed_batches()
+                if b <= through
+            ]
+        )
+        a = {tuple(r) for r in via_manifest.collect()}
+        b = {tuple(r) for r in via_dirs.collect()}
+        assert a == b
+
+
+def test_uncommitted_write_is_invisible(spark, crawled):
+    store = crawled
+    table = "seen_delta"
+    before = store.log.current_snapshot_id(table)
+    rows_before = {tuple(r) for r in store.read_all(table, 10_000).collect()}
+    # simulate a crash: data files land for a new batch, commit never runs
+    phantom = max(store.committed_batches()) + 1
+    df = spark.createDataFrame(
+        [(1, "https://phantom.example/", "https://phantom.example/")],
+        "url_hash long, url string, seed_url string",
+    )
+    store.write(phantom, table, df)
+    assert store.log.current_snapshot_id(table) == before
+    assert {tuple(r) for r in store.read_all(table, 10_000).collect()} == rows_before
+    store._pending.pop(phantom, None)
+
+
+def test_replayed_batch_supersedes_stale_snapshot(spark, tmp_path):
+    log = SnapshotLog(tmp_path)
+    d1, d2 = tmp_path / "b1a", tmp_path / "b1b"
+    spark.createDataFrame([(1,), (2,)], "k long").coalesce(1).write.parquet(str(d1))
+    spark.createDataFrame([(3,)], "k long").coalesce(1).write.parquet(str(d2))
+    log.commit("t", 0, d1)
+    stale = log.commit("t", 1, d1)  # first attempt at batch 1, "crashes" after
+    fresh = log.commit("t", 1, d2)  # replayed batch 1
+    chain = log.snapshots("t")
+    assert [s["snapshot_id"] for s in chain] == [1, fresh]
+    assert stale not in {s["snapshot_id"] for s in chain}
+    # reader sees batch 0's files + the replay's files only
+    paths = log.data_paths("t")
+    got = sorted(r.k for r in spark.read.parquet(*paths).collect())
+    assert got == [1, 2, 3]
+
+
+def test_manifest_bounds_prune_point_lookup(spark, crawled):
+    store = crawled
+    last = max(store.committed_batches())
+    all_paths = store.log.data_paths("seen_delta", through_batch=last)
+    probe = store.read_all("seen_delta", last).select("url_hash").first().url_hash
+    pruned = store.log.prune(
+        "seen_delta", "url_hash", probe, probe, through_batch=last
+    )
+    # range-clustered layout → a point lookup keeps at most one file per
+    # batch; with seen_delta_files=4 that is a strict subset
+    assert len(pruned) < len(all_paths)
+    full = {
+        tuple(r)
+        for r in spark.read.parquet(*all_paths)
+        .where(F.col("url_hash") == probe)
+        .collect()
+    }
+    via_pruned = {
+        tuple(r)
+        for r in spark.read.parquet(*pruned)
+        .where(F.col("url_hash") == probe)
+        .collect()
+    }
+    assert via_pruned == full and full
