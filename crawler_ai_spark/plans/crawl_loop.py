@@ -127,15 +127,50 @@ class CrawlStore:
         """Manifest-planned file list for committed batches ≤ through_batch,
         or None when any committed batch predates the snapshot log (legacy
         store) — callers then fall back to directory listing."""
-        logged = {s["batch_id"] for s in self.log.snapshots(table)}
+        snaps = self.log.snapshots(table)
+        logged = {s["batch_id"] for s in snaps}
+        # a compaction (replace) snapshot makes the manifest authoritative
+        # for every batch it shadows — after vacuum those appends have no
+        # snapshots (and no files) of their own
+        compacted_through = max(
+            (
+                s["replaces_through_batch"]
+                for s in snaps
+                if s["operation"] == "replace" and s["batch_id"] <= through_batch
+            ),
+            default=-1,
+        )
         want = [
             b
             for b in self.committed_batches()
             if b <= through_batch and (self.batch_dir(b) / table).exists()
         ]
-        if not want or any(b not in logged for b in want):
+        if not want or any(
+            b not in logged and b > compacted_through for b in want
+        ):
             return None
         return self.log.data_paths(table, through_batch=through_batch)
+
+    def compact(self, table: str, files: int | None = None) -> int:
+        """Rewrite every committed append of ``table`` into one
+        range-clustered replace snapshot at the current tip (Iceberg's
+        rewrite_data_files): at crawl scale the seen set otherwise
+        fragments into O(batches × files/batch) small files, and both scan
+        planning and the OS pay for it. Readers (including a resumed
+        crawl's ``read_all``) see the identical row set; time travel to
+        pre-compaction batches keeps working until :meth:`SnapshotLog.
+        vacuum` expires the shadowed snapshots. Call between runs, not
+        while a batch is mid-write. Returns the new snapshot id."""
+        tip = max(self.committed_batches())
+        df = self.read_all(table, tip)
+        sid = (self.log.current_snapshot_id(table) or 0) + 1
+        out = self.root / "compacted" / table / f"through={tip}-snap={sid}"
+        n = files or getattr(self, "_compact_files", 8)
+        key = "url_hash" if "url_hash" in df.columns else df.columns[0]
+        df.repartitionByRange(n, key).write.mode("overwrite").parquet(str(out))
+        return self.log.commit(
+            table, tip, out, operation="replace", replaces_through_batch=tip
+        )
 
     def read(self, table: str, batch_id: int) -> DataFrame:
         paths = [

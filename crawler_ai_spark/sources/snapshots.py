@@ -128,20 +128,40 @@ class SnapshotLog:
 
     # -- write path --------------------------------------------------------
 
-    def commit(self, table: str, batch_id: int, data_dir: str | pathlib.Path) -> int:
+    def commit(
+        self,
+        table: str,
+        batch_id: int,
+        data_dir: str | pathlib.Path,
+        operation: str = "append",
+        replaces_through_batch: int | None = None,
+    ) -> int:
         """Append one snapshot for ``table`` covering the parquet files in
         ``data_dir`` (one batch's worth). Returns the new snapshot id.
 
         If the chain HEAD already points at a snapshot for this
         ``batch_id`` (a replayed batch after a mid-commit crash), the new
-        snapshot's parent skips it, superseding the stale attempt."""
+        snapshot's parent skips it, superseding the stale attempt.
+
+        ``operation="replace"`` with ``replaces_through_batch=B`` commits a
+        compaction: readers at or past this snapshot drop every older
+        manifest entry with ``batch_id <= B`` and see these files instead
+        (Iceberg's rewrite_data_files); time travel to a batch before B
+        still resolves through the retained older snapshots until
+        :meth:`vacuum` expires them."""
         tdir = self._table_dir(table)
         tdir.mkdir(parents=True, exist_ok=True)
         files = sorted(pathlib.Path(data_dir).glob("*.parquet"))
         manifest = [_file_manifest_entry(p, batch_id) for p in files]
 
         parent = self.current_snapshot_id(table)
-        while parent is not None and self._load(table, parent)["batch_id"] >= batch_id:
+        while parent is not None and self._load(table, parent)["batch_id"] > batch_id:
+            parent = self._load(table, parent)["parent_id"]
+        if (
+            parent is not None
+            and operation == "append"
+            and self._load(table, parent)["batch_id"] == batch_id
+        ):
             parent = self._load(table, parent)["parent_id"]
         snapshot_id = (self.current_snapshot_id(table) or 0) + 1
         snap = {
@@ -149,7 +169,8 @@ class SnapshotLog:
             "parent_id": parent,
             "batch_id": batch_id,
             "timestamp_ms": int(time.time() * 1000),
-            "operation": "append",
+            "operation": operation,
+            "replaces_through_batch": replaces_through_batch,
             "summary": {
                 "added_files": len(manifest),
                 "added_rows": sum(e["row_count"] for e in manifest),
@@ -160,6 +181,39 @@ class SnapshotLog:
         self._atomic_write(tdir / f"snap-{snapshot_id}.json", json.dumps(snap, indent=1))
         self._atomic_write(tdir / "HEAD", str(snapshot_id))
         return snapshot_id
+
+    def vacuum(self, table: str) -> list[str]:
+        """Expire snapshots fully shadowed by the newest ``replace``
+        snapshot and delete their now-unreferenced data files (Iceberg's
+        expire_snapshots + orphan-file removal). Trades time travel to
+        pre-compaction batches for space; the HEAD view and every
+        through-batch read at or past the compaction point are unchanged.
+        Returns the deleted data-file paths."""
+        chain = self.snapshots(table)
+        cut = None
+        for i, snap in enumerate(chain):
+            if snap["operation"] == "replace":
+                cut = i
+        if cut is None or cut == 0:
+            return []
+        replace, expired = chain[cut], chain[:cut]
+        live = {e["path"] for e in self.files(table)}
+        deleted: list[str] = []
+        for snap in expired:
+            for e in snap["manifest"]:
+                p = pathlib.Path(e["path"])
+                if e["path"] not in live and p.exists():
+                    p.unlink()
+                    deleted.append(e["path"])
+        # the replace becomes the new chain root
+        tdir = self._table_dir(table)
+        self._atomic_write(
+            tdir / f"snap-{replace['snapshot_id']}.json",
+            json.dumps(dict(replace, parent_id=None), indent=1),
+        )
+        for snap in expired:
+            (tdir / f"snap-{snap['snapshot_id']}.json").unlink(missing_ok=True)
+        return deleted
 
     # -- read path ---------------------------------------------------------
 
@@ -193,11 +247,17 @@ class SnapshotLog:
         through_batch: int | None = None,
     ) -> list[dict]:
         """Manifest entries visible at a snapshot (time travel), optionally
-        restricted to batches ≤ ``through_batch``."""
+        restricted to batches ≤ ``through_batch``. A ``replace`` snapshot
+        (compaction) shadows every older entry with ``batch_id <=
+        replaces_through_batch``; skipping it via ``through_batch`` time
+        travel reveals the retained pre-compaction appends instead."""
         out: list[dict] = []
         for snap in self.snapshots(table, snapshot_id):
             if through_batch is not None and snap["batch_id"] > through_batch:
                 continue
+            if snap["operation"] == "replace":
+                rt = snap["replaces_through_batch"]
+                out = [e for e in out if e["batch_id"] > rt]
             out.extend(snap["manifest"])
         return out
 

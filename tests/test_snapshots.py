@@ -105,6 +105,86 @@ def test_replayed_batch_supersedes_stale_snapshot(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_compaction_and_vacuum(spark, tmp_path):
+    store = CrawlStore(spark, tmp_path / "store")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"https://h{i}.example/{b}", "s") for i in range(5)],
+            "url_hash long, url string, seed_url string",
+        )
+        store.write(b, "seen_delta", df.repartitionByRange(3, "url_hash"))
+        store.commit(b)
+    before = _rows(store.read_all("seen_delta", 2))
+    prefix = _rows(store.read_all("seen_delta", 1))
+    n_files_before = len(store.log.data_paths("seen_delta", through_batch=2))
+
+    store.compact("seen_delta", files=2)
+    assert _rows(store.read_all("seen_delta", 2)) == before
+    assert len(store.log.data_paths("seen_delta", through_batch=2)) == 2 < n_files_before
+    # time travel to a pre-compaction batch still resolves (snapshots retained)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(
+            *store.log.data_paths("seen_delta", through_batch=1)
+        ).collect()
+    } == prefix
+
+    deleted = store.log.vacuum("seen_delta")
+    assert deleted and all(not pathlib.Path(p).exists() for p in deleted)
+    assert _rows(store.read_all("seen_delta", 2)) == before
+    # appends after the compaction keep working
+    df = spark.createDataFrame(
+        [(99, "https://new.example/", "s")], "url_hash long, url string, seed_url string"
+    )
+    store.write(3, "seen_delta", df)
+    store.commit(3)
+    assert _rows(store.read_all("seen_delta", 3)) == before | _rows(df)
+
+
+def test_resume_after_compaction_is_identical(spark, fixture_root, tmp_path_factory):
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:6]
+    seeds = spark.createDataFrame(
+        [(u, None, None) for u in seeds_urls],
+        "seed_url string, max_pages int, max_career_pages int",
+    )
+    cfg = lambda n: CrawlConfig(max_batches=n, parallelism=4, seen_delta_files=4)  # noqa: E731
+
+    root_a = tmp_path_factory.mktemp("uncompacted")
+    run_crawl(spark, pages, seeds, root_a, cfg(8))
+
+    root_b = tmp_path_factory.mktemp("compacted")
+    run_crawl(spark, pages, seeds, root_b, cfg(2))
+    store_b = CrawlStore(spark, root_b)
+    store_b.compact("seen_delta", files=4)
+    store_b.log.vacuum("seen_delta")
+    run_crawl(spark, pages, seeds, root_b, cfg(8), resume=True)
+
+    store_a = CrawlStore(spark, root_a)
+    store_b = CrawlStore(spark, root_b)
+    last_a = max(store_a.committed_batches())
+    last_b = max(store_b.committed_batches())
+    assert last_a == last_b
+    for table in ("visited", "career_pages", "job_urls", "seen_delta"):
+        def fp(store, last):
+            df = store.read_all(table, last)
+            return {
+                tuple(str(v) for v in row)
+                for row in df.select(*sorted(df.columns)).collect()
+            }
+        assert fp(store_a, last_a) == fp(store_b, last_b), (
+            f"table {table} diverged after compaction+resume"
+        )
+
+
 def test_manifest_bounds_prune_point_lookup(spark, crawled):
     store = crawled
     last = max(store.committed_batches())
