@@ -23,7 +23,12 @@ import os
 import sys
 
 # local runs from any cwd; on a cluster --py-files puts the package on the path
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executor python workers unpickle UDF closures that import the package —
+# they need it on PYTHONPATH too (in local mode they inherit this env; on a
+# cluster --py-files covers them)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
@@ -43,6 +48,17 @@ def main() -> None:
     ap.add_argument("--max-attempts", type=int, default=1,
                     help="fetch attempts per URL (W4 retry rows; 1 = no retry)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, rewrite the seen-delta appends into "
+                         "one range-clustered replace snapshot (Iceberg-style "
+                         "rewrite_data_files; sources/snapshots.py)")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="with --compact: expire the shadowed snapshots and "
+                         "delete their data files (drops pre-compaction time "
+                         "travel)")
+    ap.add_argument("--compact-files", type=int, default=64,
+                    help="target file count for --compact (size for ~total "
+                         "seen keys / file at the crawl scale)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -85,6 +101,14 @@ def main() -> None:
             max_fetch_attempts=args.max_attempts,
         )
         summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
+        if args.compact:
+            from crawler_ai_spark.plans.crawl_loop import CrawlStore
+
+            store = CrawlStore(spark, args.state)
+            store.compact("seen_delta", files=args.compact_files)
+            summary["vacuumed_files"] = (
+                len(store.log.vacuum("seen_delta")) if args.vacuum else 0
+            )
         print(json.dumps(summary))
     finally:
         spark.stop()
