@@ -978,6 +978,25 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@_register("emb_ivf_topk")  # no oracle: IVF recall < 1 by design
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 — the second ANN scale path next to
+    ``emb_ann_topk``: a spherical-k-means coarse quantizer (trained on a
+    deterministic driver-side sample) assigns the corpus to cells in one
+    Arrow matmul pass; each query probes its 6 nearest of 16 cells, so a
+    query batch touches ~6/16 of the corpus instead of all of it, with
+    the exploded query side broadcast (no corpus shuffle). Rows-only in
+    the driver gate by design (recall < 1); pytest measures recall vs
+    ``emb_topk``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        queries, emb, k=10, n_centroids=16, n_probe=6
+    ).orderBy("query_id", "rank")
+
+
 @_register("emb_lsh_pairs")  # no oracle: LSH recall < 1 by design
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-dup pairs (the 10^10-scale path for

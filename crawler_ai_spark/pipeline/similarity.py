@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two strategies, same output contract (query_id, rank, neighbor_id, cosine):
+Three strategies, same output contract (query_id, rank, neighbor_id, cosine):
 
 - BRUTE FORCE (``cosine_topk``): query-set × corpus crossJoin with the
   corpus side broadcast when small, window top-k. Exact; O(|Q|·|C|).
@@ -13,6 +13,10 @@ Two strategies, same output contract (query_id, rank, neighbor_id, cosine):
   a signature band; exact cosine inside buckets. The corpus shuffles once
   on (table_id, band_hash) — a uniform key. Recall is tunable by
   (n_tables, band_bits); collisions P = (1-θ/π)^bits per table.
+- IVF (``ivf_topk``): spherical-k-means coarse quantizer trained on a
+  driver-side sample; corpus assigned to cells in one matmul pass; each
+  query probes its n_probe nearest cells. Work ≈ n_probe/n_centroids of
+  the corpus per query batch; recall tunable by n_probe.
 
 The hyperplanes are generated from a seeded numpy RNG on the DRIVER —
 every executor sees identical planes. Signatures default to ONE
@@ -177,6 +181,116 @@ def hyperplane_lsh_pairs(
         cand.withColumn("cosine", _cosine_expr(F.col("a_vec"), F.col("b_vec")))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means (normalize → assign by max dot → mean →
+    renormalize) on a DRIVER-side sample — the IVF coarse quantizer.
+    Deterministic: seeded kmeans++-style init, fixed iteration count.
+    At 10^10 vectors the quantizer still trains on a bounded sample
+    (~100k rows ≈ 25 MB at dim 64); only assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # kmeans++ seeding on the sample
+    centroids = [x[rng.integers(len(x))]]
+    for _ in range(n_centroids - 1):
+        d = 1.0 - np.max(np.stack([x @ c for c in centroids]), axis=0)
+        d = np.maximum(d, 0.0)
+        probs = d / d.sum() if d.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        centroids.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(centroids)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:  # empty cell — reseed to the point farthest from its centroid
+                worst = np.argmin((x * c[assign]).sum(axis=1))
+                c[j] = x[worst]
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _ivf_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Pandas UDF: the ``n_probe`` nearest cells per vector (by cosine),
+    one BLAS matmul per Arrow batch. n_probe=1 is corpus assignment."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ct = centroids.T.copy()
+
+    def _cells(s):
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        scores = v @ ct
+        top = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    _cells.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_cells, "array<int>")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    max_train: int = 100_000,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer, corpus
+    assigned to its nearest cell, each query probes its ``n_probe``
+    nearest cells, exact cosine + window rank inside the probed cells.
+
+    The 100 TB shape: the quantizer trains once on a driver-side sample
+    (deterministic hash sample, bounded collect); corpus assignment is one
+    Arrow-batched matmul pass, ideally persisted partitioned-by-cell and
+    reused across query batches; the probe join BROADCASTS the exploded
+    query side, so the corpus is scanned once with no shuffle. Work
+    touched ≈ n_probe/n_centroids of the corpus vs all of it for brute
+    force. Recall < 1 by design — measured vs cosine_topk in pytest."""
+    ids = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # deterministic bounded training sample: hash-sample then sorted limit
+    n = ids.count()
+    keep_mod = max(1, n // max_train)
+    sample_rows = (
+        ids.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0)
+        .orderBy("neighbor_id")
+        .limit(max_train)
+        .select("c_vec")
+        .collect()
+    )
+    centroids = train_ivf_centroids(
+        np.stack([r.c_vec for r in sample_rows]), n_centroids, seed=seed
+    )
+
+    assigned = ids.withColumn(
+        "cell", _ivf_cells_udf(centroids, 1)(F.col("c_vec"))[0]
+    )
+    probes = (
+        queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cells", _ivf_cells_udf(centroids, n_probe)(F.col("q_vec")))
+        .select("query_id", "q_vec", F.explode("cells").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .withColumn("cosine", F.round(_cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
     )
 
 

@@ -194,6 +194,33 @@ def test_hyperplane_topk_approximates_exact(spark):
     assert len(a & e) / len(e) >= 0.7
 
 
+def test_ivf_topk_approximates_exact(spark):
+    emb = _mk_vectors(spark, n_clusters=8, per_cluster=5, dim=32)
+    queries = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(queries, emb, k=5)
+    approx = SIM.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4)
+    rows = approx.collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(a & e) / len(e) >= 0.9
+    # the query's own cell is always probed first → rank 1 is itself
+    for r in rows:
+        if r.rank == 1:
+            assert r.neighbor_id == r.query_id
+
+
+def test_ivf_is_deterministic(spark):
+    emb = _mk_vectors(spark, n_clusters=6, per_cluster=4, dim=32)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = SIM.ivf_topk(queries, emb, k=4, n_centroids=6, n_probe=3).collect()
+    b = SIM.ivf_topk(queries, emb, k=4, n_centroids=6, n_probe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 # ---------------------------------------------------------------------------
 # text stats
 # ---------------------------------------------------------------------------
