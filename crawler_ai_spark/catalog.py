@@ -2786,6 +2786,181 @@ def q_job_cards_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return JC.dedup_job_cards(cards).orderBy("doc_id", "job_index")
 
 
+# P16 — anchor→container extraction fixtures: four deterministic page
+# shapes keyed on doc_id % 4, parameterized by n = doc_id % 37. The filler
+# paragraph keeps body/html text ≥2000 chars so the container walk can
+# never terminate at a page-level element, and contains no indicator or
+# validation word (the reference's 2000-char cap, container_extractor.py:74).
+_CONTAINER_FILLER = ("pangram quartz vex nymph " * 90).strip()
+
+_CONTAINER_TEMPLATES = [
+    t.replace("{FILLER}", _CONTAINER_FILLER)
+    for t in [
+        # v0: two valid cards, h3 titles, absolute links, decoy anchor
+        """<html><body>
+<p>{FILLER}</p>
+<p>Join us today</p>
+<div class="card">
+<h3>Senior Developer {N}</h3>
+<p>Apply now</p>
+<p>Location: Hanoi {N}</p>
+<p>Salary: $1{N}00</p>
+<p>Full-time</p>
+<a href="https://site{N}.vn/jobs/1">View details</a>
+</div>
+<div class="card">
+<h3>Data Analyst {N}</h3>
+<p>Apply now</p>
+<p>Location: Saigon {N}</p>
+<p>Salary: $2{N}00</p>
+<p>Part-time</p>
+<a href="https://site{N}.vn/jobs/2">View details</a>
+</div>
+</body></html>""",
+        # v1: class-title card, invalid (keyword-less) strong card leaving a
+        # job_index gap, plain-line-title card with no link
+        """<html><body>
+<p>{FILLER}</p>
+<div class="card">
+<div class="job-title">QA Tester {N}</div>
+<p>Apply now</p>
+<p>Salary: $3{N}</p>
+<a href="https://site{N}.vn/jobs/3">View details</a>
+</div>
+<div class="card">
+<strong>Office Barista {N}</strong>
+<p>Apply now</p>
+<p>Location: Hue {N}</p>
+<p>Contract</p>
+</div>
+<div class="card">
+Junior Designer {N}
+<p>Apply now</p>
+<p>Location: Remote {N}</p>
+<p>Salary: negotiable {N}</p>
+</div>
+</body></html>""",
+        # v2: nested wrapper (container is the inner div), h2 title,
+        # relative link falls back to the page url, no salary
+        """<html><body>
+<p>{FILLER}</p>
+<div class="outer">
+<div class="card">
+<h2>Marketing Manager {N}</h2>
+<p>Apply now</p>
+<p>Work location: Danang {N}</p>
+<a href="/jobs/relative{N}">View details</a>
+</div>
+</div>
+</body></html>""",
+        # v3: no job containers at all
+        """<html><body>
+<p>{FILLER}</p>
+<p>Join us today</p>
+</body></html>""",
+    ]
+]
+
+
+def _container_pages_spark(docs: DataFrame) -> DataFrame:
+    n = (F.col("doc_id") % 37).cast("string")
+    tpl = F.lit(_CONTAINER_TEMPLATES[0])
+    for i in range(1, 4):
+        tpl = F.when(F.col("doc_id") % 4 == i, F.lit(_CONTAINER_TEMPLATES[i])).otherwise(tpl)
+    return docs.select(
+        "doc_id",
+        F.replace(tpl, F.lit("{N}"), n).alias("html"),
+        F.concat(F.lit("https://www.site"), n, F.lit(".vn/careers")).alias("page_url"),
+    )
+
+
+def _container_oracle() -> str:
+    """Hand-derived expected output per page shape (NOT produced by
+    running the extractor): each row below is what the reference
+    algorithm yields on the corresponding template, worked out from
+    container_extractor.py by hand — so the gate discriminates the whole
+    DOM pipeline (anchor sweep, walk-up, structural dedup, title
+    fallback ladder, field regexes, validity gate, index gaps)."""
+    return """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 37 AS VARCHAR) AS n, doc_id % 4 AS v FROM documents
+),
+expected AS (
+  SELECT doc_id, 1 AS job_index,
+         'Senior Developer ' || n AS title,
+         'Site' || n AS company,
+         'Hanoi ' || n AS location,
+         'Full-time' AS job_type,
+         '$1' || n || '00' AS salary,
+         'https://site' || n || '.vn/jobs/1' AS job_link,
+         'Senior Developer ' || n || chr(10) || 'Apply now' || chr(10) ||
+         'Location: Hanoi ' || n || chr(10) || 'Salary: $1' || n || '00' || chr(10) ||
+         'Full-time' || chr(10) || 'View details' AS description
+  FROM d WHERE v = 0
+  UNION ALL
+  SELECT doc_id, 2, 'Data Analyst ' || n, 'Site' || n, 'Saigon ' || n,
+         'Part-time', '$2' || n || '00', 'https://site' || n || '.vn/jobs/2',
+         'Data Analyst ' || n || chr(10) || 'Apply now' || chr(10) ||
+         'Location: Saigon ' || n || chr(10) || 'Salary: $2' || n || '00' || chr(10) ||
+         'Part-time' || chr(10) || 'View details'
+  FROM d WHERE v = 0
+  UNION ALL
+  SELECT doc_id, 1, 'QA Tester ' || n, 'Site' || n, '',
+         'Full-time', '$3' || n, 'https://site' || n || '.vn/jobs/3',
+         'QA Tester ' || n || chr(10) || 'Apply now' || chr(10) ||
+         'Salary: $3' || n || chr(10) || 'View details'
+  FROM d WHERE v = 1
+  UNION ALL
+  SELECT doc_id, 3, 'Junior Designer ' || n, 'Site' || n, 'Remote ' || n,
+         'Full-time', 'negotiable ' || n, 'https://www.site' || n || '.vn/careers',
+         'Junior Designer ' || n || chr(10) || 'Apply now' || chr(10) ||
+         'Location: Remote ' || n || chr(10) || 'Salary: negotiable ' || n
+  FROM d WHERE v = 1
+  UNION ALL
+  SELECT doc_id, 1, 'Marketing Manager ' || n, 'Site' || n, 'Danang ' || n,
+         'Full-time', '', 'https://www.site' || n || '.vn/careers',
+         'Marketing Manager ' || n || chr(10) || 'Apply now' || chr(10) ||
+         'Work location: Danang ' || n || chr(10) || 'View details'
+  FROM d WHERE v = 2
+)
+SELECT doc_id, job_index, title, company, location, job_type, salary,
+       job_link, description
+FROM expected ORDER BY doc_id, job_index
+"""
+
+
+@_register("container_jobs_extract", oracle=_container_oracle())
+def q_container_jobs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — anchor→container job extraction (the reference's third
+    embedded-job strategy, container_extractor.py:36-226): indicator
+    text sweep → parent anchors → ≤6-level container walk-up (≥2 field
+    indicators, <2000 chars) → structural dedup → per-card
+    title/type/location/salary/link extraction → validity gate.
+    DOM algorithm in functions/domlite.py (Arrow pandas UDF over a
+    stdlib-html.parser mini-DOM); reference-exec parity in
+    tests/test_container_parity.py runs the REAL reference methods
+    against the same DOM."""
+    from crawler_ai_spark.functions import domlite as DL
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _container_pages_spark(docs)
+    jobs = pages.select(
+        "doc_id",
+        F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),
+    )
+    return jobs.select(
+        "doc_id",
+        F.col("j.job_index").alias("job_index"),
+        F.col("j.title").alias("title"),
+        F.col("j.company").alias("company"),
+        F.col("j.location").alias("location"),
+        F.col("j.job_type").alias("job_type"),
+        F.col("j.salary").alias("salary"),
+        F.col("j.job_link").alias("job_link"),
+        F.col("j.description").alias("description"),
+    ).orderBy("doc_id", "job_index")
+
+
 def _subdomain_oracle() -> str:
     from crawler_ai_spark.functions import subdomains as SD
 
