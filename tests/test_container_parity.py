@@ -125,6 +125,47 @@ def test_max_jobs_cap_parity():
         assert len(ours) == min(cap, 6)
 
 
+# -- random-page property parity (the shared-bug net: both engines, one
+# random structured input, field-for-field equality) ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_TITLE_WORDS = ["Senior", "Junior", "Backend", "Engineer", "Analyst",
+                "Barista", "Clerk", "Designer", "Q", "Lead"]
+_FIELD_LINES = [
+    "<p>Apply now</p>", "<p>Salary: {i} USD</p>", "<p>Location: City {i}</p>",
+    "<p>Deadline: soon</p>", "<p>Full-time</p>", "<p>Contract</p>",
+    "<p>View details</p>", "<p>plain words only</p>",
+]
+_TITLE_WRAP = ["<h3>{t}</h3>", "<h5>{t}</h5>", "<div class='job-title'>{t}</div>",
+               "<strong>{t}</strong>", "{t}", ""]
+
+
+@st.composite
+def container_page(draw):
+    n_cards = draw(st.integers(0, 4))
+    cards = []
+    for i in range(n_cards):
+        title = " ".join(draw(st.lists(st.sampled_from(_TITLE_WORDS), min_size=1, max_size=4)))
+        wrap = draw(st.sampled_from(_TITLE_WRAP)).replace("{t}", f"{title} {i}")
+        lines = draw(st.lists(st.sampled_from(_FIELD_LINES), min_size=0, max_size=5))
+        link = draw(st.sampled_from(
+            ["", f"<a href='https://x.example/j/{i}'>See more</a>",
+             f"<a href='/rel/{i}'>See more</a>"]))
+        nest = draw(st.booleans())
+        body = "\n".join([wrap] + [ln.replace("{i}", str(i)) for ln in lines] + [link])
+        card = f"<div class='job'>\n{body}\n</div>"
+        cards.append(f"<div class='wrap'>\n{card}\n</div>" if nest else card)
+    filler = "<p>" + "z " * draw(st.sampled_from([900, 1200])) + "</p>"
+    return "<html><body>\n" + filler + "\n" + "\n".join(cards) + "\n</body></html>"
+
+
+@settings(max_examples=25, deadline=None)
+@given(container_page(), st.sampled_from([1, 3, 10]))
+def test_random_page_parity(html, cap):
+    assert _ours(html, URL, cap) == _theirs(html, URL, cap)
+
+
 def test_company_from_url_parity():
     ce = ContainerExtractor()
     for url in (
