@@ -2961,6 +2961,203 @@ def q_container_jobs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "job_index")
 
 
+# S10 — /validate_job_details (routes.py:401-440 + schemas.py:207-228):
+# the n8n-integration validation endpoint. The rules are the Pydantic
+# validators (job_link non-empty + http(s) scheme; job_description ≥10
+# chars after strip); the route maps the first failing field to a fixed
+# message, job_link taking precedence (routes.py:431-434).
+
+_VALIDATE_LINK_MSG = "Job link must be a valid URL"
+_VALIDATE_DESC_MSG = "Job description must be at least 10 characters"
+
+
+def _job_details_input_spark(docs: DataFrame) -> DataFrame:
+    n = (F.col("doc_id") % 37).cast("string")
+    link = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://co"), n, F.lit(".example/j")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://co"), n, F.lit(".example/j")))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.concat(F.lit("notaurl"), n))
+    )
+    desc = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("A sufficiently long description "), n))
+        .when(F.col("doc_id") % 3 == 1, F.lit("short"))
+        .otherwise(F.lit("         "))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("Job "), F.col("doc_id").cast("string")).alias("job_name"),
+        link.alias("job_link"),
+        desc.alias("job_description"),
+    )
+
+
+@_register(
+    "job_details_validate",
+    oracle="""
+WITH inp AS (
+  SELECT doc_id,
+         'Job ' || CAST(doc_id AS VARCHAR) AS job_name,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://co' || CAST(doc_id % 37 AS VARCHAR) || '.example/j'
+           WHEN 1 THEN 'http://co' || CAST(doc_id % 37 AS VARCHAR) || '.example/j'
+           WHEN 2 THEN ''
+           ELSE 'notaurl' || CAST(doc_id % 37 AS VARCHAR) END AS job_link,
+         CASE doc_id % 3
+           WHEN 0 THEN 'A sufficiently long description ' || CAST(doc_id % 37 AS VARCHAR)
+           WHEN 1 THEN 'short'
+           ELSE '         ' END AS job_description
+  FROM documents
+),
+checked AS (
+  SELECT doc_id, job_name,
+         (starts_with(job_link, 'http://') OR starts_with(job_link, 'https://')) AS link_ok,
+         length(trim(job_description)) >= 10 AS desc_ok
+  FROM inp
+)
+SELECT doc_id, job_name, (link_ok AND desc_ok) AS valid,
+       CASE WHEN NOT link_ok THEN 'job_link'
+            WHEN NOT desc_ok THEN 'job_description' END AS error_field,
+       CASE WHEN NOT link_ok THEN 'Job link must be a valid URL'
+            WHEN NOT desc_ok THEN 'Job description must be at least 10 characters'
+            END AS error_message
+FROM checked ORDER BY doc_id
+""",
+)
+def q_job_details_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — /validate_job_details as a predicate query: Pydantic's
+    validators (schemas.py:216-228) as column expressions, the route's
+    field-precedence error mapping (routes.py:431-434) as a when-chain.
+    Reference-exec parity (real Pydantic model) in
+    tests/test_endpoint_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    inp = _job_details_input_spark(docs)
+    link_ok = F.col("job_link").startswith("http://") | F.col("job_link").startswith(
+        "https://"
+    )
+    desc_ok = F.length(F.trim(F.col("job_description"))) >= 10
+    return (
+        inp.withColumn("valid", link_ok & desc_ok)
+        .withColumn(
+            "error_field",
+            F.when(~link_ok, F.lit("job_link"))
+            .when(~desc_ok, F.lit("job_description")),
+        )
+        .withColumn(
+            "error_message",
+            F.when(~link_ok, F.lit(_VALIDATE_LINK_MSG))
+            .when(~desc_ok, F.lit(_VALIDATE_DESC_MSG)),
+        )
+        .select("doc_id", "job_name", "valid", "error_field", "error_message")
+        .orderBy("doc_id")
+    )
+
+
+def _agent_summary_oracle() -> str:
+    """Composes the container-extraction oracle (second-wave precedent:
+    endpoint oracles reuse component ORACLES as subqueries — the inner
+    ORDER BY is ignored)."""
+    return """
+WITH jobs AS (
+  SELECT t.*, CAST((doc_id * 7 + job_index) % 101 AS DOUBLE) / 100.0 AS quality_score
+  FROM (""" + _container_oracle() + """) t
+),
+types AS (
+  SELECT job_type, CAST(count(*) AS DOUBLE) AS n FROM jobs
+  WHERE job_type <> '' GROUP BY job_type
+),
+comp AS (
+  SELECT company, row_number() OVER (ORDER BY company) AS rk
+  FROM (SELECT DISTINCT company FROM jobs)
+),
+loc AS (
+  SELECT location, row_number() OVER (ORDER BY location) AS rk
+  FROM (SELECT DISTINCT location FROM jobs)
+)
+SELECT * FROM (
+  SELECT 'total_jobs' AS metric, '' AS key, CAST(count(*) AS DOUBLE) AS value FROM jobs
+  UNION ALL
+  SELECT 'companies', '', CAST(count(DISTINCT company) AS DOUBLE) FROM jobs
+  UNION ALL
+  SELECT 'avg_quality', '', round(avg(quality_score), 6) FROM jobs
+  UNION ALL
+  SELECT 'top_company', company, CAST(rk AS DOUBLE) FROM comp WHERE rk <= 5
+  UNION ALL
+  SELECT 'top_location', location, CAST(rk AS DOUBLE) FROM loc WHERE rk <= 5
+  UNION ALL
+  SELECT 'job_type', job_type, n FROM types
+) ORDER BY metric, key
+"""
+
+
+@_register("job_agent_summary", oracle=_agent_summary_oracle())
+def q_job_agent_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — /ai_agent_analysis 'summary' (advanced_job_finder.py:357-450):
+    the reference's local analysis stub computes total jobs, distinct
+    companies, top-5 companies/locations, job-type distribution (empty
+    keys skipped, :437-443), and mean quality. Its top-5 is
+    ``list(set(...))[:5]`` — hash-order nondeterministic — so this engine
+    determinizes to sorted-distinct-first-5 (O6 policy); everything else
+    is exact. Runs over the container-extracted jobs table with a
+    deterministic quality column (the endpoint's optional
+    ``quality_score`` input). Tidy (metric, key, value) rows — the driver
+    canonicalizer can't sort array columns. Reference-exec parity in
+    tests/test_endpoint_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _container_pages_spark(docs)
+    from crawler_ai_spark.functions import domlite as DL
+
+    jobs = pages.select(
+        "doc_id",
+        F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),
+    ).select(
+        "doc_id",
+        F.col("j.job_index").alias("job_index"),
+        F.col("j.title").alias("title"),
+        F.col("j.company").alias("company"),
+        F.col("j.location").alias("location"),
+        F.col("j.job_type").alias("job_type"),
+        (((F.col("doc_id") * 7 + F.col("j.job_index")) % 101).cast("double") / 100.0).alias(
+            "quality_score"
+        ),
+    )
+    totals = jobs.agg(
+        F.count("*").cast("double").alias("total_jobs"),
+        F.countDistinct("company").cast("double").alias("companies"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+    one = totals.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("total_jobs").alias("metric"), F.lit("").alias("key"), F.col("total_jobs").alias("value")),
+                F.struct(F.lit("companies").alias("metric"), F.lit("").alias("key"), F.col("companies").alias("value")),
+                F.struct(F.lit("avg_quality").alias("metric"), F.lit("").alias("key"), F.col("avg_quality").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.key", "r.value")
+    w_c = Window.orderBy("company")
+    top_comp = (
+        jobs.select("company").distinct()
+        .withColumn("rk", F.row_number().over(w_c))
+        .where(F.col("rk") <= 5)
+        .select(F.lit("top_company").alias("metric"), F.col("company").alias("key"), F.col("rk").cast("double").alias("value"))
+    )
+    w_l = Window.orderBy("location")
+    top_loc = (
+        jobs.select("location").distinct()
+        .withColumn("rk", F.row_number().over(w_l))
+        .where(F.col("rk") <= 5)
+        .select(F.lit("top_location").alias("metric"), F.col("location").alias("key"), F.col("rk").cast("double").alias("value"))
+    )
+    types = (
+        jobs.where(F.col("job_type") != "")
+        .groupBy("job_type")
+        .count()
+        .select(F.lit("job_type").alias("metric"), F.col("job_type").alias("key"), F.col("count").cast("double").alias("value"))
+    )
+    return one.unionByName(top_comp).unionByName(top_loc).unionByName(types).orderBy("metric", "key")
+
+
 def _subdomain_oracle() -> str:
     from crawler_ai_spark.functions import subdomains as SD
 
