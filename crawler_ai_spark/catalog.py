@@ -2929,6 +2929,30 @@ FROM expected ORDER BY doc_id, job_index
 """
 
 
+def _container_jobs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-extracted jobs over the synthesized pages — shared by
+    the extraction query and the agent-summary aggregate (one place owns
+    the UDF schema/field list)."""
+    from crawler_ai_spark.functions import domlite as DL
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _container_pages_spark(docs)
+    return pages.select(
+        "doc_id",
+        F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),
+    ).select(
+        "doc_id",
+        F.col("j.job_index").alias("job_index"),
+        F.col("j.title").alias("title"),
+        F.col("j.company").alias("company"),
+        F.col("j.location").alias("location"),
+        F.col("j.job_type").alias("job_type"),
+        F.col("j.salary").alias("salary"),
+        F.col("j.job_link").alias("job_link"),
+        F.col("j.description").alias("description"),
+    )
+
+
 @_register("container_jobs_extract", oracle=_container_oracle())
 def q_container_jobs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 — anchor→container job extraction (the reference's third
@@ -2940,25 +2964,7 @@ def q_container_jobs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib-html.parser mini-DOM); reference-exec parity in
     tests/test_container_parity.py runs the REAL reference methods
     against the same DOM."""
-    from crawler_ai_spark.functions import domlite as DL
-
-    docs = _t(spark, sf_dir, "documents")
-    pages = _container_pages_spark(docs)
-    jobs = pages.select(
-        "doc_id",
-        F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),
-    )
-    return jobs.select(
-        "doc_id",
-        F.col("j.job_index").alias("job_index"),
-        F.col("j.title").alias("title"),
-        F.col("j.company").alias("company"),
-        F.col("j.location").alias("location"),
-        F.col("j.job_type").alias("job_type"),
-        F.col("j.salary").alias("salary"),
-        F.col("j.job_link").alias("job_link"),
-        F.col("j.description").alias("description"),
-    ).orderBy("doc_id", "job_index")
+    return _container_jobs_df(spark, sf_dir).orderBy("doc_id", "job_index")
 
 
 # S10 — /validate_job_details (routes.py:401-440 + schemas.py:207-228):
@@ -3059,7 +3065,7 @@ def _agent_summary_oracle() -> str:
     ORDER BY is ignored)."""
     return """
 WITH jobs AS (
-  SELECT t.*, CAST((doc_id * 7 + job_index) % 101 AS DOUBLE) / 100.0 AS quality_score
+  SELECT t.*, (doc_id * 7 + job_index) % 101 AS qs
   FROM (""" + _container_oracle() + """) t
 ),
 types AS (
@@ -3079,7 +3085,10 @@ SELECT * FROM (
   UNION ALL
   SELECT 'companies', '', CAST(count(DISTINCT company) AS DOUBLE) FROM jobs
   UNION ALL
-  SELECT 'avg_quality', '', round(avg(quality_score), 6) FROM jobs
+  -- engine-portable mean: exact integer sum, ONE division, then round
+  -- (a float avg() accumulates in partition order — the documented
+  -- Spark<->DuckDB parity trap)
+  SELECT 'avg_quality', '', round(CAST(sum(qs) AS DOUBLE) / (count(*) * 100.0), 6) FROM jobs
   UNION ALL
   SELECT 'top_company', company, CAST(rk AS DOUBLE) FROM comp WHERE rk <= 5
   UNION ALL
@@ -3103,28 +3112,16 @@ def q_job_agent_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quality_score`` input). Tidy (metric, key, value) rows — the driver
     canonicalizer can't sort array columns. Reference-exec parity in
     tests/test_endpoint_parity.py."""
-    docs = _t(spark, sf_dir, "documents")
-    pages = _container_pages_spark(docs)
-    from crawler_ai_spark.functions import domlite as DL
-
-    jobs = pages.select(
-        "doc_id",
-        F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),
-    ).select(
-        "doc_id",
-        F.col("j.job_index").alias("job_index"),
-        F.col("j.title").alias("title"),
-        F.col("j.company").alias("company"),
-        F.col("j.location").alias("location"),
-        F.col("j.job_type").alias("job_type"),
-        (((F.col("doc_id") * 7 + F.col("j.job_index")) % 101).cast("double") / 100.0).alias(
-            "quality_score"
-        ),
+    jobs = _container_jobs_df(spark, sf_dir).withColumn(
+        "qs", (F.col("doc_id") * 7 + F.col("job_index")) % 101
     )
     totals = jobs.agg(
         F.count("*").cast("double").alias("total_jobs"),
         F.countDistinct("company").cast("double").alias("companies"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        # exact integer sum + one division — see the oracle's comment
+        F.round(
+            F.sum("qs").cast("double") / (F.count("*") * F.lit(100.0)), 6
+        ).alias("avg_quality"),
     )
     one = totals.select(
         F.explode(

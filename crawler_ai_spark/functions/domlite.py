@@ -94,7 +94,10 @@ class Node:
 
     def __init__(self, name: str, attrs=None, parent: "Node | None" = None):
         self.name = name
-        self.attrs = dict(attrs or {})
+        # bs4 normalizes valueless attributes (<span class>) to "";
+        # html.parser yields None — keep bs4's behavior so e.g. the
+        # class_ title rung never crashes on malformed HTML
+        self.attrs = {k: ("" if v is None else v) for k, v in dict(attrs or {}).items()}
         self.parent = parent
         self.children: list = []
 

@@ -151,7 +151,7 @@ class CrawlStore:
             return None
         return self.log.data_paths(table, through_batch=through_batch)
 
-    def compact(self, table: str, files: int | None = None) -> int:
+    def compact(self, table: str, files: int = 8) -> int:
         """Rewrite every committed append of ``table`` into one
         range-clustered replace snapshot at the current tip (Iceberg's
         rewrite_data_files): at crawl scale the seen set otherwise
@@ -165,19 +165,17 @@ class CrawlStore:
         df = self.read_all(table, tip)
         sid = (self.log.current_snapshot_id(table) or 0) + 1
         out = self.root / "compacted" / table / f"through={tip}-snap={sid}"
-        n = files or getattr(self, "_compact_files", 8)
         key = "url_hash" if "url_hash" in df.columns else df.columns[0]
-        df.repartitionByRange(n, key).write.mode("overwrite").parquet(str(out))
+        df.repartitionByRange(files, key).write.mode("overwrite").parquet(str(out))
         return self.log.commit(
             table, tip, out, operation="replace", replaces_through_batch=tip
         )
 
     def read(self, table: str, batch_id: int) -> DataFrame:
-        paths = [
-            e["path"]
-            for e in self.log.files(table, through_batch=batch_id)
-            if e["batch_id"] == batch_id
-        ]
+        """ONE batch's append — planned from that batch's append snapshot
+        (never from a replace snapshot: compacted files cover the whole
+        table and carry the compaction's batch id)."""
+        paths = [e["path"] for e in self.log.batch_append_files(table, batch_id)]
         if paths:
             return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(str(self.batch_dir(batch_id) / table))

@@ -77,22 +77,30 @@ def _file_manifest_entry(path: pathlib.Path, batch_id: int) -> dict:
     meta = pq.ParquetFile(str(path)).metadata
     lower: dict[str, Any] = {}
     upper: dict[str, Any] = {}
+    # a column's bounds are recorded ONLY if every row group has stats
+    # for it — partial coverage would understate the range and make
+    # prune() silently drop a file that contains matching rows
+    partial: set[str] = set()
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
             col = group.column(ci)
-            stats = col.statistics
-            if stats is None or not stats.has_min_max:
-                continue
             name = col.path_in_schema
-            lo = _json_bound(stats.min)
-            hi = _json_bound(stats.max, is_max=True)
+            stats = col.statistics
+            lo = hi = None
+            if stats is not None and stats.has_min_max:
+                lo = _json_bound(stats.min)
+                hi = _json_bound(stats.max, is_max=True)
             if lo is None or hi is None:
+                partial.add(name)
                 continue
             if name not in lower or lo < lower[name]:
                 lower[name] = lo
             if name not in upper or hi > upper[name]:
                 upper[name] = hi
+    for name in partial:
+        lower.pop(name, None)
+        upper.pop(name, None)
     m = _PART_RX.search(path.name)
     return {
         "path": str(path),
@@ -260,6 +268,19 @@ class SnapshotLog:
                 out = [e for e in out if e["batch_id"] > rt]
             out.extend(snap["manifest"])
         return out
+
+    def batch_append_files(self, table: str, batch_id: int) -> list[dict]:
+        """Manifest entries of the APPEND snapshot for one batch — a
+        single batch's delta. Distinct from :meth:`files`, whose replace
+        entries carry the compaction's batch id and cover the whole
+        table; after :meth:`vacuum` expires a batch's append snapshot its
+        per-batch delta is no longer reconstructable (by design)."""
+        return [
+            e
+            for snap in self.snapshots(table)
+            if snap["operation"] == "append" and snap["batch_id"] == batch_id
+            for e in snap["manifest"]
+        ]
 
     def data_paths(
         self,

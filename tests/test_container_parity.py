@@ -103,6 +103,11 @@ EDGE_PAGES = [
     "<div><span><b>Apply now</b></span></div><p>Salary: 7</p></div></body></html>",
     # no containers at all
     "<html><body><p>just weather talk here</p></body></html>",
+    # valueless class attribute (<span class>) — bs4 normalizes to "";
+    # must not crash the class_ title rung
+    "<html><body><p>" + "z " * 1200 + "</p><div class='job'><span class>decor"
+    "</span><div class='job-title'>Senior Engineer</div><p>Apply now</p>"
+    "<p>Salary: 100</p></div></body></html>",
 ]
 
 

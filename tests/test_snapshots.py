@@ -125,6 +125,11 @@ def test_compaction_and_vacuum(spark, tmp_path):
     store.compact("seen_delta", files=2)
     assert _rows(store.read_all("seen_delta", 2)) == before
     assert len(store.log.data_paths("seen_delta", through_batch=2)) == 2 < n_files_before
+    # per-batch read still returns ONE batch's delta, not the compacted
+    # whole (replace entries carry the compaction's batch id)
+    assert _rows(store.read("seen_delta", 1)) == {
+        r for r in before if 10 <= int(r[0]) < 20
+    }
     # time travel to a pre-compaction batch still resolves (snapshots retained)
     assert {
         tuple(r)

@@ -53,9 +53,10 @@ def main() -> None:
                          "one range-clustered replace snapshot (Iceberg-style "
                          "rewrite_data_files; sources/snapshots.py)")
     ap.add_argument("--vacuum", action="store_true",
-                    help="with --compact: expire the shadowed snapshots and "
-                         "delete their data files (drops pre-compaction time "
-                         "travel)")
+                    help="expire snapshots shadowed by the newest seen-delta "
+                         "compaction and delete their data files (drops "
+                         "pre-compaction time travel); works with --compact "
+                         "or on a previously compacted store")
     ap.add_argument("--compact-files", type=int, default=64,
                     help="target file count for --compact (size for ~total "
                          "seen keys / file at the crawl scale)")
@@ -101,14 +102,14 @@ def main() -> None:
             max_fetch_attempts=args.max_attempts,
         )
         summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
-        if args.compact:
+        if args.compact or args.vacuum:
             from crawler_ai_spark.plans.crawl_loop import CrawlStore
 
             store = CrawlStore(spark, args.state)
-            store.compact("seen_delta", files=args.compact_files)
-            summary["vacuumed_files"] = (
-                len(store.log.vacuum("seen_delta")) if args.vacuum else 0
-            )
+            if args.compact:
+                store.compact("seen_delta", files=args.compact_files)
+            if args.vacuum:
+                summary["vacuumed_files"] = len(store.log.vacuum("seen_delta"))
         print(json.dumps(summary))
     finally:
         spark.stop()
