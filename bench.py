@@ -44,7 +44,9 @@ BENCH_QUERY_NAMES = [
     "doc_stats",              # text curation pass
     "emb_topk",               # similarity search (exact verifier)
     "emb_ann_topk",           # similarity search (LSH scale path)
+    "emb_ivf_topk",           # similarity search (IVF scale path)
     "job_cards_extract",      # 26-pattern card extraction (regex-heavy scan)
+    "container_jobs_extract", # DOM-walk extraction (Arrow pandas UDF)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
