@@ -190,6 +190,44 @@ def test_resume_after_compaction_is_identical(spark, fixture_root, tmp_path_fact
         )
 
 
+def test_resume_after_compaction_bloom_path(spark, fixture_root, tmp_path_factory):
+    """Seen-delta compaction must not disturb the bloom delta chain: a
+    bloom crawl stopped, compacted+vacuumed, and resumed with bloom ends
+    bit-identical to an uninterrupted bloom crawl."""
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:6]
+    seeds = spark.createDataFrame(
+        [(u, None, None) for u in seeds_urls],
+        "seed_url string, max_pages int, max_career_pages int",
+    )
+    cfg = lambda n: CrawlConfig(  # noqa: E731
+        max_batches=n, parallelism=4, seen_delta_files=4, use_bloom=True
+    )
+
+    root_a = tmp_path_factory.mktemp("bloom_plain")
+    run_crawl(spark, pages, seeds, root_a, cfg(8))
+
+    root_b = tmp_path_factory.mktemp("bloom_compacted")
+    run_crawl(spark, pages, seeds, root_b, cfg(2))
+    store_b = CrawlStore(spark, root_b)
+    store_b.compact("seen_delta", files=4)
+    store_b.log.vacuum("seen_delta")
+    run_crawl(spark, pages, seeds, root_b, cfg(8), resume=True)
+
+    store_a = CrawlStore(spark, root_a)
+    store_b = CrawlStore(spark, root_b)
+    last = max(store_a.committed_batches())
+    assert last == max(store_b.committed_batches())
+    for table in ("visited", "seen_delta"):
+        fa = _rows(store_a.read_all(table, last).select("url"))
+        fb = _rows(store_b.read_all(table, last).select("url"))
+        assert fa == fb, f"table {table} diverged (bloom + compaction)"
+
+
 def test_manifest_bounds_prune_point_lookup(spark, crawled):
     store = crawled
     last = max(store.committed_batches())
