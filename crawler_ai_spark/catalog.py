@@ -380,6 +380,77 @@ def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.distinct().orderBy("doc_id", "email")
 
 
+# training-data pipeline: PII scrubbing before a corpus ships to training.
+# RE2-safe patterns shared verbatim by both engines (the Java/RE2 dialect
+# overlap this repo's oracles rely on); emails first so their digits never
+# feed the phone pattern.
+_PII_EMAIL_RX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+_PII_PHONE_RX = r"\b0\d{8,10}\b"
+
+
+@_register(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com or call 09'
+              || lpad(CAST(doc_id % 10000000 AS VARCHAR), 8, '0') || ' today' AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL_RX}')) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL_RX}', '<EMAIL>', 'g') AS no_email
+  FROM aug
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{_PII_PHONE_RX}')) AS BIGINT) AS n_phones,
+       regexp_replace(no_email, '{_PII_PHONE_RX}', '<PHONE>', 'g') AS text_scrubbed
+FROM counted ORDER BY doc_id
+""",
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: redact emails then 0-leading phone runs
+    with typed placeholders, counting replacements — the redaction pass a
+    corpus gets before training. Pure JVM regexp_replace (global on both
+    engines), one linear scan, no shuffle; the input is augmented with
+    one synthesized email+phone per doc so the gate is non-degenerate."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com or call 09"),
+            F.lpad((F.col("doc_id") % 10_000_000).cast("string"), 8, "0"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL_RX, "<EMAIL>")
+    out = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        no_email.alias("no_email"),
+    )
+    return out.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all(F.col("no_email"), F.lit(_PII_PHONE_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(F.col("no_email"), _PII_PHONE_RX, "<PHONE>").alias(
+            "text_scrubbed"
+        ),
+    ).orderBy("doc_id")
+
+
 @_register(
     "crawl_harvest_links",
     oracle=f"""
