@@ -3008,18 +3008,10 @@ def _container_jobs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pages = _container_pages_spark(docs)
-    # DOM parse+walk is CPU-bound (~2 ms/page): a small parquet source
-    # arrives as ONE partition and would serialize the scan. Spread only
-    # when the source has fewer partitions than cores (same idiom as
-    # jobcards.extract_job_cards — at corpus scale this is a no-op).
-    try:
-        n_parts = pages.rdd.getNumPartitions()
-    except Exception:
-        n_parts = None
-    if n_parts is not None:
-        target = spark.sparkContext.defaultParallelism
-        if n_parts < target:
-            pages = pages.repartition(target, F.col("doc_id"))
+    # DOM parse+walk is CPU-bound (~2 ms/page) — see session.spread_to_cores
+    from crawler_ai_spark.session import spread_to_cores
+
+    pages = spread_to_cores(pages, "doc_id")
     return pages.select(
         "doc_id",
         F.explode(DL.container_jobs_udf(10)(F.col("html"), F.col("page_url"))).alias("j"),

@@ -302,24 +302,12 @@ def extract_job_cards(
     occurrence per (page, clean_title) wins → 1-based job_index in match
     order. One posexplode + one window shuffle on (page, clean_title) —
     text never joins anything, so the op scales as a linear scan."""
-    # The pattern scan is CPU-bound (~5-10 ms/page), not IO-bound: a small
-    # parquet source arrives as ONE partition and would serialize the whole
-    # scan onto one core. Spread it when (and only when) the source has
-    # fewer partitions than cores — at real corpus scale the source already
-    # has thousands of partitions and no shuffle happens here.
-    # hash on the page id (not round-robin): HashPartitioning(id) satisfies
-    # both downstream windows' clustering ((id, title) and (id)), so the
-    # dedup+index stage runs with NO further exchange — sorts only
-    try:
-        n_parts = pages.rdd.getNumPartitions()
-    except Exception:
-        # .rdd is unavailable under Spark Connect — skip the spread there
-        # (callers can pre-repartition); never force a corpus shuffle
-        n_parts = None
-    if n_parts is not None:
-        target = pages.sparkSession.sparkContext.defaultParallelism
-        if n_parts < target:
-            pages = pages.repartition(target, F.col(id_col))
+    # The pattern scan is CPU-bound (~5-10 ms/page), not IO-bound; hashing
+    # on the page id means HashPartitioning(id) satisfies both downstream
+    # windows' clustering ((id, title) and (id)) — sorts only, no exchange
+    from crawler_ai_spark.session import spread_to_cores
+
+    pages = spread_to_cores(pages, id_col)
     matched = pages.select(
         F.col(id_col),
         F.posexplode(card_matches_expr(F.col(text_col))).alias("pos", "job_text"),

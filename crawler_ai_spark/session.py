@@ -39,3 +39,23 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def spread_to_cores(df, key_col: str):
+    """Hash-spread a CPU-bound scan across cores when (and only when) the
+    source has fewer partitions than the session's parallelism — a small
+    parquet source arrives as ONE partition and would serialize a
+    per-row-expensive stage onto one core. Hash on the given key (not
+    round-robin) so downstream windows clustered on it need no further
+    exchange. No-op at real corpus scale (thousands of input splits) and
+    under Spark Connect (where .rdd is unavailable)."""
+    from pyspark.sql import functions as F
+
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n_parts < target:
+        return df.repartition(target, F.col(key_col))
+    return df

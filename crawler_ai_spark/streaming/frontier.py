@@ -95,48 +95,87 @@ BUDGET_OUT_SCHEMA = StructType(
     ]
 )
 
+# state: the newest window seen plus a JSON map of per-window ACCEPTED
+# counts for every retained window — late arrivals within the retention
+# horizon charge their own window's budget instead of resetting it
 BUDGET_STATE_SCHEMA = StructType(
-    [StructField("win_ms", LongType()), StructField("n", LongType())]
+    [StructField("max_win_ms", LongType()), StructField("counts_json", StringType())]
 )
 
 
-def _budget_fn(budget: int, window_ms: int):
+def _window_ms(window: str) -> int:
+    n, unit = window.split()
+    mult = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(n) * mult
+
+
+def _budget_fn(budget: int, window_ms: int, late_windows: int):
+    import json
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (host,) = key
-        win_ms, n = state.get if state.exists else (-1, 0)
+        if state.exists:
+            max_win, counts_json = state.get
+            counts = {int(k): int(v) for k, v in json.loads(counts_json).items()}
+        else:
+            max_win, counts = -1, {}
+        # one total order per group and micro-batch: a hot host's rows can
+        # arrive as multiple Arrow chunks whose relative order is the
+        # shuffle-merge order — sorting per chunk would not be a total order
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=["ts"])  # defense-in-depth; stream filters too
+        if pdf.empty:
+            state.update((int(max_win), json.dumps(counts)))
+            return
+        pdf = pdf.assign(ts_ms=pdf["ts"].astype("int64") // 1_000_000).sort_values(
+            ["ts_ms", "url"]
+        )
+        horizon = late_windows * window_ms
         out = []
-        for pdf in pdfs:
-            pdf = pdf.assign(ts_ms=pdf["ts"].astype("int64") // 1_000_000)
-            # deterministic within-batch order; across micro-batches the
-            # source's file order IS arrival order
-            pdf = pdf.sort_values(["ts_ms", "url"])
-            for r in pdf.itertuples(index=False):
-                w = (r.ts_ms // window_ms) * window_ms
-                if w != win_ms:
-                    win_ms, n = w, 0
+        for r in pdf.itertuples(index=False):
+            w = (int(r.ts_ms) // window_ms) * window_ms
+            if w > max_win:
+                max_win = w
+                counts = {k: v for k, v in counts.items() if k >= max_win - horizon}
+            if w < max_win - horizon:
+                # beyond retention: state for that window is gone — defer
+                # (politeness is never violated by forgetting; a dropped
+                # accept only under-fills the old window)
+                ok = False
+            else:
+                n = counts.get(w, 0)
                 ok = n < budget
-                n += 1 if ok else 0
-                out.append([host, r.url, r.seed_url, r.priority, r.ts_ms, w, ok])
-        state.update((int(win_ms), int(n)))
-        if out:
-            yield pd.DataFrame(out, columns=[f.name for f in BUDGET_OUT_SCHEMA.fields])
+                if ok:
+                    counts[w] = n + 1
+            out.append([host, r.url, r.seed_url, r.priority, int(r.ts_ms), w, ok])
+        state.update((int(max_win), json.dumps(counts)))
+        yield pd.DataFrame(out, columns=[f.name for f in BUDGET_OUT_SCHEMA.fields])
 
     return fn
 
 
 def host_budget_stream(
-    stream: DataFrame, budget: int, window: str = "10 minutes"
+    stream: DataFrame, budget: int, window: str = "10 minutes", late_windows: int = 2
 ) -> DataFrame:
     """Per-(host, tumbling window) politeness cap; accepted = first
-    ``budget`` arrivals, the rest flagged for re-queue (defer, not drop)."""
-    window_ms = {"10 minutes": 600_000, "1 minute": 60_000, "1 hour": 3_600_000}.get(
-        window
+    ``budget`` arrivals per window, the rest flagged for re-queue (defer,
+    not drop). Arrivals up to ``late_windows`` windows late still charge
+    their own window's budget; beyond that horizon they are deferred
+    outright. Rows with a null event time are invalid input and filtered
+    before the stateful operator (one poison row would otherwise fail the
+    micro-batch and replay forever)."""
+    wm = _window_ms(window)
+    cols = (
+        with_frontier_cols(stream)
+        .where(F.col("ts").isNotNull())
+        .select("host", "url", "seed_url", "priority", "ts")
     )
-    if window_ms is None:
-        raise ValueError(f"unsupported window: {window}")
-    cols = with_frontier_cols(stream).select("host", "url", "seed_url", "priority", "ts")
     return cols.groupBy("host").applyInPandasWithState(
-        _budget_fn(budget, window_ms),
+        _budget_fn(budget, wm, late_windows),
         outputStructType=BUDGET_OUT_SCHEMA,
         stateStructType=BUDGET_STATE_SCHEMA,
         outputMode="append",

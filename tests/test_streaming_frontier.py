@@ -53,12 +53,18 @@ def test_dedup_stream_equals_batch_first_wins(spark, cand_dir, tmp_path):
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     SE.run_to_parquet(SFR.dedup_candidates(stream), out, ck)
 
-    got = {r.url_hash for r in spark.read.parquet(out).collect()}
+    surv = {r.url_hash: r.ts for r in spark.read.parquet(out).collect()}
     batch = SFR.with_frontier_cols(spark.read.parquet(cand_dir))
     want = {r.url_hash for r in batch.select("url_hash").distinct().collect()}
-    assert got == want
+    assert set(surv) == want
     # exactly one row per key survived
     assert spark.read.parquet(out).count() == len(want)
+    # FIRST arrival wins: the survivor carries the minimum ts per key
+    first = {
+        r.url_hash: r.min_ts
+        for r in batch.groupBy("url_hash").agg(F.min("ts").alias("min_ts")).collect()
+    }
+    assert surv == first
 
 
 def test_host_budget_stream_equals_batch(spark, cand_dir, tmp_path):
@@ -100,3 +106,72 @@ def test_host_budget_stream_equals_batch(spark, cand_dir, tmp_path):
     assert per <= BUDGET
     # and the hot host actually hit the cap (non-degenerate)
     assert per == BUDGET
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _budget_fn directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive(batches, budget=2, window_ms=60_000, late_windows=2):
+    import pandas as pd
+
+    fn = SFR._budget_fn(budget, window_ms, late_windows)
+    state = _FakeState()
+    out = []
+    for rows in batches:
+        pdf = pd.DataFrame(
+            rows, columns=["url", "seed_url", "priority", "ts"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="ms", utc=True).dt.tz_localize(None))
+        out.extend(
+            r for chunk in fn(("h0",), iter([pdf]), state) for r in chunk.itertuples(index=False)
+        )
+    return out
+
+
+def test_budget_out_of_order_arrivals_never_exceed_cap():
+    """A late row from an older window charges THAT window's budget —
+    it must not reset the current window's count (the single-window-state
+    bug class) nor over-accept in its own window."""
+    W = 60_000
+    mk = lambda i, t: (f"https://h0.example/p{i}", "s", 100, t)  # noqa: E731
+    batches = [
+        # batch 1: window 1 fills its budget (2 of 3 accepted)
+        [mk(1, W + 1000), mk(2, W + 2000), mk(3, W + 3000)],
+        # batch 2: window 2 fills its budget
+        [mk(4, 2 * W + 1000), mk(5, 2 * W + 2000)],
+        # batch 3: a LATE window-1 row (must not reset window 2's count)
+        # plus another window-2 row (budget there already spent)
+        [mk(6, W + 50_000), mk(7, 2 * W + 3000)],
+        # batch 4: jump ahead, then a row 4 windows late — beyond the
+        # 2-window retention, deferred outright
+        [mk(8, 5 * W + 1000), mk(9, W + 55_000)],
+    ]
+    rows = _drive(batches, budget=2, window_ms=W, late_windows=2)
+    by_url = {r.url.rsplit("p", 1)[1]: r for r in rows}
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.win_start_ms, []).append(r.accepted)
+    # cap holds in every window, including for the late arrivals
+    assert all(sum(a) <= 2 for a in by_win.values())
+    assert [by_url[str(i)].accepted for i in (1, 2, 3)] == [True, True, False]
+    assert by_url["6"].accepted is False           # late w1 row: budget spent
+    assert by_url["7"].accepted is False           # w2 unaffected by late row
+    assert [by_url[str(i)].accepted for i in (4, 5)] == [True, True]
+    assert by_url["8"].accepted is True
+    assert by_url["9"].accepted is False           # beyond retention → deferred
+    # defer-not-drop: every input row came out
+    assert len(rows) == 9
