@@ -810,6 +810,60 @@ def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dup_groups(aug).orderBy("text_hash")
 
 
+_CHUNK_LEN = 400
+_CHUNK_STRIDE = 350  # 50-char overlap between consecutive chunks
+
+
+@_register(
+    "doc_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_LEN}) AS chunk_text
+  FROM t, unnest(range(0,
+    CAST(CASE WHEN n = 0 THEN 0 ELSE floor((n - 1) / {_CHUNK_STRIDE}) + 1 END AS BIGINT)
+  )) AS u(i)
+)
+SELECT doc_id, chunk_id, chunk_text, length(chunk_text) AS n_chars
+FROM c ORDER BY doc_id, chunk_id
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: fixed-size character windows with overlap
+    ({chunk} chars, stride {stride}) — the step between curation and
+    tokenization. Pure JVM (sequence + transform + posexplode), linear
+    scan, no shuffle; char semantics match DuckDB's substr so the oracle
+    is exact on unicode text. Token-aware chunking would swap the window
+    arithmetic for the token counter in pipeline/textstats.py."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.floor((F.length(t) - 1) / _CHUNK_STRIDE) + 1
+    )
+    idx = F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx, lambda i: t.substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_LEN))
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.length("chunk_text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
+    chunk=_CHUNK_LEN, stride=_CHUNK_STRIDE
+)
+
+
 @_register(
     "doc_stats",
     oracle="""
