@@ -814,6 +814,18 @@ _CHUNK_LEN = 400
 _CHUNK_STRIDE = 350  # 50-char overlap between consecutive chunks
 
 
+def _chunk_array(t):
+    """Overlapping char windows as a pure-JVM array expression. Guard:
+    Spark's sequence(0, -1) DESCENDS, so empty text must short-circuit."""
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.floor((F.length(t) - 1) / _CHUNK_STRIDE) + 1
+    )
+    idx = F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: t.substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_LEN)))
+
+
 @_register(
     "doc_chunks",
     oracle=f"""
@@ -837,16 +849,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact on unicode text. Token-aware chunking would swap the window
     arithmetic for the token counter in pipeline/textstats.py."""
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.floor((F.length(t) - 1) / _CHUNK_STRIDE) + 1
-    )
-    idx = F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int"))).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = F.transform(
-        idx, lambda i: t.substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_LEN))
-    )
+    chunks = _chunk_array(F.col("text"))
     return (
         docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         .select(
@@ -897,7 +900,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _lang_oracle() -> str:
+def _lang_oracle(src: str = "documents") -> str:
     # argmax with lexicographic tie-break, as a greatest-of-structs trick
     score_exprs = []
     for lang in sorted(TS.LANG_MARKERS):
@@ -916,7 +919,7 @@ def _lang_oracle() -> str:
 WITH toksed AS (
   SELECT doc_id,
          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-  FROM documents
+  FROM {src}
 ),
 scored AS (
   SELECT doc_id, {', '.join(score_exprs)} FROM toksed
@@ -1245,11 +1248,11 @@ def q_pagination_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_quality_oracle() -> str:
+def _doc_quality_oracle(src: str = "documents") -> str:
     stop = ", ".join(_sql_quote(s) for s in TS.STOPWORDS_EN)
     return f"""
 WITH t AS (
-  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tx FROM documents
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tx FROM {src}
 ),
 feat AS (
   SELECT doc_id,
@@ -1315,6 +1318,116 @@ def q_vn_phone_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(phones_strict_expr(F.col("text"))).alias("idx", "phone"),
         )
         .orderBy("doc_id", "idx")
+    )
+
+
+# the flagship training-data composition: every curation stage in ONE
+# declarative plan. Duplicate templates are seeded so the dedup stage is
+# non-degenerate at the gate SF (0 natural dups there) and are written to
+# PASS the lang/quality gates (stopword-rich English, low repetition) and
+# to EXERCISE the scrub (an email + a phone inside).
+_CURATION_DUP_TEMPLATE = (
+    "the quick brown fox and the lazy dog are in the house with a cat and "
+    "they all see the sun in the day while the rain is far away call "
+    "0912345678 or write user@ex.example now template #"
+)
+_CURATION_MIN_QUALITY = 0.75
+
+
+def _curation_oracle() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3
+              THEN {_sql_quote(_CURATION_DUP_TEMPLATE)} || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+lang AS (SELECT * FROM ({_lang_oracle("aug")}) t),
+qual AS (SELECT * FROM ({_doc_quality_oracle("aug")}) t),
+kept AS (
+  SELECT a.doc_id, a.text, l.lang_pred, q.quality
+  FROM aug a JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality >= {_CURATION_MIN_QUALITY}
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(trim(regexp_replace(a.text, '\\s+', ' ', 'g'))))
+    ORDER BY a.doc_id) = 1
+),
+scrubbed AS (
+  SELECT doc_id, lang_pred, quality,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE_RX}', '<PHONE>', 'g') AS tx
+  FROM kept
+),
+chunks AS (
+  SELECT doc_id, lang_pred, quality, CAST(i AS BIGINT) AS chunk_id,
+         substr(tx, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_LEN}) AS chunk_text
+  FROM scrubbed, unnest(range(0,
+    CAST(CASE WHEN length(tx) = 0 THEN 0
+         ELSE floor((length(tx) - 1) / {_CHUNK_STRIDE}) + 1 END AS BIGINT))) AS u(i)
+)
+SELECT doc_id, lang_pred, quality, chunk_id, chunk_text
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+@_register("doc_curation_pipeline", oracle=_curation_oracle())
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan: language gate
+    → quality gate → exact dedup (first doc per fingerprint) → PII scrub
+    → overlapping chunking. Catalyst sees every stage at once — the
+    filters run before the window, the scrub/chunk projections fuse into
+    the post-dedup stage, and the only shuffle is the fingerprint window.
+    This is the composition a 100 TB corpus build would submit per
+    partition of the crawl output."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(
+                F.lit(_CURATION_DUP_TEMPLATE), (F.col("doc_id") % 5).cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.col("text")
+    staged = aug.select(
+        "doc_id",
+        "text",
+        TS.lang_id(t).alias("lang_pred"),
+        TS.quality_score(t).alias("quality"),
+        TS.fingerprint(t).alias("fingerprint"),
+    )
+    kept = staged.where(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= _CURATION_MIN_QUALITY)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    scrubbed = kept.withColumn(
+        "tx",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RX, "<EMAIL>"),
+            _PII_PHONE_RX,
+            "<PHONE>",
+        ),
+    )
+    return (
+        scrubbed.select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            F.posexplode(_chunk_array(F.col("tx"))).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+        )
+        .orderBy("doc_id", "chunk_id")
     )
 
 
