@@ -47,6 +47,7 @@ BENCH_QUERY_NAMES = [
     "emb_ivf_topk",           # similarity search (IVF scale path)
     "job_cards_extract",      # 26-pattern card extraction (regex-heavy scan)
     "container_jobs_extract", # DOM-walk extraction (Arrow pandas UDF)
+    "doc_curation_pipeline",  # composed curation flow (gates+dedup+scrub+chunk)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -1392,6 +1392,11 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # the gate expressions tokenize every document (CPU-bound JVM work);
+    # a one-partition parquet source would serialize them — spread first
+    from crawler_ai_spark.session import spread_to_cores
+
+    aug = spread_to_cores(aug, "doc_id")
     t = F.col("text")
     staged = aug.select(
         "doc_id",

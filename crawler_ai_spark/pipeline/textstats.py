@@ -62,20 +62,26 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax over marker-hit counts, ties → lexicographically first lang,
-    zero hits → 'und'. Pure CASE cascade (deterministic, SQL-portable)."""
+    zero hits → 'und'.
+
+    Implemented as array_max over (score, -rank) structs: struct ordering
+    picks the highest score, then the lowest rank (= lexicographically
+    first language) on ties — identical semantics to a CASE cascade, but
+    each marker-score expression appears ONCE in the plan. The previous
+    nested when-chain re-embedded every prior score inside each branch,
+    doubling the expression tree per language (~2^n_langs tokenizations
+    after codegen); this form is linear."""
     scores = lang_scores(text)
     langs = sorted(scores)  # tie-break order = lexicographic
-    best = None
-    best_score = None
-    for lang in langs:
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    entries = [
+        F.struct(scores[lang].alias("s"), F.lit(-i).alias("nr"))
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    name = F.lit(langs[0])
+    for i, lang in enumerate(langs[1:], start=1):
+        name = F.when(best["nr"] == -i, F.lit(lang)).otherwise(name)
+    return F.when(best["s"] > 0, name).otherwise(F.lit("und"))
 
 
 def quality_columns(text: Column) -> dict[str, Column]:

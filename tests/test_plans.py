@@ -67,8 +67,9 @@ def test_three_way_join_broadcasts_the_dimension(spark):
 def test_frontier_dedup_is_single_shuffle(spark):
     """First-wins dedup = one exchange on the dedup key, not several."""
     plan = _plan(spark, "frontier_dedup")
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, f"dedup plan grew to {n_exchanges} hash exchanges"
+    # formatted mode lists the partitioning in the footer Arguments
+    n_exchanges = plan.count("hashpartitioning(")
+    assert 1 <= n_exchanges <= 2, f"dedup plan has {n_exchanges} hash exchanges"
 
 
 def test_classifier_has_no_python_in_the_plan(spark):
@@ -86,7 +87,22 @@ def test_pii_scrub_is_pure_jvm_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # linear scan: no join, no hash shuffle (only the final sort exchange)
     assert "Join" not in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "hashpartitioning(" not in plan
+
+
+def test_curation_pipeline_is_single_shuffle_pure_jvm(spark):
+    """The composed curation flow must stay one fingerprint shuffle (plus
+    the final sort) with zero Python nodes — the gates/scrub/chunk stages
+    are all JVM expressions fused around the dedup window."""
+    plan = _plan(spark, "doc_curation_pipeline")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # fingerprint window shuffle + (small sources only) the conditional
+    # spread-to-cores of the gate projection
+    assert 1 <= plan.count("hashpartitioning(") <= 2
+    assert "Join" not in plan
+    # the rn=1 dedup gets the WindowGroupLimit pushdown (partial before
+    # the shuffle) — losing it would ship every duplicate row
+    assert "WindowGroupLimit" in plan
 
 
 def test_arrow_udf_queries_use_arrow_not_row_python(spark):
