@@ -235,6 +235,37 @@ def _ivf_cells_udf(centroids: np.ndarray, n_probe: int):
     return pandas_udf(_cells, "array<int>")
 
 
+def _train_from_corpus(
+    ids: DataFrame, n_centroids: int, max_train: int, seed: int
+) -> np.ndarray:
+    """Deterministic bounded training sample (hash-sample, sorted limit)
+    + spherical k-means — shared by the inline and persisted IVF paths."""
+    n = ids.count()
+    keep_mod = max(1, n // max_train)
+    sample_rows = (
+        ids.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0)
+        .orderBy("neighbor_id")
+        .limit(max_train)
+        .select("c_vec")
+        .collect()
+    )
+    return train_ivf_centroids(
+        np.stack([r.c_vec for r in sample_rows]), n_centroids, seed=seed
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The shared tail: deterministic (cosine desc, id asc) window rank."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -259,19 +290,7 @@ def ivf_topk(
     touched ≈ n_probe/n_centroids of the corpus vs all of it for brute
     force. Recall < 1 by design — measured vs cosine_topk in pytest."""
     ids = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    # deterministic bounded training sample: hash-sample then sorted limit
-    n = ids.count()
-    keep_mod = max(1, n // max_train)
-    sample_rows = (
-        ids.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0)
-        .orderBy("neighbor_id")
-        .limit(max_train)
-        .select("c_vec")
-        .collect()
-    )
-    centroids = train_ivf_centroids(
-        np.stack([r.c_vec for r in sample_rows]), n_centroids, seed=seed
-    )
+    centroids = _train_from_corpus(ids, n_centroids, max_train, seed)
 
     assigned = ids.withColumn(
         "cell", _ivf_cells_udf(centroids, 1)(F.col("c_vec"))[0]
@@ -312,18 +331,7 @@ def build_ivf_index(
     import pandas as pd
 
     ids = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    n = ids.count()
-    keep_mod = max(1, n // max_train)
-    sample_rows = (
-        ids.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0)
-        .orderBy("neighbor_id")
-        .limit(max_train)
-        .select("c_vec")
-        .collect()
-    )
-    centroids = train_ivf_centroids(
-        np.stack([r.c_vec for r in sample_rows]), n_centroids, seed=seed
-    )
+    centroids = _train_from_corpus(ids, n_centroids, max_train, seed)
     assigned = ids.withColumn("cell", _ivf_cells_udf(centroids, 1)(F.col("c_vec"))[0])
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/cells")
     spark = corpus.sparkSession
@@ -358,7 +366,7 @@ def ivf_topk_indexed(
         queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .withColumn("cells", _ivf_cells_udf(centroids, n_probe)(F.col("q_vec")))
         .select("query_id", "q_vec", F.explode("cells").alias("cell"))
-    )
+    ).persist()  # consumed twice: the cell-list collect and the probe join
     probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     index = spark.read.parquet(f"{index_path}/cells").where(
         F.col("cell").isin(probed_cells)  # partition pruning at the scan
@@ -368,12 +376,7 @@ def ivf_topk_indexed(
         .join(index, "cell")
         .withColumn("cosine", F.round(_cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_topk(

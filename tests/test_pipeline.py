@@ -224,12 +224,18 @@ def test_ivf_indexed_equals_inline(spark, tmp_path):
     got = SIM.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=4)
     want = SIM.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    # partition pruning is real: the pruned scan reads fewer files than
-    # the full index directory holds
+    # partition pruning is real: the index scan's plan carries a cell
+    # partition filter (remove the isin() and this fails even though the
+    # join would still restrict the rows)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet") :]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in pf and ("IN" in pf.upper() or "isin" in pf), pf
     import glob
 
-    all_cells = len(glob.glob(f"{idx}/cells/cell=*"))
-    assert all_cells == 8
+    assert len(glob.glob(f"{idx}/cells/cell=*")) == 8
 
 
 def test_ivf_is_deterministic(spark):

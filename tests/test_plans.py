@@ -22,9 +22,9 @@ def _plan(spark, name: str) -> str:
     )
 
 
-# queries whose brute-force cross join is the documented point (sandbox
-# verifiers with registered LSH/IVF scale paths)
-_CROSS_JOIN_ALLOWED = {"emb_topk", "emb_dup_pairs"}
+# emb_topk / emb_dup_pairs are deliberately absent from the cartesian
+# check below: their brute-force cross join IS the documented point
+# (sandbox verifiers with registered LSH/IVF scale paths).
 
 
 @pytest.mark.parametrize(
@@ -58,10 +58,15 @@ def test_scan_agg_pushes_filter_and_prunes_columns(spark):
 
 
 def test_three_way_join_broadcasts_the_dimension(spark):
+    """At sf0.001 every input sits under the broadcast threshold, so the
+    planner may legally broadcast the fact-fact join too — the observable
+    property at this scale is hash joins throughout (broadcast for the
+    dim) and no nested-loop/cartesian fallback. The fact-fact shuffle
+    behavior at size is governed by autoBroadcastJoinThreshold, not by
+    anything this query hardcodes."""
     plan = _plan(spark, "top_revenue_orders")
     assert "BroadcastHashJoin" in plan
-    # the big fact-fact side must NOT be broadcast both ways
-    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_frontier_dedup_is_single_shuffle(spark):
@@ -110,6 +115,7 @@ def test_arrow_udf_queries_use_arrow_not_row_python(spark):
     never row-at-a-time (BatchEvalPython)."""
     for name in ("crawl_harvest_links", "container_jobs_extract"):
         plan = _plan(spark, name)
+        assert "ArrowEvalPython" in plan, name
         assert "BatchEvalPython" not in plan, name
 
 
