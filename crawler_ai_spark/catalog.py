@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from crawler_ai_spark import constants as K
 from crawler_ai_spark.functions import filters as FL
+from crawler_ai_spark.pipeline import corpus as CP
 from crawler_ai_spark.pipeline import dedup as DD
 from crawler_ai_spark.pipeline import similarity as SIM
 from crawler_ai_spark.pipeline import textstats as TS
@@ -865,6 +866,291 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
     chunk=_CHUNK_LEN, stride=_CHUNK_STRIDE
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level curation (pipeline/corpus.py): boilerplate line dedup,
+# benchmark decontamination, repetition metrics, stratified sampling
+# ---------------------------------------------------------------------------
+
+# normalized-token CTE shared by the corpus oracles
+_TOKS_CTE = """
+toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+)"""
+
+# exactly LINE_TOKENS (8) tokens — prepended so seeded docs share their
+# first synthesized line verbatim (mid-text insertion would shift window
+# boundaries and break the cross-doc identity the dedup keys on)
+_BOILER_LINE = "subscribe to our newsletter follow us on twitter"
+assert len(_BOILER_LINE.split()) == CP.LINE_TOKENS
+
+_LINES_EXPR = (
+    "list_transform(range(0, CAST(floor((len(toks)-1)/{n})+1 AS BIGINT)), "
+    "i -> array_to_string(toks[CAST(i*{n}+1 AS BIGINT):CAST(i*{n}+{n} AS BIGINT)], ' '))"
+).format(n=CP.LINE_TOKENS)
+
+
+@_register(
+    "doc_line_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_BOILER_LINE} ' || text ELSE text END AS text
+  FROM documents
+),
+toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM base
+),
+w AS (SELECT doc_id, {_LINES_EXPR} AS lines FROM toksed),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_idx, lines[CAST(i + 1 AS BIGINT)] AS line
+  FROM w, unnest(range(0, len(lines))) AS u(i)
+),
+boiler AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM boiler)),
+reb AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(tot.n_lines, 0) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (RefinedWeb-style): drop
+    every occurrence of any synthesized 8-token line appearing in >= 2
+    distinct docs, reassemble survivors in order. Docs with doc_id%7==0
+    get a shared boilerplate line PREPENDED so the gate compares
+    non-empty removal sets at sf0.01 (the doc_exact_dups seeding
+    pattern). Plan: df-count shuffle on short rows -> broadcast anti-join
+    probe -> one per-doc regroup; see pipeline/corpus.py scale notes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(_BOILER_LINE + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return CP.line_dedup(docs, min_df=2).orderBy("doc_id")
+
+
+@_register(
+    "doc_decontaminate",
+    oracle=f"""
+WITH {_TOKS_CTE},
+bench AS (
+  SELECT DISTINCT array_to_string(toks[3:10], ' ') AS gram
+  FROM toksed WHERE doc_id % 29 = 0 AND len(toks) >= 10
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {CP.DECONTAM_N} + 2),
+           i -> array_to_string(
+             toks[CAST(i AS BIGINT):CAST(i + {CP.DECONTAM_N} - 1 AS BIGINT)], ' '))) AS grams
+  FROM toksed WHERE len(toks) >= {CP.DECONTAM_N}
+  UNION ALL
+  SELECT doc_id, [array_to_string(toks, ' ')] AS grams
+  FROM toksed WHERE len(toks) < {CP.DECONTAM_N} AND len(toks) > 0
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN bench ON ex.gram = bench.gram
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-token gram with
+    the synthesized benchmark set (tokens 3..10 of every doc_id%29==0
+    doc — the contributing docs self-hit, so the gate is non-degenerate
+    by construction, and cross-doc hits exercise the join). Benchmark is
+    broadcast; the only shuffle is the short-row per-doc hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    bench = docs.filter((F.col("doc_id") % 29 == 0) & (F.size(toks) >= 10)).select(
+        F.array_join(F.slice(toks, 3, 8), " ").alias("gram")
+    )
+    return CP.decontaminate(docs, bench, n=CP.DECONTAM_N).orderBy("doc_id")
+
+
+@_register(
+    "doc_repetition",
+    oracle=f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN trim(repeat(array_to_string(toks[1:8], ' ') || ' ', 6))
+              ELSE array_to_string(toks, ' ') END AS text
+  FROM toks0
+),
+toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM base
+),
+w AS (
+  SELECT doc_id,
+         {_LINES_EXPR} AS lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM toksed
+),
+m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines, len(bigrams) AS n_bg,
+         round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
+           AS dup_line_ratio,
+         round(1.0 - len(list_distinct(bigrams)) / greatest(len(bigrams), 1), 6)
+           AS dup_bigram_ratio,
+         round(CASE WHEN len(bigrams) > 0
+               THEN list_max(list_transform(list_distinct(bigrams),
+                    b -> len(list_filter(bigrams, x -> x = b))))
+               ELSE 0 END / greatest(len(bigrams), 1), 6) AS top_bigram_ratio
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bg AS BIGINT) AS n_bigrams,
+       dup_line_ratio, dup_bigram_ratio, top_bigram_ratio,
+       (dup_line_ratio > 0.30 OR top_bigram_ratio > 0.18) AS repetitive
+FROM m ORDER BY doc_id
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics: duplicate-line and
+    duplicate-bigram fractions, top-bigram share, and the repetitive
+    gate. Docs with doc_id%13==0 are rewritten to an 8-token phrase
+    repeated 6x so the gate boolean actually fires at sf0.01 (the
+    seeding pattern of doc_exact_dups / doc_line_dedup). Map-only —
+    zero shuffles (see pipeline/corpus.py on the per-row quadratic vs
+    shuffle trade for longer docs)."""
+    toks0 = F.split(TS.norm_text(F.col("text")), " ")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.trim(
+                F.repeat(F.concat(F.array_join(F.slice(toks0, 1, 8), " "), F.lit(" ")), 6)
+            ),
+        )
+        .otherwise(F.array_join(toks0, " "))
+        .alias("text"),
+    )
+    r = CP.repetition_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        r["n_bigrams"].alias("n_bigrams"),
+        r["dup_line_ratio"].alias("dup_line_ratio"),
+        r["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+        r["top_bigram_ratio"].alias("top_bigram_ratio"),
+        r["repetitive"].alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "doc_sample_stratified",
+    oracle=f"""
+WITH {_TOKS_CTE},
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= {CP.SAMPLE_BUCKETS[0][1]} THEN 'long'
+              WHEN len(toks) >= {CP.SAMPLE_BUCKETS[1][1]} THEN 'mid'
+              ELSE 'short' END AS bucket,
+         substr(md5(doc_id || ':{CP.SAMPLE_SALT}'), 1, 4) AS sample_key
+  FROM toksed
+)
+SELECT doc_id, bucket, sample_key, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM s
+WHERE bucket = 'long'
+   OR (bucket = 'mid' AND sample_key < '{CP.SAMPLE_BUCKETS[1][2]}')
+   OR (bucket = 'short' AND sample_key < '{CP.SAMPLE_BUCKETS[2][2]}')
+ORDER BY doc_id
+""",
+)
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by size band (long 1.0 /
+    mid 0.5 / short 0.125) keyed on a content-independent md5 — the
+    reproducible data-mixing move before tokenization. Map-only, RNG-free;
+    identical keyspace arithmetic on both engines (exact binary-fraction
+    thresholds over lowercase hex)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.stratified_sample(docs).orderBy("doc_id")
+
+
+@_register(
+    "corpus_mix",
+    oracle=f"""
+WITH {_TOKS_CTE},
+s AS (
+  SELECT d.doc_id, d.lang, len(t.toks) AS n_tokens,
+         CASE WHEN len(t.toks) >= {CP.SAMPLE_BUCKETS[0][1]} THEN 'long'
+              WHEN len(t.toks) >= {CP.SAMPLE_BUCKETS[1][1]} THEN 'mid'
+              ELSE 'short' END AS bucket
+  FROM documents d JOIN toksed t ON d.doc_id = t.doc_id
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       round(sum(n_tokens) / sum(sum(n_tokens)) OVER (), 6) AS token_share
+FROM s GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing report: doc and token counts per (lang, size-band)
+    with share-of-corpus — what a recipe pipeline reads before choosing
+    per-stratum sampling rates (doc_sample_stratified consumes the same
+    banding). One partial-agg shuffle on a tiny key space plus a
+    single-row total broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(TS.norm_text(F.col("text")), " ")
+    n_tok = F.size(toks)
+    bucket = (
+        F.when(n_tok >= CP.SAMPLE_BUCKETS[0][1], F.lit("long"))
+        .when(n_tok >= CP.SAMPLE_BUCKETS[1][1], F.lit("mid"))
+        .otherwise(F.lit("short"))
+    )
+    per = docs.select(F.col("lang"), bucket.alias("bucket"), n_tok.alias("n_tokens"))
+    agg = per.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "tokens_total",
+        F.round(F.col("tokens_total") / F.sum("tokens_total").over(total), 6).alias(
+            "token_share"
+        ),
+    ).orderBy("lang", "bucket")
 
 
 @_register(

@@ -1,0 +1,120 @@
+"""Property tests for the corpus-curation operators (pipeline/corpus.py).
+
+The DuckDB oracles in the catalog pin exact values; these tests pin the
+SEMANTICS on hand-built corpora where the right answer is obvious:
+boilerplate removal drops exactly the shared lines, decontamination flags
+exactly the overlapping docs, repetition metrics fire on a repeated
+phrase, and stratified sampling is deterministic with sane per-band rates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawler_ai_spark.pipeline import corpus as CP
+
+BOILER = "subscribe to our newsletter follow us on twitter"  # 8 tokens
+UNIQ = [
+    "quarterly revenue grew nine percent over the prior fiscal year period",
+    "the museum opened a new wing devoted to maritime history exhibits",
+    "researchers described a novel catalyst for ammonia synthesis at low pressure",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BOILER + " " + UNIQ[0]),
+        (1, BOILER + " " + UNIQ[1]),
+        (2, UNIQ[2]),
+        (3, BOILER),  # fully boilerplate
+        (4, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_shared_lines_only(docs):
+    out = {r["doc_id"]: r for r in CP.line_dedup(docs).collect()}
+    assert len(out) == 5
+    # shared 8-token boilerplate line removed wherever it occurs
+    for d in (0, 1):
+        assert not out[d]["clean_text"].startswith("subscribe")
+        assert out[d]["n_removed"] == 1
+    # unique content untouched (modulo normalization)
+    assert out[2]["clean_text"] == UNIQ[2].lower()
+    assert out[2]["n_removed"] == 0
+    # fully-boilerplate doc survives as an empty row, not a dropped row
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["n_lines"] == 0 and out[4]["clean_text"] == ""
+    # survivors keep their original order
+    assert out[0]["clean_text"].startswith("quarterly revenue")
+
+
+def test_line_dedup_min_df_threshold(docs):
+    # min_df=3: the boilerplate line appears in 3 docs -> still removed;
+    # raise to 4 and nothing qualifies.
+    out3 = {r["doc_id"]: r["n_removed"] for r in CP.line_dedup(docs, min_df=3).collect()}
+    assert out3[0] == 1
+    out4 = {r["doc_id"]: r["n_removed"] for r in CP.line_dedup(docs, min_df=4).collect()}
+    assert all(v == 0 for v in out4.values())
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    bench = spark.createDataFrame([(BOILER,)], "gram string")
+    out = {r["doc_id"]: r for r in CP.decontaminate(docs, bench).collect()}
+    assert out[0]["contaminated"] and out[1]["contaminated"] and out[3]["contaminated"]
+    assert not out[2]["contaminated"] and not out[4]["contaminated"]
+    # doc 3 is exactly the benchmark gram (8 tokens -> one window)
+    assert out[3]["n_hits"] == 1
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    # sub-n docs contribute their whole text as one gram
+    docs = spark.createDataFrame([(0, "tiny doc")], "doc_id long, text string")
+    bench = spark.createDataFrame([("tiny doc",)], "gram string")
+    row = CP.decontaminate(docs, bench).collect()[0]
+    assert row["contaminated"] and row["n_hits"] == 1
+
+
+def test_repetition_metrics(spark):
+    phrase = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [(0, (phrase + " ") * 6), (1, " ".join(UNIQ))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = CP.repetition_columns(F.col("text"))
+    out = {
+        row["doc_id"]: row
+        for row in docs.select(
+            "doc_id", *[v.alias(k) for k, v in r.items()]
+        ).collect()
+    }
+    assert out[0]["repetitive"] and out[0]["dup_line_ratio"] > 0.8
+    assert not out[1]["repetitive"]
+    assert out[1]["dup_line_ratio"] == 0.0
+    # 'the' appears twice per phrase -> 'the lazy'/'lazy the' repeats
+    assert out[0]["top_bigram_ratio"] > out[1]["top_bigram_ratio"]
+
+
+def test_stratified_sample_deterministic_and_banded(spark):
+    n = 4000
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(i % 90 + 1))) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = CP.stratified_sample(docs).collect()
+    b = CP.stratified_sample(docs).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    kept = {r["doc_id"]: r for r in a}
+    # every long doc kept
+    longs = [i for i in range(n) if i % 90 + 1 >= 70]
+    assert all(i in kept for i in longs)
+    # mid band ~1/2, short band ~1/8 (binomial tolerance)
+    mids = [i for i in range(n) if 40 <= i % 90 + 1 < 70]
+    shorts = [i for i in range(n) if i % 90 + 1 < 40]
+    mid_rate = sum(i in kept for i in mids) / len(mids)
+    short_rate = sum(i in kept for i in shorts) / len(shorts)
+    assert 0.42 <= mid_rate <= 0.58
+    assert 0.08 <= short_rate <= 0.17
+    # bands assigned correctly
+    for r in a:
+        n_tok = r["doc_id"] % 90 + 1
+        want = "long" if n_tok >= 70 else ("mid" if n_tok >= 40 else "short")
+        assert r["bucket"] == want and r["n_tokens"] == n_tok
