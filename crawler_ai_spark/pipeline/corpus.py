@@ -102,12 +102,18 @@ def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text") -> Data
     Returns (doc_id, clean_text, n_lines, n_removed) for every input doc
     (fully-boilerplate docs come back with clean_text = '').
 
-    Plan: explode -> df-count shuffle (short rows) -> broadcast anti-join
-    probe (map-side) -> per-doc regroup (the only wide text shuffle, and
-    it moves only surviving lines)."""
-    lines = exploded_lines(docs, text_col).cache()
-    boiler = boilerplate_lines(lines, min_df=min_df)
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    Plan: two independent explode passes over the (column-pruned) source
+    — deliberately NOT cached: caching the exploded corpus pins O(corpus)
+    rows in executor storage at 100 TB, while recomputing a map-side
+    explode from a pruned parquet scan is nearly free. Pass 1 shuffles
+    only (line, doc_id-distinct) short rows for the df count; pass 2
+    probes the broadcast boilerplate set map-side and regroups survivors
+    (the only wide text shuffle). n_lines is computed map-side from the
+    window array — no third pass, no shuffle."""
+    boiler = boilerplate_lines(exploded_lines(docs, text_col), min_df=min_df)
+    kept = exploded_lines(docs, text_col).join(
+        F.broadcast(boiler), "line", "left_anti"
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -118,11 +124,11 @@ def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text") -> Data
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    totals = docs.select(
+        "doc_id", F.size(line_windows(F.col(text_col))).alias("n_lines")
+    )
     out = (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        totals.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

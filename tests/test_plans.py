@@ -110,6 +110,40 @@ def test_curation_pipeline_is_single_shuffle_pure_jvm(spark):
     assert "WindowGroupLimit" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["doc_line_dedup", "doc_decontaminate", "doc_repetition"]
+)
+def test_corpus_curation_no_cartesian_no_python(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_line_dedup_broadcasts_boilerplate_set(spark):
+    """The df>=min_df probe must be a broadcast anti-join (map-side) —
+    shuffling the exploded corpus against the boilerplate set would move
+    O(corpus) text rows at 100 TB."""
+    plan = _plan(spark, "doc_line_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is KBs-to-MBs; the contamination probe must
+    broadcast it, never shuffle the corpus grams on the join key."""
+    plan = _plan(spark, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_and_sampling_are_map_only(spark):
+    """Repetition metrics and stratified sampling are per-row: zero
+    shuffles besides the deterministic output sort."""
+    for name in ("doc_repetition", "doc_sample_stratified"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(" not in plan, name
+        assert "Join" not in plan, name
+
+
 def test_arrow_udf_queries_use_arrow_not_row_python(spark):
     """The UDF-backed extractions must be Arrow-batched (ArrowEvalPython),
     never row-at-a-time (BatchEvalPython)."""
