@@ -1046,9 +1046,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-bigram fractions, top-bigram share, and the repetitive
     gate. Docs with doc_id%13==0 are rewritten to an 8-token phrase
     repeated 6x so the gate boolean actually fires at sf0.01 (the
-    seeding pattern of doc_exact_dups / doc_line_dedup). Map-only —
-    zero shuffles (see pipeline/corpus.py on the per-row quadratic vs
-    shuffle trade for longer docs)."""
+    seeding pattern of doc_exact_dups / doc_line_dedup). Line metrics
+    map-side; bigram top/distinct via explode + pre-combined short-row
+    count shuffle keyed on doc_id (see pipeline/corpus.py on why this
+    beats the per-row HOF alternatives ~50x)."""
     toks0 = F.split(TS.norm_text(F.col("text")), " ")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1061,16 +1062,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join(toks0, " "))
         .alias("text"),
     )
-    r = CP.repetition_columns(F.col("text"))
-    return docs.select(
-        "doc_id",
-        r["n_lines"].alias("n_lines"),
-        r["n_bigrams"].alias("n_bigrams"),
-        r["dup_line_ratio"].alias("dup_line_ratio"),
-        r["dup_bigram_ratio"].alias("dup_bigram_ratio"),
-        r["top_bigram_ratio"].alias("top_bigram_ratio"),
-        r["repetitive"].alias("repetitive"),
-    ).orderBy("doc_id")
+    return CP.repetition_metrics(docs).orderBy("doc_id")
 
 
 @_register(

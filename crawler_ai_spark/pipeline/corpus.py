@@ -109,7 +109,12 @@ def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text") -> Data
     only (line, doc_id-distinct) short rows for the df count; pass 2
     probes the broadcast boilerplate set map-side and regroups survivors
     (the only wide text shuffle). n_lines is computed map-side from the
-    window array — no third pass, no shuffle."""
+    window array — no third pass, no shuffle. The source is hash-spread
+    on doc_id when it arrives under-partitioned (a no-op on a real
+    many-split corpus) so the tokenize+window scan parallelizes."""
+    from crawler_ai_spark.session import spread_to_cores
+
+    docs = spread_to_cores(docs, "doc_id")
     boiler = boilerplate_lines(exploded_lines(docs, text_col), min_df=min_df)
     kept = exploded_lines(docs, text_col).join(
         F.broadcast(boiler), "line", "left_anti"
@@ -154,6 +159,9 @@ def decontaminate(
     (doc_id, gram-hit) rows only.
 
     Returns (doc_id, n_hits, contaminated) for every doc."""
+    from crawler_ai_spark.session import spread_to_cores
+
+    docs = spread_to_cores(docs, "doc_id")
     grams = docs.select(
         "doc_id", F.explode(ngram_windows(F.col(text_col), n)).alias("gram")
     )
@@ -174,8 +182,21 @@ def decontaminate(
     )
 
 
-def repetition_columns(text: Column) -> dict[str, Column]:
-    """Gopher-style within-document repetition metrics (map-only):
+def bigram_windows(text: Column) -> Column:
+    """array<string> of overlapping token bigrams ([] under 2 tokens)."""
+    toks = _toks(text)
+    n_tok = F.when(F.length(norm_text(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    return F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics:
 
     - dup_line_ratio: fraction of synthesized lines that are repeats of
       another line in the same doc (1 - distinct/total);
@@ -185,44 +206,55 @@ def repetition_columns(text: Column) -> dict[str, Column]:
     - repetitive: the gate (dup_line_ratio > 0.30 OR top_bigram_ratio
       > 0.18 — the Gopher-paper neighborhood).
 
-    The top-bigram count is distinct x total comparisons per doc —
-    O(n_tokens^2) on a single row, fine for web-page-sized docs; a
-    longer-doc deployment swaps in posexplode + groupBy(doc_id, bigram)
-    + max, trading the per-row quadratic for one short-row shuffle."""
-    toks = _toks(text)
-    n_tok = F.when(F.length(norm_text(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    Returns (doc_id, n_lines, n_bigrams, dup_line_ratio,
+    dup_bigram_ratio, top_bigram_ratio, repetitive) for every doc.
+
+    Shape: line metrics stay map-side (array ops are JVM-native); the
+    top/distinct bigram counts go explode -> partial-agg count (doc_id,
+    bigram) -> per-doc fold, entirely inside whole-stage codegen. The
+    per-row alternatives lose: a distinct x contains scan is O(n^2)
+    interpreted lambdas, and even a sorted run-length HOF fold evaluates
+    interpreted at ~ms per kilotoken doc (~50x slower than this shuffle
+    of short pre-combined rows). doc_id is the shuffle key — unskewed by
+    construction."""
+    from crawler_ai_spark.session import spread_to_cores
+
+    docs = spread_to_cores(docs, "doc_id")
+    text = F.col(text_col)
     lines = line_windows(text)
     n_lines = F.size(lines)
     safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
-    bigrams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_bg = F.size(bigrams)
-    safe_bg = F.greatest(n_bg, F.lit(1)).cast("double")
-    top_bg = F.when(
-        n_bg > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-            )
-        ),
-    ).otherwise(F.lit(0))
     dup_line = F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / safe_lines, 6)
-    dup_bg = F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / safe_bg, 6)
-    top_ratio = F.round(top_bg / safe_bg, 6)
-    return {
-        "n_lines": n_lines.cast("long"),
-        "n_bigrams": n_bg.cast("long"),
-        "dup_line_ratio": dup_line,
-        "dup_bigram_ratio": dup_bg,
-        "top_bigram_ratio": top_ratio,
-        "repetitive": (dup_line > 0.30) | (top_ratio > 0.18),
-    }
+    line_side = docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        dup_line.alias("dup_line_ratio"),
+        F.size(bigram_windows(text)).cast("long").alias("n_bigrams"),
+    )
+    bg_counts = (
+        docs.select("doc_id", F.explode(bigram_windows(text)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_bg"),
+            F.max("cnt").alias("top_bg"),
+        )
+    )
+    safe_bg = F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+    dup_bg = F.round(
+        F.lit(1.0) - F.coalesce("n_distinct_bg", F.lit(0)) / safe_bg, 6
+    )
+    top_ratio = F.round(F.coalesce("top_bg", F.lit(0)) / safe_bg, 6)
+    return line_side.join(bg_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_bigrams",
+        "dup_line_ratio",
+        dup_bg.alias("dup_bigram_ratio"),
+        top_ratio.alias("top_bigram_ratio"),
+        ((F.col("dup_line_ratio") > 0.30) | (top_ratio > 0.18)).alias("repetitive"),
+    )
 
 
 # deterministic sampling: bucket by size band, keep when the md5-derived

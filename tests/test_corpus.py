@@ -81,13 +81,7 @@ def test_repetition_metrics(spark):
     phrase = "the quick brown fox jumps over the lazy"  # 8 tokens
     rows = [(0, (phrase + " ") * 6), (1, " ".join(UNIQ))]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    r = CP.repetition_columns(F.col("text"))
-    out = {
-        row["doc_id"]: row
-        for row in docs.select(
-            "doc_id", *[v.alias(k) for k, v in r.items()]
-        ).collect()
-    }
+    out = {row["doc_id"]: row for row in CP.repetition_metrics(docs).collect()}
     assert out[0]["repetitive"] and out[0]["dup_line_ratio"] > 0.8
     assert not out[1]["repetitive"]
     assert out[1]["dup_line_ratio"] == 0.0

@@ -135,13 +135,20 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_repetition_and_sampling_are_map_only(spark):
-    """Repetition metrics and stratified sampling are per-row: zero
-    shuffles besides the deterministic output sort."""
-    for name in ("doc_repetition", "doc_sample_stratified"):
-        plan = _plan(spark, name)
-        assert "hashpartitioning(" not in plan, name
-        assert "Join" not in plan, name
+def test_sampling_is_map_only(spark):
+    """Stratified sampling is per-row: zero shuffles, zero joins besides
+    the deterministic output sort."""
+    plan = _plan(spark, "doc_sample_stratified")
+    assert "hashpartitioning(" not in plan and "Join" not in plan
+
+
+def test_repetition_shuffles_short_rows_with_partial_agg(spark):
+    """The bigram counts must pre-combine map-side (partial HashAggregate
+    before the exchange) and shuffle only on doc_id/bigram keys — and the
+    doc_id join back to the line metrics must not degrade to a loop join."""
+    plan = _plan(spark, "doc_repetition")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_arrow_udf_queries_use_arrow_not_row_python(spark):
