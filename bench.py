@@ -48,6 +48,7 @@ BENCH_QUERY_NAMES = [
     "job_cards_extract",      # 26-pattern card extraction (regex-heavy scan)
     "container_jobs_extract", # DOM-walk extraction (Arrow pandas UDF)
     "doc_curation_pipeline",  # composed curation flow (gates+dedup+scrub+chunk)
+    "doc_line_dedup",         # cross-doc boilerplate removal (broadcast anti-join)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -1571,6 +1571,177 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# seeding CTE shared by the source-curation oracles: every 3rd source is
+# degraded deterministically so all three tiers exist at the sf0.01 gate
+# (natural data is uniformly high-quality / dup-free there)
+_SRC_AUG_CTE = """
+aug AS (
+  SELECT doc_id, source,
+         CASE WHEN (CAST(substr(source, 4) AS INT) % 3) = 1
+                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'shared corporate boilerplate announcement for ' || source
+              WHEN (CAST(substr(source, 4) AS INT) % 3) = 2
+              THEN 'zz qq ' || doc_id
+              ELSE text END AS text
+  FROM documents
+)"""
+
+_SRC_ROLLUP_SQL = f"""
+qual AS (SELECT * FROM ({{qual_oracle}}) t),
+j AS (
+  SELECT a.source, q.quality,
+         md5(lower(trim(regexp_replace(a.text, '\\s+', ' ', 'g')))) AS fp,
+         CASE WHEN length(trim(regexp_replace(a.text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(a.text, '\\s+', ' ', 'g')), ' '))
+         END AS n_tokens
+  FROM aug a JOIN qual q USING (doc_id)
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens) AS tokens_total,
+         round(avg(quality), 4) AS mean_quality,
+         count(*) - count(DISTINCT fp) AS n_dup
+  FROM j GROUP BY source
+),
+rolled AS (
+  SELECT source,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(tokens_total AS BIGINT) AS tokens_total,
+         mean_quality,
+         round(n_dup / greatest(n_docs, 1), 6) AS dup_rate,
+         CASE WHEN mean_quality >= 0.55
+                   AND round(n_dup / greatest(n_docs, 1), 6) <= 0.20 THEN 'full'
+              WHEN mean_quality >= 0.40
+                   AND round(n_dup / greatest(n_docs, 1), 6) <= 0.50 THEN 'half'
+              ELSE 'eighth' END AS tier
+  FROM agg
+)"""
+
+
+def _src_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SRC_AUG_CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            (srcnum % 3 == 1)
+            & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"),
+            F.concat(
+                F.lit("shared corporate boilerplate announcement for "),
+                F.col("source"),
+            ),
+        )
+        .when(
+            srcnum % 3 == 2,
+            F.concat(F.lit("zz qq "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@_register(
+    "source_quality_rollup",
+    oracle=f"""
+WITH {_SRC_AUG_CTE},
+{_SRC_ROLLUP_SQL.format(qual_oracle=_doc_quality_oracle("aug"))}
+SELECT * FROM rolled ORDER BY source
+""",
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup (FineWeb/CCNet-style: judge the
+    SOURCE): per-source doc/token counts, mean quality, within-source
+    exact-dup rate, and the derived sampling tier. Every 3rd source is
+    seeded degenerate (dup templates / short garbage) so all three tiers
+    are exercised at the sf0.01 gate. One partial-agg shuffle on the
+    source key; see pipeline/corpus.py for the skew notes."""
+    return CP.source_rollup(_src_aug(spark, sf_dir)).orderBy("source")
+
+
+@_register(
+    "doc_source_filter",
+    oracle=f"""
+WITH {_SRC_AUG_CTE},
+{_SRC_ROLLUP_SQL.format(qual_oracle=_doc_quality_oracle("aug"))},
+k AS (
+  SELECT doc_id, source,
+         substr(md5(doc_id || ':{CP.SAMPLE_SALT}'), 1, 4) AS sample_key
+  FROM documents
+)
+SELECT k.doc_id, k.source, r.tier, k.sample_key
+FROM k JOIN rolled r USING (source)
+WHERE r.tier = 'full'
+   OR (r.tier = 'half' AND k.sample_key < '8000')
+   OR (r.tier = 'eighth' AND k.sample_key < '2000')
+ORDER BY k.doc_id
+""",
+)
+def q_doc_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the per-source tier back to documents: deterministic md5-key
+    downsampling at the source's rate (full 1.0 / half 0.5 / eighth
+    0.125). The rollup broadcasts (one row per source), so the apply pass
+    shuffles nothing of the corpus."""
+    aug = _src_aug(spark, sf_dir)
+    rollup = CP.source_rollup(aug)
+    return CP.source_filter(aug, rollup).orderBy("doc_id")
+
+
+@_register(
+    "corpus_incremental_ingest",
+    oracle="""
+WITH odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+src AS (SELECT doc_id AS src_id, text AS src_text FROM documents),
+inc AS (
+  SELECT o.doc_id, coalesce(s.src_text, o.text) AS text
+  FROM odd o LEFT JOIN src s
+    ON s.src_id = CASE WHEN o.doc_id % 9 = 1 THEN o.doc_id - 1
+                       WHEN o.doc_id % 42 = 3 THEN o.doc_id - 2 END
+),
+ex AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+f AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM inc
+),
+w AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         fingerprint IN (SELECT fp FROM ex) AS known
+  FROM f
+)
+SELECT doc_id, fingerprint, (NOT known AND rn = 1) AS is_new
+FROM w ORDER BY doc_id
+""",
+)
+def q_corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingestion gate: even doc_ids are the existing
+    corpus, odd ones the incoming batch; seeded copies (doc_id%9==1 takes
+    its predecessor's text -> known duplicate; odd doc_id%42==3 takes
+    doc_id-2's text -> within-batch duplicate) make both rejection paths
+    non-degenerate. Fingerprint-keyed anti-join + first-wins window, both
+    on the uniform md5 key; see pipeline/corpus.py incremental_ingest."""
+    docs = _t(spark, sf_dir, "documents")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    src_id = F.when(F.col("doc_id") % 9 == 1, F.col("doc_id") - 1).when(
+        F.col("doc_id") % 42 == 3, F.col("doc_id") - 2
+    )
+    incoming = (
+        odd.withColumn("src_id", src_id)
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")),
+            "src_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("src_text", "text").alias("text"))
+    )
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    return CP.incremental_ingest(incoming, existing).orderBy("doc_id")
+
+
 @_register("vn_phone_extract")  # rows-only: lookbehind is Java-regex-only
 def q_vn_phone_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 — strict VN phone pipeline (lookaround regex, unicode separator

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.pipeline.textstats import norm_text
+from crawler_ai_spark.pipeline.textstats import fingerprint, norm_text, quality_score
 
 # non-overlapping token-window size used to synthesize "lines" — the
 # testdata corpus is single-line text, so line structure is derived
@@ -305,3 +305,127 @@ def stratified_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
         key.alias("sample_key"),
         n_tok.cast("long").alias("n_tokens"),
     ).filter(keep)
+
+
+# per-source sampling tiers derived from the rollup: (tier, rate,
+# keep-threshold over the 4-hex sample keyspace; None = keep all)
+SOURCE_TIERS: tuple[tuple[str, float, str | None], ...] = (
+    ("full", 1.0, None),
+    ("half", 0.5, "8000"),
+    ("eighth", 0.125, "2000"),
+)
+
+
+def source_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-level curation rollup (the FineWeb/CCNet move: judge the
+    SOURCE, not just the document): per source, doc/token counts, mean
+    quality score, within-source exact-duplicate rate, and the derived
+    sampling tier —
+
+        full   : mean_quality >= 0.55 and dup_rate <= 0.20
+        half   : mean_quality >= 0.40 and dup_rate <= 0.50
+        eighth : everything else
+
+    Returns (source, n_docs, tokens_total, mean_quality, dup_rate, tier).
+
+    One partial-agg shuffle keyed on source; the dup count is
+    count - approx-free countDistinct(fingerprint), which Spark plans as
+    a two-phase expand + partial agg (no second scan). Source keys are
+    Zipf-skewed on a real web corpus — AQE's skew-split handles the
+    giant-host partition, and nothing here collects to the driver."""
+    t = F.col(text_col)
+    toks = _toks(t)
+    n_tok = F.when(F.length(norm_text(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    per = docs.select(
+        "source",
+        quality_score(t).alias("q"),
+        fingerprint(t).alias("fp"),
+        n_tok.alias("n_tokens"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        # 4 dp, not 6: the mean of per-doc doubles is summation-order
+        # sensitive in the last ulps (Spark partial aggs vs a single-pass
+        # oracle); 4 dp is far above that noise and far below the tier
+        # threshold spacing
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+    )
+    dup_rate = F.round(F.col("n_dup_docs") / F.greatest(F.col("n_docs"), F.lit(1)), 6)
+    tier = (
+        F.when(
+            (F.col("mean_quality") >= 0.55) & (dup_rate <= 0.20), F.lit("full")
+        )
+        .when((F.col("mean_quality") >= 0.40) & (dup_rate <= 0.50), F.lit("half"))
+        .otherwise(F.lit("eighth"))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        "mean_quality",
+        dup_rate.alias("dup_rate"),
+        tier.alias("tier"),
+    )
+
+
+def source_filter(docs: DataFrame, rollup: DataFrame) -> DataFrame:
+    """Apply the per-source tier back to documents: keep each doc when its
+    content-independent sample key falls under its source's rate
+    threshold (full sources keep everything). The rollup is one row per
+    source — BROADCAST, so the apply pass is map-side with zero shuffle
+    of the corpus.
+
+    Returns (doc_id, source, tier, sample_key) for kept docs only."""
+    rates = {name: thr for name, _, thr in SOURCE_TIERS}
+    key = sample_key(F.col("doc_id"))
+    tier = F.col("tier")
+    keep = (
+        F.when(tier == "full", F.lit(True))
+        .when(tier == "half", key < rates["half"])
+        .otherwise(key < rates["eighth"])
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rollup.select("source", "tier")), "source")
+        .select("doc_id", "source", tier.alias("tier"), key.alias("sample_key"))
+        .filter(keep)
+    )
+
+
+def incremental_ingest(
+    incoming: DataFrame, existing: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-snapshot dedup: tag each incoming doc as new iff its content
+    fingerprint is absent from the existing corpus AND it is the first
+    occurrence within its own batch (first = lowest doc_id, the
+    reference's keep-first convention). The standard ingestion gate that
+    keeps a growing corpus append-only without re-deduping history.
+
+    Returns (doc_id, fingerprint, is_new) for every incoming doc.
+
+    Plan: both sides project to (fingerprint[, doc_id]) before the join —
+    md5 keys are uniform, so the shuffle is skew-free and moves 16-byte
+    keys, never text. The within-batch first-wins is one window on the
+    same key (co-partitioned with the join shuffle). At 100 TB the
+    existing side is a fingerprint column read off the corpus table
+    (column-pruned scan), and a bloom pre-filter (operators/seen.py) can
+    drop the obvious non-members map-side first."""
+    inc = incoming.select("doc_id", fingerprint(F.col(text_col)).alias("fingerprint"))
+    seen = existing.select(fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
+    from pyspark.sql import Window
+
+    first_in_batch = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    flagged = (
+        inc.join(seen.withColumn("known", F.lit(True)), "fingerprint", "left")
+        .withColumn("rn", first_in_batch)
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("known").isNull() & (F.col("rn") == 1)).alias("is_new"),
+        )
+    )
+    return flagged

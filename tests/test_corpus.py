@@ -89,6 +89,59 @@ def test_repetition_metrics(spark):
     assert out[0]["top_bigram_ratio"] > out[1]["top_bigram_ratio"]
 
 
+def test_source_rollup_tiers(spark):
+    # 3 sources with obvious verdicts: clean prose -> full; half the docs
+    # sharing one template -> dup_rate 0.5 > 0.2 -> half; short garbage
+    # -> mean quality ~0.3 -> eighth
+    rows = []
+    for i in range(20):
+        rows.append((i, "good", "the quick brown fox jumps over a lazy dog near " + str(i)))
+        rows.append((100 + i, "dupy", "identical press release body" if i < 10 else "unique filler text number " + str(i)))
+        rows.append((200 + i, "junk", "zz " + str(i)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in CP.source_rollup(docs).collect()}
+    assert out["good"]["tier"] == "full" and out["good"]["dup_rate"] == 0.0
+    assert out["dupy"]["tier"] == "half" and abs(out["dupy"]["dup_rate"] - 0.45) < 0.01
+    assert out["junk"]["tier"] == "eighth"
+    assert out["good"]["n_docs"] == 20 and out["good"]["tokens_total"] == 220
+
+
+def test_source_filter_rates_and_determinism(spark):
+    n = 2000
+    rows = [(i, "s" + str(i % 3), "text " + str(i)) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rollup = spark.createDataFrame(
+        [("s0", "full"), ("s1", "half"), ("s2", "eighth")], "source string, tier string"
+    )
+    a = CP.source_filter(docs, rollup).collect()
+    b = CP.source_filter(docs, rollup).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    by_tier = {}
+    for r in a:
+        by_tier.setdefault(r["tier"], []).append(r["doc_id"])
+    assert len(by_tier["full"]) == (n + 2) // 3  # every full doc kept
+    assert 0.40 <= len(by_tier["half"]) / (n // 3) <= 0.60
+    assert 0.07 <= len(by_tier["eighth"]) / (n // 3) <= 0.18
+
+
+def test_incremental_ingest_gates(spark):
+    existing = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (2, "delta epsilon zeta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # known -> not new
+            (3, "ALPHA   beta GAMMA"),     # known after normalization -> not new
+            (5, "eta theta iota"),         # fresh, first in batch -> new
+            (7, "eta theta iota"),         # within-batch dup -> not new
+            (9, "kappa lambda mu"),        # fresh -> new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["is_new"] for r in CP.incremental_ingest(incoming, existing).collect()}
+    assert out == {1: False, 3: False, 5: True, 7: False, 9: True}
+
+
 def test_stratified_sample_deterministic_and_banded(spark):
     n = 4000
     rows = [(i, " ".join(f"w{i}t{j}" for j in range(i % 90 + 1))) for i in range(n)]

@@ -135,6 +135,26 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_source_filter_broadcasts_the_rollup(spark):
+    """The per-source tier apply must broadcast the one-row-per-source
+    rollup — shuffling the corpus on `source` to meet it would be the
+    100 TB regression (and source keys are Zipf-skewed)."""
+    plan = _plan(spark, "doc_source_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_ingest_no_text_in_the_shuffle(spark):
+    """The ingestion gate joins/windows on the md5 fingerprint — the text
+    column must be pruned out before any exchange (the scan projects it to
+    compute the hash; nothing downstream carries it)."""
+    plan = _plan(spark, "corpus_incremental_ingest")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every exchange ships (doc_id/fingerprint)-shaped rows only
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in frag.split("\n")[0]
+
+
 def test_sampling_is_map_only(spark):
     """Stratified sampling is per-row: zero shuffles, zero joins besides
     the deterministic output sort."""
