@@ -1688,6 +1688,46 @@ def q_doc_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         END + 1 AS BIGINT) AS doc_len
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, doc_len,
+         coalesce(sum(doc_len) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_offset
+  FROM t
+),
+e AS (
+  SELECT source, doc_id, doc_len, global_offset, CAST(w AS BIGINT) AS window_id
+  FROM o, unnest(generate_series(
+      CAST(floor(global_offset / {CP.PACK_WINDOW}) AS BIGINT),
+      CAST(floor((global_offset + doc_len - 1) / {CP.PACK_WINDOW}) AS BIGINT))) AS u(w)
+)
+SELECT source, window_id, doc_id,
+       CAST(greatest(0, window_id * {CP.PACK_WINDOW} - global_offset) AS BIGINT) AS doc_from,
+       CAST(least(doc_len, (window_id + 1) * {CP.PACK_WINDOW} - global_offset) AS BIGINT) AS doc_to,
+       CAST(global_offset AS BIGINT) AS global_offset
+FROM e ORDER BY source, window_id, doc_id
+""",
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: concat-and-chunk each source shard's
+    token stream (one EOD separator per doc) into fixed 128-token
+    training windows; one row per (doc x window overlapped) with the
+    doc's token subrange. One running-sum window per shard + a map-side
+    explode; see pipeline/corpus.py pack_sequences for the shard-skew
+    scale notes."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_sequences(docs).orderBy("source", "window_id", "doc_id")
+
+
+@_register(
     "corpus_incremental_ingest",
     oracle="""
 WITH odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),

@@ -429,3 +429,73 @@ def incremental_ingest(
         )
     )
     return flagged
+
+
+# training-window width for sequence packing (sandbox-sized; a real run
+# passes 2048/4096/8192)
+PACK_WINDOW = 128
+
+
+def pack_sequences(
+    docs: DataFrame, window: int = PACK_WINDOW, text_col: str = "text"
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing manifest: within each
+    source shard, documents are concatenated in doc_id order (one
+    end-of-document separator token each) and the token stream is cut
+    into fixed ``window``-token training windows. Emits one row per
+    (document x window it overlaps):
+
+        (source, window_id, doc_id, doc_from, doc_to, global_offset)
+
+    where [doc_from, doc_to) is the token subrange of the doc landing in
+    that window and global_offset is the doc's position in the shard
+    stream — everything a tokenizer-side writer needs to materialize
+    packed examples without re-scanning.
+
+    Plan: one running-sum window per (source, doc_id-order) — a single
+    shuffle on the shard key — then a map-side explode over the spanned
+    window ids. Real pipelines pack per input shard, so the partition
+    key is the shard id (unskewed by construction); a Zipf-skewed
+    `source` at 100 TB would instead pre-split hot sources into
+    sub-shards (the salting move in operators/frontier.py) since packing
+    never needs cross-shard order."""
+    from pyspark.sql import Window as W
+
+    t = F.col(text_col)
+    n_tok = F.when(F.length(norm_text(t)) == 0, F.lit(0)).otherwise(
+        F.size(_toks(t))
+    )
+    doc_len = (n_tok + 1).cast("long")  # +1 end-of-document separator
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    off = F.coalesce(F.sum(doc_len).over(w), F.lit(0)).cast("long")
+    base = docs.select(
+        "source",
+        "doc_id",
+        doc_len.alias("doc_len"),
+        off.alias("global_offset"),
+    )
+    first_w = F.floor(F.col("global_offset") / window)
+    last_w = F.floor((F.col("global_offset") + F.col("doc_len") - 1) / window)
+    spanned = base.select(
+        "source",
+        "doc_id",
+        "doc_len",
+        "global_offset",
+        F.explode(F.sequence(first_w, last_w)).alias("window_id"),
+    )
+    doc_from = F.greatest(
+        F.lit(0).cast("long"), F.col("window_id") * window - F.col("global_offset")
+    )
+    doc_to = F.least(
+        F.col("doc_len"), (F.col("window_id") + 1) * window - F.col("global_offset")
+    )
+    return spanned.select(
+        "source",
+        F.col("window_id").cast("long").alias("window_id"),
+        "doc_id",
+        doc_from.alias("doc_from"),
+        doc_to.alias("doc_to"),
+        "global_offset",
+    )

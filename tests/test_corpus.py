@@ -142,6 +142,38 @@ def test_incremental_ingest_gates(spark):
     assert out == {1: False, 3: False, 5: True, 7: False, 9: True}
 
 
+def test_pack_sequences_manifest_invariants(spark):
+    # docs of 5,9,2 tokens (+1 EOD each) packed into 8-token windows:
+    # stream = [0,6) [6,16) [16,19) over windows [0,8) [8,16) [16,24)
+    rows = [
+        (0, "s", "a b c d e"),
+        (1, "s", "f g h i j k l m n"),
+        (2, "s", "o p"),
+        (3, "t", "x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = CP.pack_sequences(docs, window=8).collect()
+    got = {
+        (r["source"], r["window_id"], r["doc_id"]): (
+            r["doc_from"], r["doc_to"], r["global_offset"])
+        for r in out
+    }
+    assert got == {
+        ("s", 0, 0): (0, 6, 0),      # doc0 fully in window 0
+        ("s", 0, 1): (0, 2, 6),      # doc1 head fills window 0
+        ("s", 1, 1): (2, 10, 6),     # doc1 middle fills window 1
+        ("s", 2, 2): (0, 3, 16),     # doc2 (+EOD) starts window 2
+        ("t", 0, 3): (0, 4, 0),      # second shard restarts at offset 0
+    }
+    # invariant: every window except a shard's last is exactly full
+    fill = {}
+    for (src, w, _), (a, b, _o) in got.items():
+        fill[(src, w)] = fill.get((src, w), 0) + (b - a)
+    for (src, w), tot in fill.items():
+        last = max(k[1] for k in fill if k[0] == src)
+        assert tot == 8 or w == last, (src, w, tot)
+
+
 def test_stratified_sample_deterministic_and_banded(spark):
     n = 4000
     rows = [(i, " ".join(f"w{i}t{j}" for j in range(i % 90 + 1))) for i in range(n)]
