@@ -1728,6 +1728,77 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_pack_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN ['{CP.EOD_TOKEN}']
+              ELSE string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                   || ['{CP.EOD_TOKEN}']
+         END AS stream
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, stream, CAST(len(stream) AS BIGINT) AS doc_len,
+         coalesce(sum(CAST(len(stream) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_offset
+  FROM t
+),
+e AS (
+  SELECT source, doc_id, stream, CAST(w AS BIGINT) AS window_id,
+         greatest(0, CAST(w AS BIGINT) * {CP.PACK_WINDOW} - global_offset) AS a,
+         least(doc_len, (CAST(w AS BIGINT) + 1) * {CP.PACK_WINDOW} - global_offset) AS b
+  FROM o, unnest(generate_series(
+      CAST(floor(global_offset / {CP.PACK_WINDOW}) AS BIGINT),
+      CAST(floor((global_offset + doc_len - 1) / {CP.PACK_WINDOW}) AS BIGINT))) AS u(w)
+)
+SELECT source, window_id,
+       string_agg(array_to_string(list_slice(stream, a + 1, b), ' '), ' ' ORDER BY doc_id) AS window_text,
+       CAST(sum(b - a) AS BIGINT) AS n_tokens
+FROM e GROUP BY source, window_id ORDER BY source, window_id
+""",
+)
+def q_corpus_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training windows: the actual fixed-width token
+    examples the pack_sequences manifest describes — per (source shard,
+    window) the concatenated token text and count. Two corpus-sized
+    exchanges total (offset window + partial-aggregatable regroup); see
+    pipeline/corpus.py pack_windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_windows(docs).orderBy("source", "window_id")
+
+
+@_register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(concat(CAST(doc_id AS VARCHAR), ':{CP.SHUFFLE_SALT}')) AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(concat('0x', substr(shuffle_key, 1, 4)) AS BIGINT) % {CP.SHUFFLE_SHARDS} AS shard_id
+  FROM k
+)
+SELECT shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS BIGINT) AS position,
+       doc_id, shuffle_key
+FROM s ORDER BY shard_id, position
+""",
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: content-independent md5 keys
+    assign each doc an output shard (first 4 hex digits mod n) and a
+    within-shard order (full key) — the RNG-free decorrelation pass
+    before training. One uniform shuffle on shard_id; see
+    pipeline/corpus.py shuffle_shards for the writer form at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.shuffle_shards(docs).orderBy("shard_id", "position")
+
+
+@_register(
     "corpus_incremental_ingest",
     oracle="""
 WITH odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),

@@ -435,6 +435,56 @@ def incremental_ingest(
 # passes 2048/4096/8192)
 PACK_WINDOW = 128
 
+# end-of-document separator token appended to every doc's token stream
+EOD_TOKEN = "<|eod|>"
+
+
+def _pack_spans(
+    docs: DataFrame, window: int, text_col: str, with_stream: bool
+) -> DataFrame:
+    """Shared packing core: per-shard running token offsets (one shuffle
+    on the shard key — only the length column crosses the exchange when
+    ``with_stream`` is False, Catalyst projects doc_len below it) then a
+    map-side explode to one row per (doc x window it overlaps), with the
+    [doc_from, doc_to) token subrange. ``with_stream`` additionally
+    carries the doc's token stream (tokens + EOD) so callers can slice
+    pieces map-side."""
+    from pyspark.sql import Window as W
+
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(norm_text(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(_toks(t))
+    stream = F.concat(toks, F.array(F.lit(EOD_TOKEN)))
+    doc_len = F.size(stream).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    off = F.coalesce(F.sum(doc_len).over(w), F.lit(0)).cast("long")
+    cols = [
+        "source",
+        "doc_id",
+        doc_len.alias("doc_len"),
+        off.alias("global_offset"),
+    ]
+    if with_stream:
+        cols.append(stream.alias("stream"))
+    base = docs.select(*cols)
+    first_w = F.floor(F.col("global_offset") / window)
+    last_w = F.floor((F.col("global_offset") + F.col("doc_len") - 1) / window)
+    spanned = base.withColumn(
+        "window_id", F.explode(F.sequence(first_w, last_w))
+    ).withColumn("window_id", F.col("window_id").cast("long"))
+    doc_from = F.greatest(
+        F.lit(0).cast("long"), F.col("window_id") * window - F.col("global_offset")
+    )
+    doc_to = F.least(
+        F.col("doc_len"), (F.col("window_id") + 1) * window - F.col("global_offset")
+    )
+    return spanned.withColumns(
+        {"doc_from": doc_from, "doc_to": doc_to}
+    )
+
 
 def pack_sequences(
     docs: DataFrame, window: int = PACK_WINDOW, text_col: str = "text"
@@ -459,43 +509,89 @@ def pack_sequences(
     `source` at 100 TB would instead pre-split hot sources into
     sub-shards (the salting move in operators/frontier.py) since packing
     never needs cross-shard order."""
+    return _pack_spans(docs, window, text_col, with_stream=False).select(
+        "source", "window_id", "doc_id", "doc_from", "doc_to", "global_offset"
+    )
+
+
+def pack_windows(
+    docs: DataFrame, window: int = PACK_WINDOW, text_col: str = "text"
+) -> DataFrame:
+    """Materialized packed training windows: the actual ``window``-token
+    examples `pack_sequences` describes, one row per (source, window_id)
+    with the concatenated token text and its token count. Every window
+    except a shard's last is exactly ``window`` tokens.
+
+    Plan: the span core's single offset shuffle (here the token stream
+    rides along — one corpus-sized exchange), map-side piece slicing,
+    then one (source, window_id) aggregation whose shuffle carries each
+    token exactly once (pieces partition the stream; no duplication).
+    Two corpus-sized exchanges total — the same cost as a global
+    sort-and-rechunk, with no driver involvement. Ordered reassembly is
+    a sort_array over (doc_id, piece) structs inside the agg, not a
+    window, so the agg stays partial-aggregatable."""
+    spanned = _pack_spans(docs, window, text_col, with_stream=True)
+    piece = F.slice(
+        F.col("stream"),
+        (F.col("doc_from") + 1).cast("int"),
+        (F.col("doc_to") - F.col("doc_from")).cast("int"),
+    )
+    pieces = spanned.select(
+        "source",
+        "window_id",
+        F.struct(F.col("doc_id"), piece.alias("piece")).alias("part"),
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list("part")), lambda s: s.getField("piece")
+        )
+    )
+    return pieces.groupBy("source", "window_id").agg(
+        F.array_join(ordered, " ").alias("window_text"),
+        F.size(ordered).cast("long").alias("n_tokens"),
+    )
+
+
+# deterministic global corpus shuffle: shard count for the sandbox (a
+# real run passes the target output-file count, e.g. 10k-100k shards)
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "shuffle-v1"
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic global corpus shuffle (the decorrelation pass before
+    training: adjacent docs must not share a crawl host/snapshot). Each
+    doc gets a content-independent md5 shuffle key; the key's first 4 hex
+    digits pick one of ``n_shards`` output shards and the full key orders
+    docs within the shard:
+
+        (shard_id, position, doc_id, shuffle_key)
+
+    RNG-free and reproducible — re-running on the same corpus (or a
+    grown corpus: existing docs keep their key, hence their shard) gives
+    the same layout, so shuffles are resumable and auditable.
+
+    Plan: map-side key + shard assignment, then ONE shuffle on shard_id
+    (uniform by construction — md5 keys are unskewed regardless of how
+    skewed doc_ids or sources are) for the within-shard row_number. At
+    100 TB the writer form is `repartition(n_shards, shard_id)` +
+    `sortWithinPartitions(shuffle_key)` — identical layout, no window —
+    with n_shards sized so a shard fits an executor's sort buffer."""
     from pyspark.sql import Window as W
 
-    t = F.col(text_col)
-    n_tok = F.when(F.length(norm_text(t)) == 0, F.lit(0)).otherwise(
-        F.size(_toks(t))
+    key = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT))
     )
-    doc_len = (n_tok + 1).cast("long")  # +1 end-of-document separator
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard_id")
+    keyed = docs.select(shard, F.col("doc_id"), key.alias("shuffle_key"))
+    pos = F.row_number().over(
+        W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
     )
-    off = F.coalesce(F.sum(doc_len).over(w), F.lit(0)).cast("long")
-    base = docs.select(
-        "source",
+    return keyed.select(
+        "shard_id",
+        pos.cast("long").alias("position"),
         "doc_id",
-        doc_len.alias("doc_len"),
-        off.alias("global_offset"),
-    )
-    first_w = F.floor(F.col("global_offset") / window)
-    last_w = F.floor((F.col("global_offset") + F.col("doc_len") - 1) / window)
-    spanned = base.select(
-        "source",
-        "doc_id",
-        "doc_len",
-        "global_offset",
-        F.explode(F.sequence(first_w, last_w)).alias("window_id"),
-    )
-    doc_from = F.greatest(
-        F.lit(0).cast("long"), F.col("window_id") * window - F.col("global_offset")
-    )
-    doc_to = F.least(
-        F.col("doc_len"), (F.col("window_id") + 1) * window - F.col("global_offset")
-    )
-    return spanned.select(
-        "source",
-        F.col("window_id").cast("long").alias("window_id"),
-        "doc_id",
-        doc_from.alias("doc_from"),
-        doc_to.alias("doc_to"),
-        "global_offset",
+        "shuffle_key",
     )

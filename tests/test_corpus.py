@@ -174,6 +174,52 @@ def test_pack_sequences_manifest_invariants(spark):
         assert tot == 8 or w == last, (src, w, tot)
 
 
+def test_pack_windows_materializes_the_manifest(spark):
+    # same stream as the manifest test: every window's text is the exact
+    # token range, EOD separators included, docs reassembled in order
+    rows = [
+        (0, "s", "a b c d e"),
+        (1, "s", "f g h i j k l m n"),
+        (2, "s", "o p"),
+        (3, "t", "x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = CP.pack_windows(docs, window=8).collect()
+    got = {(r["source"], r["window_id"]): (r["window_text"], r["n_tokens"]) for r in out}
+    E = CP.EOD_TOKEN
+    assert got == {
+        ("s", 0): (f"a b c d e {E} f g", 8),
+        ("s", 1): (f"h i j k l m n {E}", 8),
+        ("s", 2): (f"o p {E}", 3),
+        ("t", 0): (f"x y z {E}", 4),
+    }
+
+
+def test_shuffle_shards_deterministic_stable_balanced(spark):
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = CP.shuffle_shards(docs).collect()
+    b = CP.shuffle_shards(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard, keymap = {}, {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r["position"])
+        keymap[r["doc_id"]] = (r["shard_id"], r["shuffle_key"])
+    # positions are a contiguous 1..n ranking per shard
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # all shards live, roughly uniform (md5 keyspace: ~50/shard at n=400)
+    assert set(by_shard) == set(range(CP.SHUFFLE_SHARDS))
+    assert all(20 <= len(ps) <= 80 for ps in by_shard.values())
+    # growth-stable: existing docs keep shard + key when the corpus grows,
+    # so incremental re-shuffles never move already-written docs
+    grown = spark.range(0, 800).withColumnRenamed("id", "doc_id")
+    g = {
+        r["doc_id"]: (r["shard_id"], r["shuffle_key"])
+        for r in CP.shuffle_shards(grown).collect()
+    }
+    assert all(g[d] == v for d, v in keymap.items())
+
+
 def test_stratified_sample_deterministic_and_banded(spark):
     n = 4000
     rows = [(i, " ".join(f"w{i}t{j}" for j in range(i % 90 + 1))) for i in range(n)]

@@ -150,9 +150,13 @@ def test_incremental_ingest_no_text_in_the_shuffle(spark):
     compute the hash; nothing downstream carries it)."""
     plan = _plan(spark, "corpus_incremental_ingest")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # every exchange ships (doc_id/fingerprint)-shaped rows only
-    for frag in plan.split("Exchange hashpartitioning")[1:]:
-        assert "text#" not in frag.split("\n")[0]
+    # every exchange ships (doc_id/fingerprint)-shaped rows only; in
+    # formatted explain each Exchange detail block carries an Input line
+    blocks = [b for b in plan.split("\n\n") if ") Exchange" in b.split("\n")[0]]
+    assert blocks, plan  # the gate does shuffle — blocks must exist
+    for b in blocks:
+        input_line = next(l for l in b.split("\n") if l.startswith("Input"))
+        assert "text#" not in input_line, b
 
 
 def test_sampling_is_map_only(spark):
@@ -169,6 +173,25 @@ def test_repetition_shuffles_short_rows_with_partial_agg(spark):
     plan = _plan(spark, "doc_repetition")
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_windows_two_exchanges_pure_jvm(spark):
+    """Window materialization is two corpus-sized exchanges (per-shard
+    offset window + the partial-aggregatable regroup) and nothing else —
+    no join back to the corpus, no Python in the data path."""
+    plan = _plan(spark, "corpus_pack_windows")
+    assert plan.count("hashpartitioning(") <= 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shuffle_shards_single_uniform_exchange(spark):
+    """The global shuffle is ONE exchange on the md5-derived shard_id
+    (uniform by construction) — map-side key + shard assignment, no join."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_arrow_udf_queries_use_arrow_not_row_python(spark):
