@@ -49,6 +49,8 @@ BENCH_QUERY_NAMES = [
     "container_jobs_extract", # DOM-walk extraction (Arrow pandas UDF)
     "doc_curation_pipeline",  # composed curation flow (gates+dedup+scrub+chunk)
     "doc_line_dedup",         # cross-doc boilerplate removal (broadcast anti-join)
+    "corpus_pack_windows",    # sequence packing materialization (2-exchange)
+    "corpus_training_manifest",  # capstone: gates→dedup→scrub→shuffle→pack
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -1996,6 +1996,143 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _training_manifest_oracle() -> str:
+    w = CP.PACK_WINDOW
+    shard = (
+        f"CAST(concat('0x', substr(k, 1, 4)) AS BIGINT) % {CP.SHUFFLE_SHARDS}"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3
+              THEN {_sql_quote(_CURATION_DUP_TEMPLATE)} || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+lang AS (SELECT * FROM ({_lang_oracle("aug")}) t),
+qual AS (SELECT * FROM ({_doc_quality_oracle("aug")}) t),
+kept AS (
+  SELECT a.doc_id, a.text
+  FROM aug a JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality >= {_CURATION_MIN_QUALITY}
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(trim(regexp_replace(a.text, '\\s+', ' ', 'g'))))
+    ORDER BY a.doc_id) = 1
+),
+keyed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE_RX}', '<PHONE>', 'g') AS tx,
+         md5(concat(CAST(doc_id AS VARCHAR), ':{CP.SHUFFLE_SALT}')) AS k
+  FROM kept
+),
+pos AS (
+  SELECT {shard} AS shard_id,
+         row_number() OVER (PARTITION BY {shard} ORDER BY k, doc_id) AS position,
+         tx
+  FROM keyed
+),
+t AS (
+  SELECT shard_id, position,
+         CASE WHEN length(trim(regexp_replace(tx, '\\s+', ' ', 'g'))) = 0
+              THEN ['{CP.EOD_TOKEN}']
+              ELSE string_split(lower(trim(regexp_replace(tx, '\\s+', ' ', 'g'))), ' ')
+                   || ['{CP.EOD_TOKEN}']
+         END AS stream
+  FROM pos
+),
+o AS (
+  SELECT shard_id, position, stream, CAST(len(stream) AS BIGINT) AS doc_len,
+         coalesce(sum(CAST(len(stream) AS BIGINT)) OVER (PARTITION BY shard_id ORDER BY position
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_offset
+  FROM t
+),
+e AS (
+  SELECT shard_id, position, stream, CAST(w AS BIGINT) AS window_id,
+         greatest(0, CAST(w AS BIGINT) * {w} - global_offset) AS a,
+         least(doc_len, (CAST(w AS BIGINT) + 1) * {w} - global_offset) AS b
+  FROM o, unnest(generate_series(
+      CAST(floor(global_offset / {w}) AS BIGINT),
+      CAST(floor((global_offset + doc_len - 1) / {w}) AS BIGINT))) AS u(w)
+)
+SELECT shard_id, window_id,
+       string_agg(array_to_string(list_slice(stream, a + 1, b), ' '), ' ' ORDER BY position) AS window_text,
+       CAST(sum(b - a) AS BIGINT) AS n_tokens
+FROM e GROUP BY shard_id, window_id ORDER BY shard_id, window_id
+"""
+
+
+@_register("corpus_training_manifest", oracle=_training_manifest_oracle())
+def q_corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data capstone as ONE declarative plan:
+    lang gate → quality gate → exact dedup → PII scrub → deterministic
+    global shuffle → fixed-width sequence packing. Raw crawl text in,
+    decorrelated packed training windows out. Three shuffles total at
+    any corpus size: the dedup fingerprint window, the shard window
+    (whose partitioning the packing offset window REUSES — same key, so
+    Catalyst inserts a sort, not a second exchange), and the packing
+    regroup. Gates filter before every exchange; the seeded duplicate
+    templates keep the dedup stage non-degenerate at the gate SF."""
+    from crawler_ai_spark.session import spread_to_cores
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(
+                F.lit(_CURATION_DUP_TEMPLATE), (F.col("doc_id") % 5).cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    aug = spread_to_cores(aug, "doc_id")
+    t = F.col("text")
+    staged = aug.select(
+        "doc_id",
+        "text",
+        TS.lang_id(t).alias("lang_pred"),
+        TS.quality_score(t).alias("quality"),
+        TS.fingerprint(t).alias("fingerprint"),
+    )
+    kept = staged.where(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= _CURATION_MIN_QUALITY)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    key = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(CP.SHUFFLE_SALT))
+    )
+    # the shard column is named `source` from the start: if the position
+    # window partitioned on a differently-named column, the rename below
+    # would prune the attribute carrying the partitioning and Catalyst
+    # would re-exchange before the packing offset window.
+    keyed = kept.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RX, "<EMAIL>"),
+            _PII_PHONE_RX,
+            "<PHONE>",
+        ).alias("tx"),
+        key.alias("k"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % CP.SHUFFLE_SHARDS)
+        .alias("source"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("source").orderBy("k", "doc_id")
+    )
+    shuffled = keyed.select(
+        "source",
+        pos.cast("long").alias("doc_id"),
+        F.col("tx").alias("text"),
+    )
+    packed = CP.pack_windows(shuffled)
+    return packed.select(
+        F.col("source").alias("shard_id"), "window_id", "window_text", "n_tokens"
+    ).orderBy("shard_id", "window_id")
+
+
 @_register(
     "doc_dedup_pipeline",
     oracle="""

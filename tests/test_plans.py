@@ -185,6 +185,21 @@ def test_pack_windows_two_exchanges_pure_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_training_manifest_three_exchanges(spark):
+    """The end-to-end capstone (gates → dedup → scrub → shuffle → pack)
+    must run in exactly three data-path hash exchanges: the input spread,
+    the fingerprint dedup window, and the shard window — whose
+    partitioning both the packing offset window AND the final regroup
+    aggregate reuse (shard column named `source` end-to-end so the rename
+    can't prune the partitioned attribute). Plus the deterministic output
+    range sort; no joins, no Python."""
+    plan = _plan(spark, "corpus_training_manifest")
+    assert plan.count("hashpartitioning(") == 3, plan
+    assert plan.count("rangepartitioning(") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_shuffle_shards_single_uniform_exchange(spark):
     """The global shuffle is ONE exchange on the md5-derived shard_id
     (uniform by construction) — map-side key + shard assignment, no join."""
