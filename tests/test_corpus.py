@@ -243,3 +243,28 @@ def test_stratified_sample_deterministic_and_banded(spark):
         n_tok = r["doc_id"] % 90 + 1
         want = "long" if n_tok >= 70 else ("mid" if n_tok >= 40 else "short")
         assert r["bucket"] == want and r["n_tokens"] == n_tok
+
+
+def test_training_manifest_capstone_invariants(spark):
+    """The composed capstone (catalog corpus_training_manifest) must hold
+    the packing contract end-to-end: every non-last window per shard is
+    exactly PACK_WINDOW tokens, window ids are contiguous from 0, token
+    counts equal the window_text token counts, and the run is
+    deterministic (RNG-free shuffle key)."""
+    from crawler_ai_spark.catalog import QUERIES
+
+    q = QUERIES["corpus_training_manifest"]
+    a = q(spark, "/root/testdata/sf0.001").collect()
+    assert a, "capstone produced no windows"
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["window_id"])
+        assert [r["window_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_tokens"] == CP.PACK_WINDOW, (shard, r["window_id"])
+        for r in rows:
+            assert len(r["window_text"].split(" ")) == r["n_tokens"]
+    b = q(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
