@@ -873,11 +873,20 @@ q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
 # benchmark decontamination, repetition metrics, stratified sampling
 # ---------------------------------------------------------------------------
 
+# guarded normalized tokenizer: DuckDB's string_split('') returns ['']
+# (1 phantom token / 1 phantom line) while the Spark operators guard
+# empty/whitespace text to 0 tokens — the CASE keeps both engines at []
+_TOKS_SPLIT = (
+    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0"
+    " THEN CAST([] AS VARCHAR[])"
+    " ELSE string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') END"
+)
+
 # normalized-token CTE shared by the corpus oracles
-_TOKS_CTE = """
+_TOKS_CTE = f"""
 toksed AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         {_TOKS_SPLIT} AS toks
   FROM documents
 )"""
 
@@ -885,7 +894,8 @@ toksed AS (
 # first synthesized line verbatim (mid-text insertion would shift window
 # boundaries and break the cross-doc identity the dedup keys on)
 _BOILER_LINE = "subscribe to our newsletter follow us on twitter"
-assert len(_BOILER_LINE.split()) == CP.LINE_TOKENS
+if len(_BOILER_LINE.split()) != CP.LINE_TOKENS:  # survives python -O
+    raise AssertionError("_BOILER_LINE must be exactly one LINE_TOKENS window")
 
 _LINES_EXPR = (
     "list_transform(range(0, CAST(floor((len(toks)-1)/{n})+1 AS BIGINT)), "
@@ -903,7 +913,7 @@ WITH base AS (
 ),
 toksed AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         {_TOKS_SPLIT} AS toks
   FROM base
 ),
 w AS (SELECT doc_id, {_LINES_EXPR} AS lines FROM toksed),
@@ -996,7 +1006,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH toks0 AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         {_TOKS_SPLIT} AS toks
   FROM documents
 ),
 base AS (
@@ -1008,7 +1018,7 @@ base AS (
 ),
 toksed AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         {_TOKS_SPLIT} AS toks
   FROM base
 ),
 w AS (
@@ -1023,14 +1033,17 @@ w AS (
 m AS (
   SELECT doc_id,
          len(lines) AS n_lines, len(bigrams) AS n_bg,
-         round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
-           AS dup_line_ratio,
-         round(1.0 - len(list_distinct(bigrams)) / greatest(len(bigrams), 1), 6)
-           AS dup_bigram_ratio,
-         round(CASE WHEN len(bigrams) > 0
-               THEN list_max(list_transform(list_distinct(bigrams),
-                    b -> len(list_filter(bigrams, x -> x = b))))
-               ELSE 0 END / greatest(len(bigrams), 1), 6) AS top_bigram_ratio
+         CASE WHEN len(lines) > 0
+              THEN round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
+              ELSE 0.0 END AS dup_line_ratio,
+         CASE WHEN len(bigrams) > 0
+              THEN round(1.0 - len(list_distinct(bigrams)) / greatest(len(bigrams), 1), 6)
+              ELSE 0.0 END AS dup_bigram_ratio,
+         CASE WHEN len(bigrams) > 0
+              THEN round(list_max(list_transform(list_distinct(bigrams),
+                   b -> len(list_filter(bigrams, x -> x = b))))
+                   / greatest(len(bigrams), 1), 6)
+              ELSE 0.0 END AS top_bigram_ratio
   FROM w
 )
 SELECT doc_id,
@@ -1720,11 +1733,15 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing manifest: concat-and-chunk each source shard's
     token stream (one EOD separator per doc) into fixed 128-token
     training windows; one row per (doc x window overlapped) with the
-    doc's token subrange. One running-sum window per shard + a map-side
-    explode; see pipeline/corpus.py pack_sequences for the shard-skew
-    scale notes."""
+    doc's token subrange. Runs the hot-shard pre-split path (contiguous
+    100-doc sub-shards per source, offsets stitched by a tiny window
+    over sub-shard totals — see pipeline/corpus.py _pack_spans) so the
+    skew-safe arithmetic is what the oracle's single-window re-derivation
+    gates: identical offsets, bounded per-task stream length."""
     docs = _t(spark, sf_dir, "documents")
-    return CP.pack_sequences(docs).orderBy("source", "window_id", "doc_id")
+    return CP.pack_sequences(docs, sub_shard_docs=100).orderBy(
+        "source", "window_id", "doc_id"
+    )
 
 
 @_register(
@@ -1763,10 +1780,10 @@ def q_corpus_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training windows: the actual fixed-width token
     examples the pack_sequences manifest describes — per (source shard,
     window) the concatenated token text and count. Two corpus-sized
-    exchanges total (offset window + partial-aggregatable regroup); see
-    pipeline/corpus.py pack_windows."""
+    exchanges total (offset window + partial-aggregatable regroup); runs
+    the hot-shard pre-split path like corpus_pack_sequences."""
     docs = _t(spark, sf_dir, "documents")
-    return CP.pack_windows(docs).orderBy("source", "window_id")
+    return CP.pack_windows(docs, sub_shard_docs=100).orderBy("source", "window_id")
 
 
 @_register(
@@ -3157,12 +3174,11 @@ FROM scored ORDER BY doc_id
 def q_url_career_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — the URL confidence analyzer (order-faithful float fold; parity
     vs the reference's own coroutine in tests/test_detector_parity.py)."""
-    from crawler_ai_spark.functions.confidence import career_confidence_expr
+    from crawler_ai_spark.functions.confidence import with_career_confidence
 
     urls = synth_urls(spark, sf_dir)
-    c = career_confidence_expr(F.col("url"))
     return (
-        urls.withColumn("c", c)
+        with_career_confidence(urls, F.col("url"))
         .select(
             "doc_id", "url",
             F.col("c.confidence").alias("confidence"),
@@ -4613,13 +4629,15 @@ def q_career_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.1 — the flagship detect_career_pages flow composed as ONE
     DataFrame plan: F5 early-rejection gate → C3 URL confidence → keep
     career pages → O3 per-host top-3 by confidence. One window shuffle;
-    both scoring stages are pure expressions over the scan."""
-    from crawler_ai_spark.functions.confidence import career_confidence_expr
+    both scoring stages are expressions over the scan (the C3 fold staged
+    through its term-array form so the plan whole-stage-compiles — see
+    functions/confidence.py CODEGEN NOTE)."""
+    from crawler_ai_spark.functions.confidence import with_career_confidence
     from crawler_ai_spark.functions.detector import early_rejection_reason_expr
 
     urls = synth_urls(spark, sf_dir)
     survivors = urls.where(early_rejection_reason_expr(F.col("url")).isNull())
-    scored = survivors.withColumn("c", career_confidence_expr(F.col("url")))
+    scored = with_career_confidence(survivors, F.col("url"))
     career = scored.where(F.col("c.is_career_page")).select(
         "host", "url", F.col("c.confidence").alias("confidence")
     )
@@ -4642,7 +4660,18 @@ def q_job_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.2 — the extract_job_urls endpoint as one plan: classify
     every candidate URL (F3), keep accepted, score each link (C4), global
     sort by score then url (O4/O6), top 50 (O8 — TakeOrderedAndProject,
-    no single-partition window)."""
+    no single-partition window).
+
+    CODEGEN SHAPE: the F3 gate is expressed as a NULLed-out score inside
+    the projection (`WHEN accept THEN score`) with rejects dropped by a
+    tiny attribute filter ABOVE the limit, not as a `where(accept)` below
+    it. FilterExec's predicate codegen has no common-subexpression
+    elimination and predicate pushdown re-inlines aliases, so a plain
+    filter embeds the synthesized-url CASE once per reference (~1.5 MB of
+    generated code, janino 64 KB overflow -> interpreted stage); inside
+    ProjectExec the shared subtrees are CSE'd (~28 KB, compiles). Row set
+    and ordering are identical: rejects sort last (desc_nulls_last) and
+    can never displace an accepted row from the top-50."""
     from crawler_ai_spark.functions.scoring import job_link_score_expr
 
     urls = synth_urls(spark, sf_dir)
@@ -4652,11 +4681,18 @@ def q_job_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.lit("Read more"))
         .otherwise(F.lit("Open position"))
     )
-    accepted = urls.where(FL.is_job_url_expr(F.col("url")))
-    scored = accepted.select(
-        "doc_id", "url", job_link_score_expr(F.col("url"), anchor).alias("score")
+    scored = urls.select(
+        "doc_id",
+        "url",
+        F.when(
+            FL.is_job_url_expr(F.col("url")), job_link_score_expr(F.col("url"), anchor)
+        ).alias("score"),
     )
-    return scored.orderBy(F.col("score").desc(), F.col("url").asc()).limit(50)
+    return (
+        scored.orderBy(F.col("score").desc_nulls_last(), F.col("url").asc())
+        .limit(50)
+        .where(F.col("score").isNotNull())
+    )
 
 
 ORACLES["job_url_pipeline"] = f"""

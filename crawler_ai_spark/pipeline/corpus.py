@@ -11,11 +11,12 @@ the data path) so the plans stay inside whole-stage codegen and every
 operator carries a DuckDB oracle in the catalog.
 
 Scale notes (the shapes that survive 100 TB):
-- line-dedup probes a BROADCAST set of high-document-frequency lines
-  (the boilerplate set is tiny relative to the corpus by construction —
-  df >= threshold); only the df-count aggregation and the per-doc
-  regroup shuffle, and both shuffle short (doc_id, hash) rows, never the
-  full text;
+- line-dedup's boilerplate probe is SIZE-GATED (see line_dedup's
+  boiler_join): AQE broadcasts the removal set when its runtime size
+  fits, and falls back to a shuffled anti-join when it doesn't — at
+  min_df=2 on a real web corpus the set is NOT small, so a forced
+  broadcast would OOM; the df-count aggregation and per-doc regroup
+  shuffle short rows;
 - decontamination broadcasts the benchmark n-gram set (benchmarks are
   KBs-to-MBs against a TB corpus) so the probe is map-side;
 - repetition metrics and sampling are map-only: zero shuffles, and the
@@ -94,7 +95,12 @@ def boilerplate_lines(lines: DataFrame, min_df: int = 2) -> DataFrame:
     )
 
 
-def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text") -> DataFrame:
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    boiler_join: str = "auto",
+) -> DataFrame:
     """RefinedWeb-style cross-document boilerplate removal: drop EVERY
     occurrence of any line whose document frequency >= min_df, reassemble
     the survivors in order.
@@ -107,18 +113,38 @@ def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text") -> Data
     rows in executor storage at 100 TB, while recomputing a map-side
     explode from a pruned parquet scan is nearly free. Pass 1 shuffles
     only (line, doc_id-distinct) short rows for the df count; pass 2
-    probes the broadcast boilerplate set map-side and regroups survivors
-    (the only wide text shuffle). n_lines is computed map-side from the
-    window array — no third pass, no shuffle. The source is hash-spread
-    on doc_id when it arrives under-partitioned (a no-op on a real
-    many-split corpus) so the tokenize+window scan parallelizes."""
+    probes the boilerplate set and regroups survivors (the only wide text
+    shuffle). n_lines is computed map-side from the window array — no
+    third pass, no shuffle. The source is hash-spread on doc_id when it
+    arrives under-partitioned (a no-op on a real many-split corpus) so
+    the tokenize+window scan parallelizes.
+
+    boiler_join sizes the removal-set probe — the set is NOT small by
+    construction (at min_df=2 on a real web corpus, every line occurring
+    twice qualifies: billions of rows at 100 TB):
+      - "auto" (default): no hint; AQE plans the anti-join from the
+        removal set's RUNTIME size — broadcast-hash when it fits under
+        spark.sql.autoBroadcastJoinThreshold, shuffle join when it
+        doesn't. This is the seen.py size-gated switch expressed
+        declaratively (operators/seen.py BROADCAST_BLOOM_MAX_BYTES does
+        the same gate imperatively for driver-collected blobs).
+      - "broadcast": force map-side probe — only when the caller KNOWS
+        the set is bounded (e.g. min_df scaled with corpus size so only
+        true sitewide boilerplate qualifies).
+      - "shuffle": force a shuffled anti-join — the 100 TB-safe bound;
+        at that scale also raise min_df so the pass removes boilerplate
+        rather than re-implementing exact dedup line-wise."""
     from crawler_ai_spark.session import spread_to_cores
 
+    if boiler_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"boiler_join must be auto|broadcast|shuffle, got {boiler_join!r}")
     docs = spread_to_cores(docs, "doc_id")
     boiler = boilerplate_lines(exploded_lines(docs, text_col), min_df=min_df)
-    kept = exploded_lines(docs, text_col).join(
-        F.broadcast(boiler), "line", "left_anti"
-    )
+    if boiler_join == "broadcast":
+        boiler = F.broadcast(boiler)
+    elif boiler_join == "shuffle":
+        boiler = boiler.hint("shuffle_hash")
+    kept = exploded_lines(docs, text_col).join(boiler, "line", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -224,7 +250,12 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lines = line_windows(text)
     n_lines = F.size(lines)
     safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
-    dup_line = F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / safe_lines, 6)
+    # ratio gated on n_lines > 0: an empty doc has no repetition (the
+    # ungated 1 - 0/1 form would flag every empty doc repetitive)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / safe_lines, 6),
+    ).otherwise(0.0)
     line_side = docs.select(
         "doc_id",
         n_lines.cast("long").alias("n_lines"),
@@ -242,10 +273,14 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     safe_bg = F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
-    dup_bg = F.round(
-        F.lit(1.0) - F.coalesce("n_distinct_bg", F.lit(0)) / safe_bg, 6
-    )
-    top_ratio = F.round(F.coalesce("top_bg", F.lit(0)) / safe_bg, 6)
+    has_bg = F.col("n_bigrams") > 0
+    dup_bg = F.when(
+        has_bg,
+        F.round(F.lit(1.0) - F.coalesce("n_distinct_bg", F.lit(0)) / safe_bg, 6),
+    ).otherwise(0.0)
+    top_ratio = F.when(
+        has_bg, F.round(F.coalesce("top_bg", F.lit(0)) / safe_bg, 6)
+    ).otherwise(0.0)
     return line_side.join(bg_counts, "doc_id", "left").select(
         "doc_id",
         "n_lines",
@@ -440,7 +475,11 @@ EOD_TOKEN = "<|eod|>"
 
 
 def _pack_spans(
-    docs: DataFrame, window: int, text_col: str, with_stream: bool
+    docs: DataFrame,
+    window: int,
+    text_col: str,
+    with_stream: bool,
+    sub_shard_docs: int | None = None,
 ) -> DataFrame:
     """Shared packing core: per-shard running token offsets (one shuffle
     on the shard key — only the length column crosses the exchange when
@@ -448,7 +487,22 @@ def _pack_spans(
     map-side explode to one row per (doc x window it overlaps), with the
     [doc_from, doc_to) token subrange. ``with_stream`` additionally
     carries the doc's token stream (tokens + EOD) so callers can slice
-    pieces map-side."""
+    pieces map-side.
+
+    ``sub_shard_docs`` is the hot-shard pre-split: with a Zipf-skewed
+    ``source``, a single per-source window puts the biggest source's
+    whole token stream through one task. Setting it buckets each source
+    into CONTIGUOUS doc_id ranges (_sub = floor(doc_id / stride) — order
+    -preserving, so sub-shards concatenate back in doc_id order), runs
+    the running sum per (source, _sub), and stitches exact global
+    offsets with a second window over the per-sub-shard TOTALS — rows
+    numbering n_sources x n_subshards, negligible. Catalyst prunes the
+    totals branch down to an independent partial-aggregated pass over
+    the column-pruned scan (its exchange carries only (source, _sub,
+    total) rows — nothing corpus-sized shuffles twice), and the stitched
+    bases broadcast back. Offsets are integer sums: bit-identical to the
+    single-window form (pinned by tests/test_corpus.py on a Zipf
+    fixture)."""
     from pyspark.sql import Window as W
 
     t = F.col(text_col)
@@ -457,19 +511,50 @@ def _pack_spans(
     ).otherwise(_toks(t))
     stream = F.concat(toks, F.array(F.lit(EOD_TOKEN)))
     doc_len = F.size(stream).cast("long")
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    off = F.coalesce(F.sum(doc_len).over(w), F.lit(0)).cast("long")
     cols = [
         "source",
         "doc_id",
         doc_len.alias("doc_len"),
-        off.alias("global_offset"),
     ]
     if with_stream:
         cols.append(stream.alias("stream"))
-    base = docs.select(*cols)
+
+    if sub_shard_docs is None:
+        w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        off = F.coalesce(F.sum(doc_len).over(w), F.lit(0)).cast("long")
+        base = docs.select(*cols, off.alias("global_offset"))
+    else:
+        sub = F.floor(F.col("doc_id") / sub_shard_docs).cast("long")
+        pre = docs.select(*cols, sub.alias("_sub"))
+        w_local = W.partitionBy("source", "_sub").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        local = pre.withColumn(
+            "_local_off",
+            F.coalesce(F.sum("doc_len").over(w_local), F.lit(0)).cast("long"),
+        )
+        totals = local.groupBy("source", "_sub").agg(
+            F.sum("doc_len").alias("_sub_total")
+        )
+        w_base = W.partitionBy("source").orderBy("_sub").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        bases = totals.select(
+            "source",
+            "_sub",
+            F.coalesce(F.sum("_sub_total").over(w_base), F.lit(0))
+            .cast("long")
+            .alias("_sub_base"),
+        )
+        base = (
+            local.join(F.broadcast(bases), ["source", "_sub"])
+            .withColumn(
+                "global_offset", (F.col("_sub_base") + F.col("_local_off")).cast("long")
+            )
+            .drop("_sub", "_local_off", "_sub_base")
+        )
     first_w = F.floor(F.col("global_offset") / window)
     last_w = F.floor((F.col("global_offset") + F.col("doc_len") - 1) / window)
     spanned = base.withColumn(
@@ -487,7 +572,10 @@ def _pack_spans(
 
 
 def pack_sequences(
-    docs: DataFrame, window: int = PACK_WINDOW, text_col: str = "text"
+    docs: DataFrame,
+    window: int = PACK_WINDOW,
+    text_col: str = "text",
+    sub_shard_docs: int | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing manifest: within each
     source shard, documents are concatenated in doc_id order (one
@@ -505,17 +593,21 @@ def pack_sequences(
     Plan: one running-sum window per (source, doc_id-order) — a single
     shuffle on the shard key — then a map-side explode over the spanned
     window ids. Real pipelines pack per input shard, so the partition
-    key is the shard id (unskewed by construction); a Zipf-skewed
-    `source` at 100 TB would instead pre-split hot sources into
-    sub-shards (the salting move in operators/frontier.py) since packing
-    never needs cross-shard order."""
-    return _pack_spans(docs, window, text_col, with_stream=False).select(
-        "source", "window_id", "doc_id", "doc_from", "doc_to", "global_offset"
-    )
+    key is the shard id (unskewed by construction); for a Zipf-skewed
+    `source`, pass ``sub_shard_docs`` to pre-split hot sources into
+    contiguous doc_id-range sub-shards whose offsets are stitched by a
+    tiny second window over per-sub-shard totals (bit-identical output —
+    see _pack_spans)."""
+    return _pack_spans(
+        docs, window, text_col, with_stream=False, sub_shard_docs=sub_shard_docs
+    ).select("source", "window_id", "doc_id", "doc_from", "doc_to", "global_offset")
 
 
 def pack_windows(
-    docs: DataFrame, window: int = PACK_WINDOW, text_col: str = "text"
+    docs: DataFrame,
+    window: int = PACK_WINDOW,
+    text_col: str = "text",
+    sub_shard_docs: int | None = None,
 ) -> DataFrame:
     """Materialized packed training windows: the actual ``window``-token
     examples `pack_sequences` describes, one row per (source, window_id)
@@ -529,8 +621,11 @@ def pack_windows(
     Two corpus-sized exchanges total — the same cost as a global
     sort-and-rechunk, with no driver involvement. Ordered reassembly is
     a sort_array over (doc_id, piece) structs inside the agg, not a
-    window, so the agg stays partial-aggregatable."""
-    spanned = _pack_spans(docs, window, text_col, with_stream=True)
+    window, so the agg stays partial-aggregatable. ``sub_shard_docs``
+    pre-splits hot sources exactly as in pack_sequences."""
+    spanned = _pack_spans(
+        docs, window, text_col, with_stream=True, sub_shard_docs=sub_shard_docs
+    )
     piece = F.slice(
         F.col("stream"),
         (F.col("doc_from") + 1).cast("int"),

@@ -268,3 +268,68 @@ def test_training_manifest_capstone_invariants(spark):
             assert len(r["window_text"].split(" ")) == r["n_tokens"]
     b = q(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_line_dedup_join_modes_agree(docs):
+    """auto / broadcast / shuffle pick different join strategies for the
+    boilerplate probe (the 100 TB size gate) but must return identical
+    rows; unknown modes are rejected."""
+    base = sorted(map(tuple, CP.line_dedup(docs, boiler_join="broadcast").collect()))
+    for mode in ("auto", "shuffle"):
+        got = sorted(map(tuple, CP.line_dedup(docs, boiler_join=mode).collect()))
+        assert got == base, mode
+    with pytest.raises(ValueError):
+        CP.line_dedup(docs, boiler_join="bogus")
+
+
+def test_repetition_empty_doc_is_not_repetitive(spark):
+    """A zero-line / zero-bigram doc has NO repetition: all ratios 0.0 and
+    the gate off (the ungated 1 - 0/1 form flagged every empty doc)."""
+    rows = [(0, ""), (1, "   "), (2, "single")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CP.repetition_metrics(docs).collect()}
+    for i in (0, 1):
+        assert out[i]["n_lines"] == 0 and out[i]["n_bigrams"] == 0
+        assert out[i]["dup_line_ratio"] == 0.0
+        assert out[i]["dup_bigram_ratio"] == 0.0
+        assert out[i]["top_bigram_ratio"] == 0.0
+        assert not out[i]["repetitive"]
+    # one token: one line, zero bigrams — still nothing repeated
+    assert out[2]["n_lines"] == 1 and out[2]["n_bigrams"] == 0
+    assert out[2]["dup_line_ratio"] == 0.0 and not out[2]["repetitive"]
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    """Zipf-skewed shard layout: one hot source holding ~80% of docs with
+    interleaved doc_ids, plus small tails — the case the hot-shard
+    pre-split exists for."""
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for doc_id in range(60):
+        src = "hot" if doc_id % 5 != 0 else f"tail{doc_id % 3}"
+        n = 3 + (doc_id * 7) % 13  # varying doc lengths incl. < window
+        text = " ".join(words[(doc_id + j) % len(words)] for j in range(n))
+        if doc_id == 17:
+            text = ""  # empty doc: contributes only its EOD token
+        rows.append((doc_id, src, text))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_presplit_bitwise_matches_single_window(zipf_docs):
+    """The hot-shard pre-split (contiguous doc_id-range sub-shards +
+    stitched offsets) must reproduce the single-window packing output
+    EXACTLY — manifest and materialized windows — on a skewed corpus,
+    for strides that split mid-source, per-doc, and not at all."""
+    want_seq = sorted(map(tuple, CP.pack_sequences(zipf_docs, window=16).collect()))
+    want_win = sorted(map(tuple, CP.pack_windows(zipf_docs, window=16).collect()))
+    assert want_seq and want_win
+    for stride in (1, 7, 1000):
+        got_seq = sorted(
+            map(tuple, CP.pack_sequences(zipf_docs, window=16, sub_shard_docs=stride).collect())
+        )
+        assert got_seq == want_seq, f"manifest diverged at stride {stride}"
+        got_win = sorted(
+            map(tuple, CP.pack_windows(zipf_docs, window=16, sub_shard_docs=stride).collect())
+        )
+        assert got_win == want_win, f"windows diverged at stride {stride}"

@@ -424,3 +424,32 @@ def test_job_filters_match_reference(spark, ref_service):
         )
         got = {r.title for r in got_df.collect()}
         assert got == expected, (sc, got, expected)
+
+
+def test_staged_confidence_bitwise_matches_expr(spark):
+    """with_career_confidence (the codegen-safe staged form every catalog
+    query uses) must be BIT-identical to career_confidence_expr (the
+    reference-shaped fold the test above pins to the reference): the
+    aggregate-over-term-array left fold adds exactly 0.0 for every missed
+    term, which is the IEEE identity on every reachable partial sum."""
+    import struct
+
+    from crawler_ai_spark.functions.confidence import (
+        career_confidence_expr,
+        with_career_confidence,
+    )
+
+    df = spark.createDataFrame([(u,) for u in C3_URLS], "url STRING")
+    a = {
+        r.url: r.c
+        for r in df.select("url", career_confidence_expr(F.col("url")).alias("c")).collect()
+    }
+    b = {r.url: r.c for r in with_career_confidence(df, F.col("url")).collect()}
+    assert set(a) == set(b)
+    for u in a:
+        assert struct.pack("d", a[u].confidence) == struct.pack("d", b[u].confidence), u
+        assert (a[u].is_career_page, a[u].is_potential, a[u].rejection) == (
+            b[u].is_career_page,
+            b[u].is_potential,
+            b[u].rejection,
+        ), u

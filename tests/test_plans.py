@@ -121,9 +121,11 @@ def test_corpus_curation_no_cartesian_no_python(spark, name):
 
 
 def test_line_dedup_broadcasts_boilerplate_set(spark):
-    """The df>=min_df probe must be a broadcast anti-join (map-side) —
-    shuffling the exploded corpus against the boilerplate set would move
-    O(corpus) text rows at 100 TB."""
+    """In 'auto' mode (no forced hint) the planner must still pick a
+    broadcast anti-join at sandbox SF, where the removal set genuinely
+    fits — probing map-side without pinning an unbounded broadcast at
+    corpus scale (AQE re-sizes from runtime stats; the selectable
+    shuffle path is pinned by test_line_dedup_shuffle_mode below)."""
     plan = _plan(spark, "doc_line_dedup")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
@@ -176,12 +178,22 @@ def test_repetition_shuffles_short_rows_with_partial_agg(spark):
 
 
 def test_pack_windows_two_exchanges_pure_jvm(spark):
-    """Window materialization is two corpus-sized exchanges (per-shard
-    offset window + the partial-aggregatable regroup) and nothing else —
-    no join back to the corpus, no Python in the data path."""
+    """Window materialization is two CORPUS-sized exchanges (the
+    (source, _sub) offset window + the partial-aggregatable regroup)
+    plus the hot-shard pre-split's tiny stitch branch: a partial-agg
+    totals exchange and a per-source base window, joined back by
+    BROADCAST — never a corpus-keyed shuffle join. No Python in the
+    data path."""
     plan = _plan(spark, "corpus_pack_windows")
-    assert plan.count("hashpartitioning(") <= 2, plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    # pre-split active: the big window partitions on (source, _sub)
+    assert "_sub" in plan, plan
+    # 2 corpus exchanges + 2 stitch exchanges carrying short rows only
+    assert plan.count("hashpartitioning(") == 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the totals branch must pre-combine map-side (partial agg below its
+    # exchange) so only (source, _sub, total) rows cross the wire
+    assert "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -224,3 +236,35 @@ def test_brute_force_verifiers_broadcast_the_small_side(spark):
     plan = _plan(spark, "emb_topk")
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
     assert "broadcast" in plan.lower()
+
+
+def test_c3_confidence_term_array_stays_staged(spark):
+    """The C3 staged form only beats the interpreted fallback if the term
+    array is materialized in its own (whole-stage-compiled, splittable)
+    Project below the CodegenFallback aggregate — i.e. CollapseProject
+    must NOT inline the 246 keyword terms into the fallback projection.
+    The `_c3_terms` intermediate surviving into the physical plan is the
+    observable for that split (it vanishes if the projections merge);
+    compilation itself is pinned by tests/test_codegen_health.py."""
+    for name in ("url_career_confidence", "career_detection_pipeline"):
+        plan = _plan(spark, name)
+        assert "_c3_terms" in plan, name
+        assert "aggregate(" in plan, name
+
+
+def test_line_dedup_shuffle_mode_avoids_broadcast(spark):
+    """The 100 TB-safe selectable path: boiler_join='shuffle' must plan a
+    shuffled (hash) anti-join — no broadcast of the unbounded removal
+    set. (The catalog query runs 'auto': AQE sizes the set at runtime and
+    broadcasts at sandbox SF — test_line_dedup_broadcasts_boilerplate_set
+    pins that side.)"""
+    from crawler_ai_spark.pipeline import corpus as CP
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    df = CP.line_dedup(src, min_df=2, boiler_join="shuffle")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan
+    assert all("Broadcast" not in l for l in anti), anti
