@@ -38,6 +38,8 @@ _NEVER_SAMPLED_R12 = [
     "element_job_check", "top_technologies", "ai_text_extract",
     "head_precheck", "career_detection_pipeline", "job_url_pipeline",
     "job_details_pipeline", "emb_dup_clusters", "media_meta",
+    # new in round 3 — never sampled by definition
+    "emb_ann_recall", "media_decode_features", "live_fetch_stage",
 ]
 
 

@@ -55,6 +55,13 @@ BENCH_QUERY_NAMES = [
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
 
+# BENCH_QUERY_LIST=a,b,c overrides the per-query subset (regression
+# re-measures want the exact prior-round set in an identically-loaded JVM)
+if os.environ.get("BENCH_QUERY_LIST"):
+    BENCH_QUERY_NAMES = [
+        q.strip() for q in os.environ["BENCH_QUERY_LIST"].split(",") if q.strip()
+    ]
+
 
 def build_candidates(spark, sf_dir: str):
     """~|documents|×MULT candidate URLs, Zipf-skewed hosts (hot host gets

@@ -1424,6 +1424,71 @@ def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hyperplane_lsh_pairs(emb, threshold=0.45, dim=64, bits=6).orderBy("a_id", "b_id")
 
 
+def _ann_recall_oracle() -> str:
+    # DuckDB independently re-derives the BRUTE side (the emb_topk cross
+    # join) for the row counts; the recall >= 0.9 assertion itself runs
+    # inside the Spark plan, so recall_ok=TRUE only hash-matches when
+    # both ANN paths actually clear the bar on this corpus.
+    return f"""
+WITH brute AS (SELECT * FROM ({ORACLES["emb_topk"]}) t)
+SELECT p.path,
+       CAST((SELECT count(DISTINCT query_id) FROM brute) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+       TRUE AS recall_ok
+FROM (SELECT 'ivf' AS path UNION ALL SELECT 'lsh' AS path) p
+ORDER BY path
+"""
+
+
+@_register("emb_ann_recall", oracle=_ann_recall_oracle())
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality gate: recall@10 of BOTH registered
+    approximate paths (hyperplane-LSH `emb_ann_topk`, IVF `emb_ivf_topk`)
+    measured against the brute-force cosine top-10 IN-PLAN — one row per
+    path with the brute row counts (DuckDB re-derives those from its own
+    cross join) and recall_ok = recall >= 0.9. Turns the pytest-only
+    recall checks into a green CORRECTNESS row: if either ANN path
+    degrades below 0.9, recall_ok flips and the value hash diverges."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = SIM.cosine_topk(queries, emb, k=10, q_id="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    # parameters sized for THIS corpus (500 x 64-dim, 10 clusters): 4-bit
+    # tables keep ~31 rows/bucket so 24 tables reach deterministic 0.98
+    # recall; IVF probes 12/16 cells for 0.95. At web scale both widen
+    # (more bits / more centroids) with recall re-measured by this same
+    # query — that is the point of making the gate a catalog row.
+    paths = {
+        "lsh": SIM.hyperplane_topk(
+            queries, emb, k=10, dim=64, n_tables=24, bits=4, q_id="query_id"
+        ),
+        "ivf": SIM.ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=12),
+    }
+    ann = None
+    for name, df in paths.items():
+        tagged = df.select(
+            F.lit(name).alias("path"), "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        ann = tagged if ann is None else ann.unionByName(tagged)
+    per_path = (
+        brute.crossJoin(spark.createDataFrame([("ivf",), ("lsh",)], ["path"]))
+        .join(ann, ["path", "query_id", "neighbor_id"], "left")
+        .groupBy("path")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_brute"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                >= F.lit(0.9) * F.count("*")
+            ).alias("recall_ok"),
+        )
+    )
+    return per_path.select("path", "n_queries", "n_brute", "recall_ok").orderBy("path")
+
+
 @_register(
     "emb_label_counts",
     oracle="""
@@ -4833,9 +4898,9 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata pass over opaque binary columns: deterministic
     container blobs (PNG/GIF/BMP/WAV/MP4 headers + padding) built from
     doc_id, then mime sniff + header-dimension extraction through the
-    byte-budget mapInPandas plumbing (pipeline/multimodal.py). The decode
-    step itself stays a documented stub (no codecs in this container);
-    this gates everything around it."""
+    byte-budget mapInPandas plumbing (pipeline/multimodal.py). Codec-free
+    by design — media_decode_features below gates the REAL (stdlib) PNG
+    pixel decode; non-PNG pixel decode remains the documented stub."""
     import struct
 
     import pandas as pd
@@ -4878,3 +4943,165 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("string").alias("width"),
         F.col("height").cast("string").alias("height"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "media_decode_features",
+    # the oracle PREDICTS true pixel statistics arithmetically (the PNGs
+    # carry a deterministic (x*7 + y*13 + c*29 + doc_id) % 256 gradient);
+    # the Spark side round-trips the actual bytes: stdlib PNG encode in a
+    # pandas UDF -> real zlib inflate + unfilter decode in mapInPandas.
+    # The mean is re-derived from EXACT integer (pixel_sum, n_pix) with
+    # engine-native double ops on both sides (identical expression shape).
+    oracle="""
+WITH g AS (
+  SELECT d.doc_id,
+         8 + d.doc_id % 16 AS w,
+         6 + d.doc_id % 12 AS h
+  FROM documents d
+),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         (ux.x * 7 + uy.y * 13 + uc.c * 29 + g.doc_id) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, g.w - 1)) AS ux(x),
+       unnest(generate_series(0, g.h - 1)) AS uy(y),
+       unnest(generate_series(0, 2)) AS uc(c)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6) AS mean_pixel
+FROM px GROUP BY doc_id, w, h
+ORDER BY doc_id
+""",
+)
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the whole binary path: deterministic RGB
+    gradient PNGs are encoded from doc_id (pipeline/multimodal.encode_png,
+    pure stdlib), shipped as a binary column, and pixel-decoded back by
+    decode_image_features (zlib inflate + PNG unfilter in byte-budgeted
+    mapInPandas). The oracle re-derives width/height/mean from the
+    gradient formula alone — if any byte of the codec path lied, the
+    pixel means would diverge."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.pipeline.multimodal import decode_image_features, encode_png
+
+    def _png(s):
+        out = []
+        for d in s:
+            d = int(d)
+            w, h = 8 + d % 16, 6 + d % 12
+            px = bytes(
+                ((x * 7 + y * 13 + c * 29 + d) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            out.append(encode_png(w, h, px, channels=3))
+        return pd.Series(out)
+
+    _png.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    png_udf = pandas_udf(_png, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), png_udf(F.col("doc_id")).alias("content")
+    )
+    feats = decode_image_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        F.round(
+            F.col("pixel_sum").cast("double") / F.col("n_pix") / F.lit(255.0), 6
+        ).alias("mean_pixel"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "live_fetch_stage",
+    # DuckDB re-derives EVERY output column arithmetically from md5(url):
+    # the synthetic transport's outcome residue, body text and byte count,
+    # the UA rotation index, and the per-host politeness schedule (row k of
+    # a host dispatches at (k-1)*delay — a window the SQL side re-states).
+    # If the fetch stage dropped a row, mis-ordered a host, double-booked a
+    # politeness slot or mangled a body byte, the value hash diverges.
+    oracle="""
+WITH f AS (
+  SELECT 'https://host' || (d.doc_id % 37) || '.example/fp/' || d.doc_id AS url,
+         'host' || (d.doc_id % 37) || '.example' AS host,
+         d.doc_id % 3 AS priority,
+         d.doc_id AS discovered_seq
+  FROM documents d
+),
+k AS (
+  SELECT *, CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) AS key
+  FROM f
+),
+o AS (
+  SELECT *, key % 100 AS r,
+         row_number() OVER (PARTITION BY host ORDER BY priority, discovered_seq) AS rk
+  FROM k
+),
+o2 AS (
+  SELECT *,
+         CASE WHEN r < 85 THEN '<html><head><title>Page ' || (key % 1000)
+              || '</title></head><body>' || repeat('x', CAST(100 + key % 400 AS INT))
+              || '</body></html>' END AS html
+  FROM o
+)
+SELECT url, host,
+       CAST(CASE WHEN r < 85 THEN 200 WHEN r < 90 THEN 404 WHEN r < 93 THEN 403
+                 WHEN r < 95 THEN 429 WHEN r < 97 THEN 503 END AS INT) AS status,
+       html,
+       CASE WHEN r >= 85 AND r < 90 THEN '404 not found'
+            WHEN r >= 90 AND r < 93 THEN '403 forbidden'
+            WHEN r >= 93 AND r < 95 THEN '429 rate limited'
+            WHEN r >= 95 AND r < 97 THEN '503 service unavailable'
+            WHEN r >= 97 AND r < 99 THEN 'Connection timeout after 15s'
+            WHEN r >= 99 THEN 'DNS name or service not known' END AS fetch_error,
+       CASE WHEN r < 85 THEN NULL
+            WHEN r < 90 THEN 'not_found' WHEN r < 93 THEN 'blocked'
+            WHEN r < 95 THEN 'rate_limited' WHEN r < 97 THEN 'other'
+            WHEN r < 99 THEN 'timeout' ELSE 'dns' END AS error_class,
+       CAST(coalesce(length(html), 0) AS BIGINT) AS body_bytes,
+       CAST((rk - 1) * 500 AS BIGINT) AS planned_offset_ms,
+       CAST(key % 8 AS INT) AS ua_idx
+FROM o2
+ORDER BY url
+""",
+)
+def q_live_fetch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 live-fetch mode, driver-gated end to end: a synthetic frontier
+    (37 hosts over the documents table) runs through the REAL
+    host-partitioned mapInPandas fetch stage (sources/fetch.py) — host
+    co-location, (priority, seq) in-partition order, per-host politeness
+    offsets, UA rotation, utf-8 body decode, reference error taxonomy
+    (crawler.py:424-446 via functions/errors.py) — against the
+    deterministic md5-keyed transport, so DuckDB predicts every cell."""
+    from crawler_ai_spark.functions.errors import fetch_error_class_expr
+    from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example/fp/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 37).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("doc_id") % 3).alias("priority"),
+        F.col("doc_id").alias("discovered_seq"),
+    )
+    fetched = fetch_pages(frontier, FetchConfig(per_host_delay_ms=500))
+    return fetched.select(
+        "url", "host", "status", "html", "fetch_error",
+        fetch_error_class_expr(F.col("fetch_error")).alias("error_class"),
+        "body_bytes", "planned_offset_ms", "ua_idx",
+    ).orderBy("url")

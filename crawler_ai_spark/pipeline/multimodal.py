@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via mapInPandas in fixed-size Arrow batches.
 
-The decode step itself is STUBBED (this container ships no PIL/ffmpeg —
-``_decode_image`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic header-parse). Everything AROUND the decode is
-real and tested: the schema contract, the Arrow batch shape, partition
-sizing by byte budget, and the metadata extraction that needs no codec
-(magic-number sniffing, container dimensions from PNG/GIF/BMP headers).
+PNG pixel decode is REAL — a pure-stdlib (zlib) codec below handles the
+8-bit non-interlaced critical path (gray/RGB/palette/RGBA, all five row
+filters), so `decode_image_features` produces true dimensions, channel
+counts, pixel means and pixel hashes for PNG columns with no PIL in the
+container. JPEG/GIF/BMP pixel decode still needs a codec this sandbox
+lacks (`_decode_image` raises NotImplementedError unless ``fake=True``
+substitutes a deterministic header-parse). Everything AROUND decode is
+real and tested either way: the schema contract, the Arrow batch shape,
+partition sizing by byte budget, and codec-free metadata extraction
+(magic-number sniffing, container dimensions from headers).
 
 Scale notes: media rows are large and variable — the repartitioner targets
 BYTES per partition, not rows (spark.sql.files.maxPartitionBytes analogue
@@ -23,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -95,18 +100,182 @@ def header_dimensions(data: bytes | None) -> tuple[int | None, int | None]:
     return None, None
 
 
-def _decode_image(data: bytes, fake: bool = False):
-    """Full pixel decode — NOT AVAILABLE in this container.
+# ---------------------------------------------------------------------------
+# PNG codec — pure stdlib (zlib); the one image format this sandbox can
+# decode for real. RFC 2083 critical path: chunk walk, IDAT inflate,
+# per-row unfilter (None/Sub/Up/Average/Paeth), 8-bit gray/RGB/palette/
+# RGBA, non-interlaced. 16-bit and Adam7 raise ValueError (rare on the
+# web; a PIL deployment replaces _decode_image wholesale).
+# ---------------------------------------------------------------------------
 
-    ``fake=True`` returns a deterministic stand-in (dimensions from the
-    header, mean 'pixel' = byte mean) so the downstream plumbing —
-    feature vectors, resize bookkeeping, batch shapes — is exercised for
-    real. A deployment with PIL installs the real decode behind this exact
-    signature."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4, 4: 2}
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    stride = width * bpp
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("PNG pixel data shorter than geometry requires")
+    out = bytearray(stride * height)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        p = o - stride  # previous row offset (invalid for y=0, guarded)
+        if ftype == 0:  # None
+            out[o : o + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (row[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[p + x] if y else 0
+                out[o + x] = (row[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[p + x] if y else 0
+                out[o + x] = (row[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[p + x] if y else 0
+                ul = out[p + x - bpp] if (y and x >= bpp) else 0
+                pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out[o + x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode a PNG to raw 8-bit pixels. Returns {width, height, channels,
+    pixels: bytes (row-major, channel-interleaved, palette expanded to
+    RGB), mean_pixel, pixel_sha256}."""
+    import hashlib
+    import zlib
+
+    if not data or not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported by the stdlib decoder")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype_n} not supported")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
+    bpp = _PNG_CHANNELS[ctype_n]
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_unfilter(raw, width, height, bpp)
+    channels = bpp
+    if ctype_n == 3:  # palette -> RGB
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        pixels, channels = rgb, 3
+    mean = (sum(pixels) / len(pixels)) if pixels else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(pixels),
+        "mean_pixel": round(mean / 255.0, 6),
+        # exact-integer twins so cross-engine consumers can re-derive the
+        # mean with engine-native float ops (Python round() is banker's —
+        # never hash-compare it against SQL round())
+        "pixel_sum": sum(pixels),
+        "n_pix": len(pixels),
+        "pixel_sha256": hashlib.sha256(bytes(pixels)).hexdigest(),
+    }
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal non-interlaced 8-bit PNG writer (filter 0 rows) — the
+    fixture side of the codec; decode_png(encode_png(...)) round-trips."""
+    import zlib
+
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match geometry")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_image(data: bytes, fake: bool = False):
+    """Pixel decode. PNG decodes FOR REAL via the stdlib codec above
+    (no PIL needed); JPEG/GIF/BMP still require a codec this container
+    lacks — for those, ``fake=True`` returns a deterministic stand-in
+    (dimensions from the header, mean 'pixel' = byte mean) so downstream
+    plumbing — feature vectors, resize bookkeeping, batch shapes — is
+    exercised for real. A deployment with PIL replaces only this
+    function."""
+    if data and data.startswith(_PNG_SIG):
+        d = decode_png(data)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "mean_pixel": d["mean_pixel"],
+            "channels": d["channels"],
+            "pixel_sha256": d["pixel_sha256"],
+        }
     if not fake:
         raise NotImplementedError(
-            "pixel decode requires an image codec (PIL/libvips) — not in this sandbox; "
-            "pass fake=True for the deterministic stand-in"
+            "pixel decode for non-PNG formats requires an image codec "
+            "(PIL/libvips) — not in this sandbox; pass fake=True for the "
+            "deterministic stand-in"
         )
     w, h = header_dimensions(data)
     mean_byte = (sum(data) / len(data)) if data else 0.0
@@ -150,6 +319,59 @@ def extract_media_meta(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFra
     return media.mapInPandas(_meta, MEDIA_META_SCHEMA)
 
 
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("pixel_sum", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("pixel_sha256", StringType()),
+    ]
+)
+
+
+def decode_image_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+    """Real pixel-decode pass over PNG rows (stdlib codec — no PIL):
+    mapInPandas with the same byte-budget re-chunking as the metadata
+    pass; non-PNG and undecodable rows surface NULL features rather than
+    failing the batch (a corrupt image must not kill a 100 TB job)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["content"].map(lambda b: len(b) if b is not None else 0)
+            cuts, acc = [0], 0
+            for i, s in enumerate(sizes):
+                acc += int(s)
+                if acc >= batch_bytes:
+                    cuts.append(i + 1)
+                    acc = 0
+            cuts.append(len(pdf))
+            for lo, hi in zip(cuts, cuts[1:]):
+                if lo >= hi:
+                    continue
+                chunk = pdf.iloc[lo:hi]
+                out = {k.name: [] for k in IMAGE_FEATURES_SCHEMA.fields}
+                cols = ("width", "height", "channels", "mean_pixel",
+                        "pixel_sum", "n_pix", "pixel_sha256")
+                for mid, blob in zip(chunk["media_id"], chunk["content"]):
+                    row = [None] * len(cols)
+                    if blob is not None and bytes(blob[:8]) == _PNG_SIG:
+                        try:
+                            d = decode_png(bytes(blob))
+                            row = [d[k] for k in cols]
+                        except ValueError:
+                            pass  # undecodable -> NULL features
+                    out["media_id"].append(mid)
+                    for k, v in zip(cols, row):
+                        out[k].append(v)
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(_feats, IMAGE_FEATURES_SCHEMA)
+
+
 def repartition_by_bytes(media: DataFrame, target_bytes: int = 256 << 20,
                          total_bytes: int | None = None) -> DataFrame:
     """Byte-budget repartition: ranges by cumulative size, not row count.
@@ -176,8 +398,10 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5,
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (tiny valid PNG/GIF/BMP/WAV headers +
-    noise bodies) for tests — no external data."""
+    """Deterministic fake media table for tests — no external data. PNG
+    rows (i%5==0) are REAL decodable images (stdlib encoder, deterministic
+    RGB gradient) so the pixel-decode path is exercised on true bytes;
+    the other formats carry valid headers + noise bodies."""
     import random
 
     rng = random.Random(42)
@@ -186,7 +410,13 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         kind = ["image", "image", "image", "audio", "video"][i % 5]
         if i % 5 == 0:
             w, h = 16 + i % 64, 9 + i % 48
-            body = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", w, h)
+            px = bytes(
+                ((x * 7 + y * 13 + c * 29 + i) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            body = encode_png(w, h, px, channels=3)
         elif i % 5 == 1:
             w, h = 8 + i % 32, 8 + i % 32
             body = b"GIF89a" + struct.pack("<HH", w, h)

@@ -71,11 +71,27 @@ class CrawlConfig:
     # is static, so a miss is permanent — mirroring the reference's
     # 404/410 permanent class); the state machine is what W4 specifies.
     max_fetch_attempts: int = 1
+    # S5 — TTL-driven recrawl (reference cache.py:15-33: md5-keyed fetch
+    # cache, 1 h TTL, success-only). Logical time is batch-granular: one
+    # batch ≙ batch_interval_seconds of wall time, so an entry fetched in
+    # batch b expires at the start of batch b + ttl_batches where
+    # ttl_batches = ceil(ttl / interval); with the defaults (both 3600 s)
+    # a page refreshes one batch after its last successful fetch. On
+    # expiry the key is DELETED from the deletable cache filter (the
+    # cuckoo filter — a bloom cannot delete, which is exactly why the
+    # north rule asks for the cuckoo fallback) and the URL re-enters the
+    # frontier flagged is_recrawl: it is re-FETCHED (visited records the
+    # refresh) but is NOT re-seen — it advances no counters, yields no
+    # links, and emits no new career/job/seen rows, mirroring a cache
+    # refresh rather than a new page discovery. None disables recrawl.
+    recrawl_ttl_seconds: int | None = None
+    batch_interval_seconds: int = 3600
 
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "seed_url", "seed_host",
     "priority", "depth", "discovered_seq", "parent_url", "attempt",
+    "is_recrawl",
 ]
 
 
@@ -215,6 +231,7 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("discovered_seq"),
         F.lit(None).cast("string").alias("parent_url"),
         F.lit(0).alias("attempt"),
+        F.lit(False).alias("is_recrawl"),
     )
 
 
@@ -294,19 +311,21 @@ def order_and_gate(parsed: DataFrame, seed_state: DataFrame) -> DataFrame:
     )
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df = parsed.join(F.broadcast(seed_state), "seed_url", "left")
-    # only fetched pages advance counters (no response → no parse_page)
+    # only fetched pages advance counters (no response → no parse_page);
+    # TTL refreshes (is_recrawl) are cache maintenance, not new pages —
+    # they advance nothing and never yield (re-crawl ≠ re-seen)
+    counts = (F.col("fetched") & ~F.col("is_recrawl")).cast("long")
+    df = df.withColumn("page_order", F.sum(counts).over(w_cum))
     df = df.withColumn(
-        "page_order",
-        F.sum(F.col("fetched").cast("long")).over(w_cum),
-    )
-    df = df.withColumn(
-        "career_cum", F.sum(F.col("is_career_page").cast("long")).over(w_cum)
+        "career_cum",
+        F.sum((F.col("is_career_page") & ~F.col("is_recrawl")).cast("long")).over(w_cum),
     )
     crawled_through = F.col("crawled_total") + F.col("page_order")
     career_through = F.col("career_total") + F.col("career_cum")
     return df.withColumn(
         "yields_links",
         F.col("fetched")
+        & ~F.col("is_recrawl")
         & (
             (F.col("depth") == 0)
             | (
@@ -380,6 +399,7 @@ def next_frontier(
         F.col("discovered_seq").cast("long").alias("discovered_seq"),
         F.col("url").alias("parent_url"),
         F.lit(0).alias("attempt"),
+        F.lit(False).alias("is_recrawl"),
     ), candidates
 
 
@@ -406,6 +426,101 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
         )
         .withColumn("batch_id", F.lit(batch_id))
     )
+
+
+def _cache_ledger(store: CrawlStore, prev: int):
+    """Per-URL fetch-cache state through batch ``prev`` (S5 TTL recrawl):
+    one row per (seed_url, url) with the batch of the last SUCCESSFUL
+    fetch (= the cache entry's logical timestamp — success-only caching,
+    reference cache.py:26-33), the last visit of any kind (spacing bound
+    for refresh attempts on pages that have since vanished), and the
+    scheduling metadata a refresh row re-enters the frontier with.
+    None before the first visited batch exists (batch 0 writes none)."""
+    if not any(
+        (store.batch_dir(b) / "visited").exists()
+        for b in store.committed_batches()
+        if b <= prev
+    ):
+        return None
+    vis = store.read_all("visited", prev)
+    return vis.groupBy("seed_url", "url").agg(
+        F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
+        F.max("batch_id").alias("last_visit_batch"),
+        F.min("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+        F.min("discovered_seq").alias("discovered_seq"),
+    )
+
+
+def _url_cache_state(ledger: DataFrame) -> DataFrame:
+    """URL-level cache timestamps: the cache is keyed by the URL alone
+    (reference cache.py:17 md5(url)), while the ledger is per (seed, url)
+    — a URL two seeds share is ONE cache entry, refreshed by whichever
+    visit fetched it last."""
+    return ledger.groupBy("url").agg(
+        F.max("last_fetch_batch").alias("url_fetch_batch"),
+        F.max("last_visit_batch").alias("url_visit_batch"),
+    )
+
+
+def _recrawl_due(ledger: DataFrame, batch_id: int, ttl_batches: int) -> DataFrame:
+    """Cache entries whose TTL lapsed and whose refresh is due this batch:
+    expired (last successful fetch >= ttl batches ago, URL-level) and not
+    attempted within the TTL window (so a refresh that misses — page
+    since deleted — retries every ttl_batches, not every batch, like the
+    reference re-fetching an uncacheable URL on each access). Every seed
+    that visited the URL gets a refresh row."""
+    due_urls = _url_cache_state(ledger).where(
+        F.col("url_fetch_batch").isNotNull()
+        & (F.col("url_fetch_batch") <= F.lit(batch_id - ttl_batches))
+        & (F.col("url_visit_batch") <= F.lit(batch_id - ttl_batches))
+    )
+    return ledger.join(F.broadcast(due_urls.select("url")), "url", "left_semi")
+
+
+def _recrawl_frontier(due: DataFrame) -> DataFrame:
+    """Refresh rows re-enter the frontier with their original scheduling
+    metadata, flagged is_recrawl (no counters, no yields, no seen delta —
+    order_and_gate / run_crawl enforce re-crawl ≠ re-seen)."""
+    return due.select(
+        "url",
+        url_hash(F.col("url")).alias("url_hash"),
+        host_expr(F.col("url")).alias("host"),
+        "seed_url",
+        host_expr(F.col("seed_url")).alias("seed_host"),
+        "priority",
+        "depth",
+        F.col("discovered_seq").cast("long").alias("discovered_seq"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("attempt"),
+        F.lit(True).alias("is_recrawl"),
+    )
+
+
+def _rebuild_cache_filter(store: CrawlStore, prev: int, ttl_batches: int, capacity_floor: int = 16384):
+    """Deterministically rebuild the deletable cache filter for a resumed
+    crawl: entering batch prev+1, the live entries are exactly the keys
+    whose last successful fetch is within the TTL window (everything
+    older was deleted at its own expiry batch). Driver-side like the
+    bloom blobs (operators/seen.py broadcast_probe) — at 10^10-URL scale
+    this state shards into per-bucket cuckoo blobs exactly as the bloom
+    deltas do; the transition mirrors seen.py's ≤256 MB gate."""
+    from crawler_ai_spark.operators.seen import CuckooFilter
+
+    ledger = _cache_ledger(store, prev)
+    if ledger is None:
+        return CuckooFilter(capacity_floor)
+    live = _url_cache_state(ledger).where(
+        F.col("url_fetch_batch").isNotNull()
+        & (F.col("url_fetch_batch") > F.lit(prev - ttl_batches))
+    )
+    keys = [r.k for r in live.select(url_hash(F.col("url")).alias("k")).collect()]
+    total = ledger.count()
+    cf = CuckooFilter(max(capacity_floor, 2 * max(total, 1)))
+    for k in keys:
+        if not cf.insert(k):  # pragma: no cover - capacity is 2x oversized
+            raise RuntimeError("cache cuckoo filter overflow during rebuild")
+    return cf
 
 
 def _bloom_coverage_start(store: CrawlStore, prev: int) -> int | None:
@@ -484,10 +599,57 @@ def run_crawl(
     else:
         start = max(done) + 1
 
+    import math
+
+    ttl_batches = None
+    cache_filter = None
+    if cfg.recrawl_ttl_seconds is not None:
+        ttl_batches = max(
+            1, math.ceil(cfg.recrawl_ttl_seconds / cfg.batch_interval_seconds)
+        )
+        cache_filter = _rebuild_cache_filter(store, start - 1, ttl_batches)
+
     total_scheduled = 0
+    total_recrawled = 0
+    total_evictions = 0
     for batch_id in range(start, start + cfg.max_batches):
         prev = batch_id - 1
         frontier = store.read("frontier", prev)
+        if "is_recrawl" not in frontier.columns:  # pre-TTL store resume
+            frontier = frontier.withColumn("is_recrawl", F.lit(False))
+
+        ledger = _cache_ledger(store, prev) if ttl_batches is not None else None
+        if ledger is not None:
+            # S5 — TTL expiry: entries fetched exactly ttl_batches ago lapse
+            # NOW; their keys leave the deletable cache filter (cuckoo —
+            # delete must succeed: the entry was inserted at fetch time and
+            # expiry fires exactly once per fetch) and due URLs re-enter
+            # the frontier as refresh rows.
+            expiring = [
+                r.k
+                for r in _url_cache_state(ledger)
+                .where(F.col("url_fetch_batch") == F.lit(batch_id - ttl_batches))
+                .select(url_hash(F.col("url")).alias("k"))
+                .collect()
+            ]
+            for k in expiring:
+                if not cache_filter.delete(k):
+                    raise RuntimeError(
+                        "cache filter eviction missed a key that must be present"
+                    )
+            total_evictions += len(expiring)
+            due = _recrawl_due(ledger, batch_id, ttl_batches)
+            recrawl_rows = _recrawl_frontier(due)
+            # coherence probe (BOUNDED — a full check would be an O(due)
+            # driver loop at 10^10-URL scale): a due URL is by definition
+            # expired, so its key must NOT be in the cache filter anymore
+            for r in recrawl_rows.select("url_hash").distinct().limit(4096).collect():
+                if cache_filter.contains(r.url_hash):
+                    raise RuntimeError("recrawl-due key still present in cache filter")
+            n_recrawl = recrawl_rows.count()
+            total_recrawled += n_recrawl
+            frontier = frontier.unionByName(recrawl_rows.select(*FRONTIER_COLS))
+
         if frontier.limit(1).count() == 0:
             break
         seed_state = store.read("seed_state", prev)
@@ -504,10 +666,28 @@ def run_crawl(
             "career_score", "is_career_page", "page_order", "page_bytes",
             F.col("parse.title").alias("title"),
             "attempt", "status", "fetch_error", "fetch_error_class",
+            "is_recrawl", F.lit(batch_id).cast("long").alias("batch_id"),
         )
         store.write(batch_id, "visited", visited)
 
-        career_pages = gated.where(F.col("is_career_page")).select(
+        if ttl_batches is not None:
+            # cache store-on-success (cache.py:26-33): every successful
+            # fetch this batch (fresh page or refresh) re-enters the filter
+            fetched_keys = [
+                r.url_hash
+                for r in gated.where(F.col("fetched"))
+                .select("url_hash")
+                .distinct()
+                .collect()
+            ]
+            for k in fetched_keys:
+                if not cache_filter.contains(k) and not cache_filter.insert(k):
+                    raise RuntimeError("cache cuckoo filter overflow at insert")
+
+        # TTL refreshes update visited only (a cache refresh, not a new
+        # discovery) — the career/job/seen outputs of a crawl with
+        # recrawl enabled are IDENTICAL to one without
+        career_pages = gated.where(F.col("is_career_page") & ~F.col("is_recrawl")).select(
             "seed_url",
             "url",
             F.col("parse.title").alias("title"),
@@ -518,7 +698,9 @@ def run_crawl(
             "discovered_seq",
         )
         store.write(batch_id, "career_pages", career_pages)
-        store.write(batch_id, "job_urls", extract_job_urls(gated))
+        store.write(
+            batch_id, "job_urls", extract_job_urls(gated.where(~F.col("is_recrawl")))
+        )
         store.write(batch_id, "metrics", batch_metrics(gated, batch_id))
 
         batch_caches: list = []
@@ -599,8 +781,10 @@ def run_crawl(
         # advance per-seed counters; seq_offset advances over ALL yielded
         # candidates (pre-dedup — queue order is assigned at yield time)
         batch_counts = gated.groupBy("seed_url").agg(
-            F.sum(F.col("fetched").cast("long")).alias("_crawled"),
-            F.sum(F.col("is_career_page").cast("long")).alias("_career"),
+            # refreshes (is_recrawl) are cache maintenance — counters see
+            # only first-time fetches, matching order_and_gate's gate
+            F.sum((F.col("fetched") & ~F.col("is_recrawl")).cast("long")).alias("_crawled"),
+            F.sum((F.col("is_career_page") & ~F.col("is_recrawl")).cast("long")).alias("_career"),
         )
         seq_max = candidates.groupBy("seed_url").agg(F.max("discovered_seq").alias("_seq_max"))
         new_state = (
@@ -629,4 +813,6 @@ def run_crawl(
         "batches": len(final_batches),
         "last_batch": max(final_batches),
         "total_scheduled": total_scheduled,
+        "total_recrawled": total_recrawled,
+        "cache_evictions": total_evictions,
     }

@@ -1,0 +1,270 @@
+"""S1 live-fetch mode — the host-partitioned mapInPandas fetch stage.
+
+In this sandbox the crawl loop's "fetch" is a join against the pre-crawled
+pages table (SURVEY.md S1: the Iceberg pages table IS the fetch). This
+module is the LIVE-mode counterpart the survey sketches — "a mapInPandas
+fetch stage over one host-partition at a time" — with every part except
+the socket real and tested:
+
+- **host co-location**: the frontier is hash-repartitioned so each host
+  lands in exactly one partition (politeness is a per-host serial
+  constraint; spreading a host across executors would need distributed
+  rate coordination — co-locating it makes pacing a local loop, the same
+  move the per-host budget windows make in operators/frontier.py);
+- **in-partition ordering**: rows sort by (host, priority,
+  discovered_seq), so each host's pages fetch in scheduler order;
+- **per-host pacing**: a logical politeness clock per host — row k of a
+  host is dispatched at offset (k-1)·delay_ms. In live mode
+  (enforce_pacing=True) the worker actually sleeps the residual; in
+  planning mode it only books the offsets, so tests and oracle checks run
+  at full speed while asserting the exact schedule a live run would obey;
+- **UA rotation + headers**: deterministic per-URL agent choice
+  (reference crawler.py:49-58 USER_AGENTS, :71-101 get_enhanced_headers
+  randomizes per request; here hash-keyed so reruns are reproducible);
+- **error taxonomy**: transport failures surface as the same message
+  substrings the reference's classifier keys on (crawler.py:424-446),
+  so functions/errors.fetch_error_class_expr works unchanged;
+- **encoding fallback**: utf-8 → latin-1 with replacement
+  (crawler.py:252-262's ContentEncodingError/charset ladder collapsed to
+  the byte-safe form);
+- **Arrow batching**: bodies stream back in pandas batches; a byte budget
+  caps each emitted frame like pipeline/multimodal.py does, so a run of
+  multi-MB pages cannot blow an Arrow frame.
+
+Transports are pluggable: `SyntheticTransport` (default) derives status,
+body and failure deterministically from md5(url) — DuckDB can re-derive
+every output column arithmetically, which is what makes `live_fetch_stage`
+an oracle-gated catalog row; `UrllibTransport` is the stdlib live
+implementation (no aiohttp dependency), constructor-gated behind
+allow_network because this sandbox must never open a socket.
+
+Retries stay OUT of this stage by design: the crawl loop's W4 ladder
+(plans/crawl_loop.py) re-enqueues non-permanent failures as attempt+1
+frontier rows, so a retry lands in a later batch with its own politeness
+slot — matching the reference's backoff-then-retry (crawler.py:197-233)
+without blocking an executor core on sleep.
+
+Scale: one partition per ~host-bucket, no shuffle beyond the single
+repartition, no driver collect; the pacing state is O(hosts-in-partition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# reference crawler.py:49-58 (the rotation pool is part of S1's semantics)
+USER_AGENTS = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 13_5) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.4 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Edge/124.0.0.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.4 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0 Safari/537.36",
+)
+
+FETCH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("status", IntegerType()),
+        StructField("html", StringType()),
+        StructField("fetch_error", StringType()),
+        StructField("body_bytes", LongType()),
+        StructField("planned_offset_ms", LongType()),
+        StructField("fetch_ms", LongType()),
+        StructField("ua_idx", IntegerType()),
+    ]
+)
+
+
+def _url_key(url: str) -> int:
+    """md5-derived integer key — the same 32-bit prefix DuckDB computes as
+    CAST(('0x' || substr(md5(url),1,8)) AS BIGINT), which is what lets the
+    synthetic transport be oracle-predicted column for column."""
+    return struct.unpack(">I", hashlib.md5(url.encode()).digest()[:4])[0]
+
+
+class SyntheticTransport:
+    """Deterministic, network-free transport: md5(url) decides outcome.
+
+    Residue r = key % 100 maps to the reference's observed outcome mix
+    (crawler.py:197-233 status ladder, :424-446 error messages):
+      r < 85 → 200 + html body   r < 90 → 404   r < 93 → 403
+      r < 95 → 429               r < 97 → 503
+      r < 99 → connection timeout (transport error, no status)
+      else   → DNS failure (transport error, no status)
+    A 200 body is a title + 'x'·(100 + key%400) filler — body length is a
+    pure function of the key, so DuckDB predicts byte counts too."""
+
+    def __call__(self, url: str, headers: dict[str, str]) -> tuple[int | None, bytes | None, str | None]:
+        key = _url_key(url)
+        r = key % 100
+        if r < 85:
+            body = (
+                f"<html><head><title>Page {key % 1000}</title></head>"
+                f"<body>{'x' * (100 + key % 400)}</body></html>"
+            )
+            return 200, body.encode(), None
+        if r < 90:
+            return 404, None, "404 not found"
+        if r < 93:
+            return 403, None, "403 forbidden"
+        if r < 95:
+            return 429, None, "429 rate limited"
+        if r < 97:
+            return 503, None, "503 service unavailable"
+        if r < 99:
+            return None, None, "Connection timeout after 15s"
+        return None, None, "DNS name or service not known"
+
+
+class UrllibTransport:
+    """Stdlib live transport (urllib, no aiohttp). Constructor-gated:
+    this sandbox must never open a socket, so allow_network must be set
+    EXPLICITLY by a deployment. Exceptions are normalized to the
+    reference's classifier substrings (crawler.py:424-446)."""
+
+    def __init__(self, timeout_s: float = 15.0, allow_network: bool = False):
+        if not allow_network:
+            raise RuntimeError(
+                "UrllibTransport opens real sockets — construct with "
+                "allow_network=True only in a deployment with egress"
+            )
+        self.timeout_s = timeout_s
+
+    def __call__(self, url: str, headers: dict[str, str]) -> tuple[int | None, bytes | None, str | None]:
+        import socket
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.status, resp.read(), None
+        except urllib.error.HTTPError as e:  # pragma: no cover - needs egress
+            return e.code, None, f"{e.code} {e.reason}"
+        except socket.timeout:  # pragma: no cover - needs egress
+            return None, None, f"Connection timeout after {self.timeout_s:g}s"
+        except urllib.error.URLError as e:  # pragma: no cover - needs egress
+            reason = str(e.reason).lower()
+            if "name or service not known" in reason or "nodename" in reason:
+                return None, None, "DNS name or service not known"
+            return None, None, f"connection refused or unreachable: {e.reason}"
+
+
+@dataclass
+class FetchConfig:
+    transport: Callable[[str, dict[str, str]], tuple[int | None, bytes | None, str | None]] = field(
+        default_factory=SyntheticTransport
+    )
+    per_host_delay_ms: int = 500
+    host_partitions: int | None = None  # default: defaultParallelism * 2
+    enforce_pacing: bool = False  # live mode sleeps; planning mode only books
+    max_body_bytes: int = 2 << 20  # truncate pathological bodies (per row)
+    batch_budget_bytes: int = 64 << 20  # emitted Arrow frame cap
+
+
+def _headers_for(url: str, ua: str) -> dict[str, str]:
+    # the reference's anti-bot header block (crawler.py:83-101), minus the
+    # per-request randomness (Referer self-link kept, language pinned)
+    return {
+        "User-Agent": ua,
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+        "Accept-Language": "vi-VN,vi;q=0.9,en-US;q=0.8,en;q=0.7",
+        "Accept-Encoding": "gzip, deflate",
+        "Referer": url,
+        "Connection": "keep-alive",
+    }
+
+
+def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFrame:
+    """The live-fetch stage: frontier(url, host, priority, discovered_seq)
+    → one fetched row per input row, host-co-located and politeness-paced.
+
+    The plan is exactly one exchange (hash on host) + an in-partition sort
+    + the Arrow stage — at 10^10-URL scale the repartition count rises with
+    the cluster, hosts stay serial, and hot hosts are already capped
+    upstream by the budget windows so no partition degenerates."""
+    cfg = cfg or FetchConfig()
+    spark = frontier.sparkSession
+    n_parts = cfg.host_partitions or spark.sparkContext.defaultParallelism * 2
+    transport = cfg.transport
+    delay_ms = cfg.per_host_delay_ms
+    enforce = cfg.enforce_pacing
+    max_body = cfg.max_body_bytes
+    budget = cfg.batch_budget_bytes
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        next_slot: dict[str, int] = {}  # host → next politeness offset (ms)
+        t_start = time.perf_counter()
+        rows: list[tuple] = []
+        acc_bytes = 0
+
+        def flush():
+            nonlocal rows, acc_bytes
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in FETCH_SCHEMA.fields])
+                rows, acc_bytes = [], 0
+
+        for pdf in batches:
+            for url, host in zip(pdf["url"], pdf["host"]):
+                key = _url_key(url)
+                ua_idx = key % len(USER_AGENTS)
+                offset = next_slot.get(host, 0)
+                next_slot[host] = offset + delay_ms
+                if enforce:  # pragma: no cover - live mode only
+                    lag = offset / 1000.0 - (time.perf_counter() - t_start)
+                    if lag > 0:
+                        time.sleep(lag)
+                t0 = time.perf_counter()
+                try:
+                    status, body, err = transport(url, _headers_for(url, USER_AGENTS[ua_idx]))
+                except Exception as e:  # noqa: BLE001 - a 100 TB job survives one bad URL
+                    status, body, err = None, None, f"transport error: {e}"
+                fetch_ms = int((time.perf_counter() - t0) * 1000)
+                if body is not None and len(body) > max_body:
+                    body = body[:max_body]
+                if body is not None:
+                    try:  # crawler.py:252-262 encoding ladder, byte-safe form
+                        html = body.decode("utf-8")
+                    except UnicodeDecodeError:
+                        html = body.decode("latin-1", errors="replace")
+                else:
+                    html = None
+                rows.append(
+                    (
+                        url, host,
+                        int(status) if status is not None else None,
+                        html, err,
+                        len(body) if body is not None else 0,
+                        offset, fetch_ms, ua_idx,
+                    )
+                )
+                acc_bytes += len(body) if body is not None else 0
+                if acc_bytes >= budget:
+                    yield from flush()
+        yield from flush()
+
+    staged = (
+        frontier.repartition(n_parts, F.col("host"))
+        .sortWithinPartitions("host", "priority", "discovered_seq")
+        .select("url", "host", "priority", "discovered_seq")
+    )
+    return staged.mapInPandas(_fetch, FETCH_SCHEMA)

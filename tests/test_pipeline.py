@@ -316,11 +316,116 @@ def test_media_meta_sniffing(spark):
     assert meta[4].mime_sniffed == "video/mp4"
 
 
-def test_media_decode_stub_gated():
+def test_media_decode_stub_gated_for_non_png():
+    # non-PNG pixel decode still needs a codec this container lacks
     with pytest.raises(NotImplementedError):
-        MM._decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
+        MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]))
     fake = MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]), fake=True)
     assert fake["width"] == 16 and fake["height"] == 12
+    # a malformed PNG is a data error, not a missing-codec error
+    with pytest.raises(ValueError):
+        MM._decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png is a REAL stdlib decoder: encode→decode round-trips
+    bit-exactly, and externally-filtered rows (Sub/Up/Average/Paeth)
+    reconstruct correctly — pinned against a hand-built PNG whose rows
+    use every filter type."""
+    import struct as st
+    import zlib
+
+    w, h = 7, 5
+    px = bytes(((x * 11 + y * 17 + c * 5) % 256) for y in range(h) for x in range(w) for c in range(3))
+    blob = MM.encode_png(w, h, px, channels=3)
+    d = MM.decode_png(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == px
+    assert d["pixel_sum"] == sum(px) and d["n_pix"] == len(px)
+
+    # hand-build a PNG exercising filters 1-4 (encode_png only emits 0)
+    stride = w * 3
+    rows = [bytearray(px[y * stride : (y + 1) * stride]) for y in range(h)]
+    filtered = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = rows[y]
+        out = bytearray(stride)
+        for x in range(stride):
+            left = row[x - 3] if x >= 3 else 0
+            up = rows[y - 1][x] if y else 0
+            ul = rows[y - 1][x - 3] if (y and x >= 3) else 0
+            if ftype == 0:
+                out[x] = row[x]
+            elif ftype == 1:
+                out[x] = (row[x] - left) & 0xFF
+            elif ftype == 2:
+                out[x] = (row[x] - up) & 0xFF
+            elif ftype == 3:
+                out[x] = (row[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out[x] = (row[x] - pred) & 0xFF
+        filtered.append(ftype)
+        filtered.extend(out)
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_png(blob2)["pixels"] == px
+
+
+def test_png_codec_palette_and_gray():
+    import struct as st
+    import zlib
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    # 4x2 palette image: indices 0..3 cycling, palette maps i -> (i, 2i, 3i)
+    palette = bytes(v for i in range(4) for v in (i, 2 * i, 3 * i))
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    raw = b"\x00" + idx[:4] + b"\x00" + idx[4:]
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = MM.decode_png(blob)
+    assert d["channels"] == 3
+    assert d["pixels"] == bytes(
+        v for i in [0, 1, 2, 3, 3, 2, 1, 0] for v in (i, 2 * i, 3 * i)
+    )
+    # grayscale round-trip
+    g = bytes(range(12))
+    d2 = MM.decode_png(MM.encode_png(4, 3, g, channels=1))
+    assert d2["channels"] == 1 and d2["pixels"] == g
+
+
+def test_decode_image_features_on_real_bytes(spark):
+    """media_meta-adjacent gate: the mapInPandas decode pass produces true
+    pixel stats for the synth corpus' REAL PNGs and NULLs elsewhere."""
+    media = MM.synth_media(spark, 20)
+    feats = {r.media_id: r for r in MM.decode_image_features(media).collect()}
+    assert len(feats) == 20
+    blobs = {r.media_id: bytes(r.content) for r in media.collect()}
+    for i in range(20):
+        if i % 5 == 0:
+            d = MM.decode_png(blobs[i])
+            r = feats[i]
+            assert (r.width, r.height, r.channels) == (16 + i % 64, 9 + i % 48, 3)
+            assert r.pixel_sha256 == d["pixel_sha256"]
+            assert r.mean_pixel == d["mean_pixel"] > 0
+        else:
+            assert feats[i].width is None and feats[i].pixel_sha256 is None
 
 
 def test_frame_sample_plan(spark):

@@ -1,0 +1,146 @@
+"""S5 — TTL-driven recrawl exercised END-TO-END in the crawl loop
+(reference app/services/cache.py:15-33: md5(url)-keyed fetch cache, 1 h
+TTL, success-only): a page's cache entry expires mid-crawl, its key is
+DELETED from the deletable cuckoo cache filter, and the URL re-enters a
+later batch's frontier and is re-FETCHED.
+
+The seen-set semantics are pinned as re-crawl ≠ re-seen: a refresh
+advances no counters, yields no links, and adds no seen/career/job rows,
+so every output except `visited` is bit-identical to a TTL-disabled run —
+and the TTL-disabled run is itself pinned bit-for-bit against the plain-
+Python golden simulator (tests/test_crawl_equivalence.py), which
+transitively pins the TTL run's crawl semantics too."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+
+TTL_BATCHES = 2  # recrawl_ttl_seconds=7200 at the 3600 s default interval
+
+
+@pytest.fixture(scope="module")
+def inputs(spark, fixture_root):
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )
+    seeds = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    return pages, seeds
+
+
+@pytest.fixture(scope="module")
+def runs(spark, inputs, tmp_path_factory):
+    pages, seeds = inputs
+    root_base = tmp_path_factory.mktemp("ttl_base")
+    base = run_crawl(
+        spark, pages, seeds, root_base, CrawlConfig(max_batches=6, parallelism=8)
+    )
+    root_ttl = tmp_path_factory.mktemp("ttl_on")
+    ttl = run_crawl(
+        spark, pages, seeds, root_ttl,
+        CrawlConfig(max_batches=6, parallelism=8, recrawl_ttl_seconds=7200),
+    )
+    return (CrawlStore(spark, root_base), base), (CrawlStore(spark, root_ttl), ttl)
+
+
+def _rows(store, table, last, cols):
+    df = store.read_all(table, last)
+    return {tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_pages_expire_and_are_refetched(runs):
+    (_, base), (store_t, ttl) = runs
+    assert ttl["cache_evictions"] > 0, "no cache entry ever expired"
+    assert ttl["total_recrawled"] > 0, "no URL was rescheduled after expiry"
+    last = ttl["last_batch"]
+    vis = store_t.read_all("visited", last)
+    re_rows = vis.where(F.col("is_recrawl")).collect()
+    assert re_rows, "no refresh visit was recorded"
+    # every refresh re-FETCHED its page (the fixture corpus is static)
+    assert all(r.fetched for r in re_rows)
+    # a refresh happens exactly TTL batches after the fetch it refreshes
+    first_fetch = {
+        (r.seed_url, r.url): r.b
+        for r in vis.where(F.col("fetched") & ~F.col("is_recrawl"))
+        .groupBy("seed_url", "url")
+        .agg(F.min("batch_id").alias("b"))
+        .collect()
+    }
+    for r in re_rows:
+        assert (r.batch_id - first_fetch[(r.seed_url, r.url)]) % TTL_BATCHES == 0, (
+            r.url,
+            r.batch_id,
+        )
+    # consecutive visits of the same cache entry are >= TTL apart
+    per_url: dict[tuple, list[int]] = {}
+    for r in vis.collect():
+        per_url.setdefault((r.seed_url, r.url), []).append(r.batch_id)
+    for key, batches in per_url.items():
+        batches.sort()
+        for a, b in zip(batches, batches[1:]):
+            assert b - a >= TTL_BATCHES, (key, batches)
+
+
+def test_recrawl_is_not_reseen(runs):
+    """Everything except visited is bit-identical to the TTL-disabled run:
+    refreshes add no seen rows, no career/job rows, and no frontier
+    children."""
+    (store_b, base), (store_t, ttl) = runs
+    # refresh rows can keep the TTL run's frontier non-empty after the
+    # base run exhausts, so it may legally run MORE batches; the shared
+    # prefix must agree exactly
+    assert ttl["last_batch"] >= base["last_batch"]
+    last = min(base["last_batch"], ttl["last_batch"])
+    checks = {
+        "seen_delta": ["url_hash", "url", "seed_url"],
+        "career_pages": ["seed_url", "url", "title", "confidence", "depth"],
+        "job_urls": ["seed_url", "career_url", "job_url"],
+        "seed_state": ["seed_url", "crawled_total", "career_total", "seq_offset"],
+    }
+    for table, cols in checks.items():
+        assert _rows(store_b, table, last, cols) == _rows(store_t, table, last, cols), table
+    # the non-refresh slice of visited is identical too
+    cols = ["seed_url", "url", "fetched", "page_order", "is_career_page", "batch_id"]
+    vb = {
+        tuple(str(r[c]) for c in cols)
+        for r in store_b.read_all("visited", last).where(~F.col("is_recrawl")).select(*cols).collect()
+    }
+    vt = {
+        tuple(str(r[c]) for c in cols)
+        for r in store_t.read_all("visited", last).where(~F.col("is_recrawl")).select(*cols).collect()
+    }
+    assert vb == vt
+
+
+def test_ttl_resume_is_bit_identical(spark, inputs, tmp_path_factory, runs):
+    """W6 x S5: kill after 2 batches and resume — the deletable cache
+    filter is rebuilt deterministically from the visited ledger, so the
+    resumed run (refresh visits included) is bit-identical."""
+    pages, seeds = inputs
+    (_, _), (store_t, ttl) = runs
+    root = tmp_path_factory.mktemp("ttl_resume")
+    cfg2 = CrawlConfig(max_batches=2, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg2)
+    # max_batches counts batches RUN this invocation, not the lifetime
+    # total — resuming after 2 committed batches, ask for the 4 remaining
+    cfg4 = CrawlConfig(max_batches=4, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg4, resume=True)
+    store_r = CrawlStore(spark, root)
+    last = ttl["last_batch"]
+    assert max(store_r.committed_batches()) == last
+    for table in ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "seed_state"):
+        df_a = store_t.read_all(table, last)
+        cols = sorted(df_a.columns)
+        a = {tuple(str(v) for v in r) for r in df_a.select(*cols).collect()}
+        b = {
+            tuple(str(v) for v in r)
+            for r in store_r.read_all(table, last).select(*cols).collect()
+        }
+        assert a == b, f"table {table} differs after TTL resume"
