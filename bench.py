@@ -51,6 +51,8 @@ BENCH_QUERY_NAMES = [
     "doc_line_dedup",         # cross-doc boilerplate removal (broadcast anti-join)
     "corpus_pack_windows",    # sequence packing materialization (2-exchange)
     "corpus_training_manifest",  # capstone: gates→dedup→scrub→shuffle→pack
+    "live_fetch_stage",       # S1 live-fetch stage (host-partitioned Arrow fetch)
+    "media_decode_features",  # real PNG pixel decode (stdlib codec, mapInPandas)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -86,6 +86,14 @@ class CrawlConfig:
     # refresh rather than a new page discovery. None disables recrawl.
     recrawl_ttl_seconds: int | None = None
     batch_interval_seconds: int = 3600
+    # S1 LIVE-fetch mode: when set, the batch "fetch" runs through the
+    # host-partitioned politeness-paced fetch stage (sources/fetch.py)
+    # with this transport instead of joining the pre-fetched pages table.
+    # TableTransport(pages.parquet) makes the two modes bit-identical
+    # (pinned by tests/test_fetch_stage.py); a deployment passes
+    # UrllibTransport(allow_network=True).
+    live_transport: object | None = None
+    live_delay_ms: int = 0  # politeness slot width booked by the stage
 
 
 FRONTIER_COLS = [
@@ -259,29 +267,62 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     tables without those columns get them as NULLs."""
     from crawler_ai_spark.functions.errors import fetch_error_class_expr
 
-    page_cols = ["url", "warc_ts", "html", "lang"]
-    right = pages
-    for c in ("status", "fetch_error"):
-        if c in pages.columns:
-            page_cols.append(c)
-        else:
-            right = right.withColumn(
-                c, F.lit(None).cast("int" if c == "status" else "string")
-            )
-            page_cols.append(c)
-    fetched = (
-        frontier.join(right.select(*page_cols), "url", "left")
-        .withColumn("fetched", F.col("html").isNotNull())
-        .withColumn(
-            "fetch_error",
-            # a frontier row with NO pages row at all is a miss — the
-            # reference's generic transport failure, class 'other'
-            F.when(F.col("fetched"), F.lit(None).cast("string")).otherwise(
-                F.coalesce(F.col("fetch_error"), F.lit("fetch miss: no response"))
+    if cfg.live_transport is not None:
+        # S1 LIVE mode — the real fetch stage (host co-location, politeness
+        # slots, UA rotation, encoding ladder). Downstream is identical:
+        # the stage emits the same (url, host, status, html, fetch_error)
+        # shape the pages join produces, frontier metadata rides through.
+        from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
+
+        passthrough = tuple(c for c in frontier.columns if c not in ("url", "host"))
+        fetched = fetch_pages(
+            frontier,
+            FetchConfig(
+                transport=cfg.live_transport,
+                per_host_delay_ms=cfg.live_delay_ms,
+                host_partitions=cfg.parallelism,
             ),
+            passthrough=passthrough,
+        ).drop("body_bytes", "planned_offset_ms", "fetch_ms", "ua_idx")
+        fetched = (
+            # the stage emits decoded text; the loop's page schema is BINARY
+            # (decoded_html / byte-true page_bytes) — utf-8 round-trip
+            fetched.withColumn("html", F.encode(F.col("html"), "UTF-8"))
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("lang", F.lit(None).cast("string"))
+            .withColumn("fetched", F.col("html").isNotNull())
+            .withColumn(
+                "fetch_error",
+                F.when(F.col("fetched"), F.lit(None).cast("string")).otherwise(
+                    F.coalesce(F.col("fetch_error"), F.lit("fetch miss: no response"))
+                ),
+            )
+            .withColumn("fetch_error_class", fetch_error_class_expr(F.col("fetch_error")))
         )
-        .withColumn("fetch_error_class", fetch_error_class_expr(F.col("fetch_error")))
-    )
+    else:
+        page_cols = ["url", "warc_ts", "html", "lang"]
+        right = pages
+        for c in ("status", "fetch_error"):
+            if c in pages.columns:
+                page_cols.append(c)
+            else:
+                right = right.withColumn(
+                    c, F.lit(None).cast("int" if c == "status" else "string")
+                )
+                page_cols.append(c)
+        fetched = (
+            frontier.join(right.select(*page_cols), "url", "left")
+            .withColumn("fetched", F.col("html").isNotNull())
+            .withColumn(
+                "fetch_error",
+                # a frontier row with NO pages row at all is a miss — the
+                # reference's generic transport failure, class 'other'
+                F.when(F.col("fetched"), F.lit(None).cast("string")).otherwise(
+                    F.coalesce(F.col("fetch_error"), F.lit("fetch miss: no response"))
+                ),
+            )
+            .withColumn("fetch_error_class", fetch_error_class_expr(F.col("fetch_error")))
+        )
     fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
     parsed = with_parse(fetched)
     content_lower = F.lower(F.coalesce(decoded_html(F.col("html")), F.lit("")))

@@ -194,9 +194,16 @@ def _headers_for(url: str, ua: str) -> dict[str, str]:
     }
 
 
-def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFrame:
+def fetch_pages(
+    frontier: DataFrame,
+    cfg: FetchConfig | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """The live-fetch stage: frontier(url, host, priority, discovered_seq)
     → one fetched row per input row, host-co-located and politeness-paced.
+    `passthrough` names extra frontier columns to carry through unchanged
+    (the crawl loop rides its scheduling metadata along instead of paying
+    a join back onto the fetched rows).
 
     The plan is exactly one exchange (hash on host) + an in-partition sort
     + the Arrow stage — at 10^10-URL scale the repartition count rises with
@@ -211,6 +218,20 @@ def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFram
     max_body = cfg.max_body_bytes
     budget = cfg.batch_budget_bytes
 
+    # priority/discovered_seq are always staged (the politeness sort keys)
+    # and always ride through; callers' passthrough adds to them, each
+    # column selected exactly ONCE (a duplicate name breaks the Arrow frame)
+    passthrough = tuple(
+        c
+        for c in dict.fromkeys(("priority", "discovered_seq", *passthrough))
+        if c not in ("url", "host")
+    )
+    in_fields = {f.name: f for f in frontier.schema.fields}
+    out_schema = StructType(
+        list(FETCH_SCHEMA.fields) + [in_fields[c] for c in passthrough]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         next_slot: dict[str, int] = {}  # host → next politeness offset (ms)
         t_start = time.perf_counter()
@@ -220,11 +241,12 @@ def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFram
         def flush():
             nonlocal rows, acc_bytes
             if rows:
-                yield pd.DataFrame(rows, columns=[f.name for f in FETCH_SCHEMA.fields])
+                yield pd.DataFrame(rows, columns=out_cols)
                 rows, acc_bytes = [], 0
 
         for pdf in batches:
-            for url, host in zip(pdf["url"], pdf["host"]):
+            extra = [pdf[c].tolist() for c in passthrough]
+            for i, (url, host) in enumerate(zip(pdf["url"], pdf["host"])):
                 key = _url_key(url)
                 ua_idx = key % len(USER_AGENTS)
                 offset = next_slot.get(host, 0)
@@ -255,6 +277,7 @@ def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFram
                         html, err,
                         len(body) if body is not None else 0,
                         offset, fetch_ms, ua_idx,
+                        *(col[i] for col in extra),
                     )
                 )
                 acc_bytes += len(body) if body is not None else 0
@@ -265,6 +288,58 @@ def fetch_pages(frontier: DataFrame, cfg: FetchConfig | None = None) -> DataFram
     staged = (
         frontier.repartition(n_parts, F.col("host"))
         .sortWithinPartitions("host", "priority", "discovered_seq")
-        .select("url", "host", "priority", "discovered_seq")
+        .select("url", "host", *passthrough)
     )
-    return staged.mapInPandas(_fetch, FETCH_SCHEMA)
+    return staged.mapInPandas(_fetch, out_schema)
+
+
+class TableTransport:
+    """Live-mode transport backed by a parquet pages table — the bridge
+    that proves live mode ≡ table mode: it answers each URL with exactly
+    the (status, html, fetch_error) row the pages table holds, and misses
+    with the pages-join's 'fetch miss' message, so `run_crawl` through the
+    fetch stage must be bit-identical to `run_crawl` through the join.
+    The table loads once per worker process via pyarrow (module cache);
+    at real scale a live crawl has no such table — this transport exists
+    for equivalence testing and replay."""
+
+    _cache: dict[str, dict] = {}
+
+    def __init__(self, parquet_path: str):
+        self.path = str(parquet_path)
+
+    def _table(self) -> dict:
+        tbl = self._cache.get(self.path)
+        if tbl is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(self.path)
+            names = t.column_names
+            cols = {
+                c: t.column(c).to_pylist()
+                for c in ("url", "html", "status", "fetch_error")
+                if c in names
+            }
+            tbl = {}
+            for i, u in enumerate(cols["url"]):
+                tbl[u] = (
+                    cols.get("status", [None] * len(cols["url"]))[i],
+                    cols["html"][i],
+                    cols.get("fetch_error", [None] * len(cols["url"]))[i],
+                )
+            self._cache[self.path] = tbl
+        return tbl
+
+    def __call__(self, url: str, headers: dict[str, str]) -> tuple[int | None, bytes | None, str | None]:
+        row = self._table().get(url)
+        if row is None:
+            return None, None, "fetch miss: no response"
+        status, html, err = row
+        if html is not None:
+            body = html if isinstance(html, (bytes, bytearray)) else html.encode("utf-8")
+            return (int(status) if status is not None else None), bytes(body), None
+        return (
+            int(status) if status is not None else None,
+            None,
+            err if err is not None else "fetch miss: no response",
+        )

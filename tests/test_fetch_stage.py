@@ -128,3 +128,39 @@ def test_transport_exception_becomes_error_row(spark):
     rows = FS.fetch_pages(_frontier(spark, n=6, hosts=2), FS.FetchConfig(transport=Boom())).collect()
     assert len(rows) == 6
     assert all(r.status is None and "transport error" in r.fetch_error for r in rows)
+
+
+def test_live_mode_equals_table_mode(spark, fixture_root, tmp_path_factory):
+    """The whole crawl loop through the LIVE fetch stage (TableTransport
+    answering from the same pages parquet) is bit-identical to the
+    pages-join mode — the live path changes the physical fetch, not one
+    bit of crawl semantics."""
+    from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+
+    pages_path = str(fixture_root / "sf0.001" / "pages.parquet")
+    pages = spark.read.parquet(pages_path)
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:6]
+    seeds = spark.createDataFrame(
+        [(s, 40, 8) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+
+    root_a = tmp_path_factory.mktemp("mode_table")
+    a = run_crawl(spark, pages, seeds, root_a, CrawlConfig(max_batches=3, parallelism=8))
+    root_b = tmp_path_factory.mktemp("mode_live")
+    b = run_crawl(
+        spark, pages, seeds, root_b,
+        CrawlConfig(max_batches=3, parallelism=8, live_transport=FS.TableTransport(pages_path)),
+    )
+    assert a["last_batch"] == b["last_batch"]
+    sa, sb = CrawlStore(spark, root_a), CrawlStore(spark, root_b)
+    for table in ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "seed_state"):
+        da = sa.read_all(table, a["last_batch"])
+        cols = sorted(da.columns)
+        ra = {tuple(str(v) for v in r) for r in da.select(*cols).collect()}
+        rb = {
+            tuple(str(v) for v in r)
+            for r in sb.read_all(table, b["last_batch"]).select(*cols).collect()
+        }
+        assert ra == rb, f"table {table} differs between live and table mode"

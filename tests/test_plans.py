@@ -268,3 +268,18 @@ def test_line_dedup_shuffle_mode_avoids_broadcast(spark):
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti, plan
     assert all("Broadcast" not in l for l in anti), anti
+
+
+def test_live_fetch_stage_single_exchange(spark):
+    """The fetch stage's plan is ONE host-hash exchange + in-partition
+    sort + the Arrow stage — no join back for the frontier metadata, no
+    global sort, no second shuffle (the politeness clock is partition-
+    local by construction)."""
+    plan = _plan(spark, "live_fetch_stage")
+    data_path = plan.split("== Physical Plan ==")[-1]
+    # exactly one hash exchange (the host repartition); the final
+    # orderBy of the catalog wrapper adds a range exchange, excluded by
+    # counting hashpartitioning only
+    assert data_path.count("hashpartitioning(host") == 1, data_path[:2000]
+    assert "SortMergeJoin" not in data_path and "BroadcastHashJoin" not in data_path
+    assert "CartesianProduct" not in data_path
