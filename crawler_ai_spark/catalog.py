@@ -4947,10 +4947,11 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "media_decode_features",
-    # the oracle PREDICTS true pixel statistics arithmetically (the PNGs
+    # the oracle PREDICTS true pixel statistics arithmetically (the images
     # carry a deterministic (x*7 + y*13 + c*29 + doc_id) % 256 gradient);
-    # the Spark side round-trips the actual bytes: stdlib PNG encode in a
-    # pandas UDF -> real zlib inflate + unfilter decode in mapInPandas.
+    # the Spark side round-trips the actual bytes: stdlib PNG (even ids) /
+    # BMP (odd ids) encode in a pandas UDF -> real pixel decode in
+    # mapInPandas — container-blind prediction, so one row gates both.
     # The mean is re-derived from EXACT integer (pixel_sum, n_pix) with
     # engine-native double ops on both sides (identical expression shape).
     oracle="""
@@ -4979,18 +4980,23 @@ ORDER BY doc_id
 )
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the whole binary path: deterministic RGB
-    gradient PNGs are encoded from doc_id (pipeline/multimodal.encode_png,
-    pure stdlib), shipped as a binary column, and pixel-decoded back by
-    decode_image_features (zlib inflate + PNG unfilter in byte-budgeted
-    mapInPandas). The oracle re-derives width/height/mean from the
-    gradient formula alone — if any byte of the codec path lied, the
-    pixel means would diverge."""
+    gradient images are encoded from doc_id — PNG for even ids, 24-bit
+    BMP for odd (pipeline/multimodal.encode_png/encode_bmp, pure stdlib)
+    — shipped as a binary column, and pixel-decoded back by
+    decode_image_features (zlib inflate + PNG unfilter / BMP unpad +
+    BGR swap in byte-budgeted mapInPandas). The oracle re-derives
+    width/height/mean from the gradient formula alone, container-blind —
+    one green row gates BOTH codecs byte-for-byte."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from crawler_ai_spark.pipeline.multimodal import decode_image_features, encode_png
+    from crawler_ai_spark.pipeline.multimodal import (
+        decode_image_features,
+        encode_bmp,
+        encode_png,
+    )
 
-    def _png(s):
+    def _blob(s):
         out = []
         for d in s:
             d = int(d)
@@ -5001,15 +5007,16 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for x in range(w)
                 for c in range(3)
             )
-            out.append(encode_png(w, h, px, channels=3))
+            enc = encode_png if d % 2 == 0 else encode_bmp
+            out.append(enc(w, h, px, channels=3))
         return pd.Series(out)
 
-    _png.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    png_udf = pandas_udf(_png, "binary")
+    _blob.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    blob_udf = pandas_udf(_blob, "binary")
 
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
-        F.col("doc_id").alias("media_id"), png_udf(F.col("doc_id")).alias("content")
+        F.col("doc_id").alias("media_id"), blob_udf(F.col("doc_id")).alias("content")
     )
     feats = decode_image_features(media)
     return feats.select(

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via mapInPandas in fixed-size Arrow batches.
 
-PNG pixel decode is REAL — a pure-stdlib (zlib) codec below handles the
-8-bit non-interlaced critical path (gray/RGB/palette/RGBA, all five row
-filters), so `decode_image_features` produces true dimensions, channel
-counts, pixel means and pixel hashes for PNG columns with no PIL in the
-container. JPEG/GIF/BMP pixel decode still needs a codec this sandbox
-lacks (`_decode_image` raises NotImplementedError unless ``fake=True``
+PNG, 24-bit-BMP and GIF pixel decode are REAL — pure-stdlib codecs below
+handle PNG's 8-bit non-interlaced critical path (gray/RGB/palette/RGBA,
+all five row filters, zlib inflate), BMP's uncompressed BI_RGB path
+(padding, bottom-up/top-down, BGR swap), and GIF87a/89a first-frame
+decode (full variable-width LZW with dictionary reset, local/global
+palettes, 4-pass deinterlace), so `decode_image_features` produces true
+dimensions, channel counts, pixel means and pixel hashes with no PIL in
+the container. JPEG pixel decode still needs a codec this sandbox lacks
+(`_decode_image` raises NotImplementedError unless ``fake=True``
 substitutes a deterministic header-parse). Everything AROUND decode is
 real and tested either way: the schema contract, the Arrow batch shape,
 partition sizing by byte budget, and codec-free metadata extraction
@@ -254,16 +257,335 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+# ---------------------------------------------------------------------------
+# GIF codec — GIF87a/89a single-frame: logical screen + global/local color
+# tables, extension-block skip, full LZW decompression with variable code
+# width and dictionary reset, Adam-style 4-pass deinterlace. Animated GIFs
+# decode their FIRST frame (the thumbnail semantics a curation pipeline
+# wants). Palette → RGB. Encoder emits real LZW for fixture round-trips.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the dictionary, EOI terminates; codes emit byte strings."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    # bit reader, LSB-first across the concatenated sub-block payload
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            return out
+        if code == clear:
+            table, width, prev, next_code = fresh(), min_code_size + 1, None, eoi + 1
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW encoder (the fixture side; decode∘encode = identity)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in pixels:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder's table lags the encoder's by exactly one add
+            # (it reconstructs an entry only after reading the NEXT code),
+            # so the encoder grows its width one assignment later than the
+            # decoder's 2^width threshold — the classic GIF +1 rule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """Decode the first frame of a GIF to the decode_png dict shape
+    (palette expanded to RGB, interlace resolved)."""
+    import hashlib
+
+    if not data or not data.startswith((b"GIF87a", b"GIF89a")) or len(data) < 13:
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = data[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            if iw == 0 or ih == 0:
+                raise ValueError("zero-dimension GIF frame")
+            min_code = data[pos]
+            pos += 1
+            payload = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                payload.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(payload), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data shorter than geometry requires")
+            idx = idx[: iw * ih]
+            if iflags & 0x40:  # deinterlace (4 passes)
+                rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                fixed = [b""] * ih
+                for src_row, dst_y in enumerate(order):
+                    fixed[dst_y] = rows[src_row]
+                idx = bytearray(b"".join(fixed))
+            ncolors = len(table) // 3
+            rgb = bytearray(iw * ih * 3)
+            for i, ci in enumerate(idx):
+                if ci >= ncolors:
+                    raise ValueError("GIF pixel index outside color table")
+                rgb[i * 3 : i * 3 + 3] = table[ci * 3 : ci * 3 + 3]
+            mean = (sum(rgb) / len(rgb)) if rgb else 0.0
+            return {
+                "width": iw,
+                "height": ih,
+                "channels": 3,
+                "pixels": bytes(rgb),
+                "mean_pixel": round(mean / 255.0, 6),
+                "pixel_sum": sum(rgb),
+                "n_pix": len(rgb),
+                "pixel_sha256": hashlib.sha256(bytes(rgb)).hexdigest(),
+            }
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Minimal single-frame GIF89a writer: `indices` are palette indices
+    (row-major), `palette` is packed RGB (len multiple of 3, ≤256 entries,
+    padded up to a power of two)."""
+    ncolors = len(palette) // 3
+    if ncolors < 2 or ncolors > 256:
+        raise ValueError("palette must hold 2..256 colors")
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match geometry")
+    if indices and max(indices) >= ncolors:
+        raise ValueError("index outside palette")
+    bits = max(1, (ncolors - 1).bit_length())
+    padded = palette + b"\x00" * 3 * ((1 << bits) - ncolors)
+    hdr = b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = max(2, bits)
+    lzw = _lzw_encode(indices, min_code)
+    blocks = bytearray([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return hdr + padded + desc + bytes(blocks) + b"\x3B"
+
+
+# ---------------------------------------------------------------------------
+# BMP codec — 24-bit BI_RGB (the uncompressed common case), BITMAPINFOHEADER,
+# bottom-up or top-down (negative height), 4-byte row padding, BGR→RGB.
+# Other depths/compressions raise ValueError (a PIL deployment replaces
+# _decode_image wholesale).
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Decode a 24-bit uncompressed BMP to the same dict shape as
+    decode_png (pixels RGB row-major top-down)."""
+    import hashlib
+
+    if not data or not data.startswith(b"BM") or len(data) < 54:
+        raise ValueError("not a BMP")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"BMP bpp={bpp} compression={comp} not supported (24-bit BI_RGB only)")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP geometry")
+    stride = width * 3
+    pad = (4 - (stride % 4)) % 4
+    if len(data) < pixel_offset + (stride + pad) * height:
+        raise ValueError("BMP pixel data truncated")
+    out = bytearray(stride * height)
+    for i in range(height):
+        src = pixel_offset + i * (stride + pad)
+        row = data[src : src + stride]
+        rgb = bytearray(stride)
+        rgb[0::3] = row[2::3]
+        rgb[1::3] = row[1::3]
+        rgb[2::3] = row[0::3]
+        y = i if top_down else height - 1 - i
+        out[y * stride : (y + 1) * stride] = rgb
+    mean = (sum(out) / len(out)) if out else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": bytes(out),
+        "mean_pixel": round(mean / 255.0, 6),
+        "pixel_sum": sum(out),
+        "n_pix": len(out),
+        "pixel_sha256": hashlib.sha256(bytes(out)).hexdigest(),
+    }
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal 24-bit bottom-up BI_RGB BMP writer; pixels are RGB
+    row-major top-down (the decode_png/decode_bmp convention) —
+    decode_bmp(encode_bmp(...)) round-trips."""
+    if channels != 3:
+        raise ValueError("BMP writer emits 24-bit RGB only")
+    stride = width * 3
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match geometry")
+    pad = b"\x00" * ((4 - (stride % 4)) % 4)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = pixels[y * stride : (y + 1) * stride]
+        bgr = bytearray(stride)
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        rows.append(bytes(bgr) + pad)
+    data = b"".join(rows)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _try_decode_pixels(data: bytes) -> dict | None:
+    """Real pixel decode where a stdlib codec exists (PNG, 24-bit BMP,
+    GIF); None for other formats or undecodable bytes."""
+    try:
+        if data.startswith(_PNG_SIG):
+            return decode_png(data)
+        if data.startswith(b"BM"):
+            return decode_bmp(data)
+        if data.startswith((b"GIF87a", b"GIF89a")):
+            return decode_gif(data)
+    except ValueError:
+        return None
+    return None
+
+
 def _decode_image(data: bytes, fake: bool = False):
-    """Pixel decode. PNG decodes FOR REAL via the stdlib codec above
-    (no PIL needed); JPEG/GIF/BMP still require a codec this container
-    lacks — for those, ``fake=True`` returns a deterministic stand-in
-    (dimensions from the header, mean 'pixel' = byte mean) so downstream
-    plumbing — feature vectors, resize bookkeeping, batch shapes — is
-    exercised for real. A deployment with PIL replaces only this
-    function."""
+    """Pixel decode. PNG, 24-bit BMP and GIF decode FOR REAL via the
+    stdlib codecs above (no PIL needed — incl. full LZW for GIF); JPEG
+    still requires a codec this container lacks — for it, ``fake=True``
+    returns a deterministic stand-in (dimensions from the header, mean
+    'pixel' = byte mean) so downstream plumbing — feature vectors, resize
+    bookkeeping, batch shapes — is exercised for real. A deployment with
+    PIL replaces only this function."""
     if data and data.startswith(_PNG_SIG):
         d = decode_png(data)
+    elif data and data.startswith(b"BM") and not fake:
+        d = decode_bmp(data)  # malformed BMP = data error, raises ValueError
+    elif data and data.startswith((b"GIF87a", b"GIF89a")) and not fake:
+        d = decode_gif(data)
+    else:
+        d = None
+    if d is not None:
         return {
             "width": d["width"],
             "height": d["height"],
@@ -273,9 +595,9 @@ def _decode_image(data: bytes, fake: bool = False):
         }
     if not fake:
         raise NotImplementedError(
-            "pixel decode for non-PNG formats requires an image codec "
-            "(PIL/libvips) — not in this sandbox; pass fake=True for the "
-            "deterministic stand-in"
+            "pixel decode for non-PNG/BMP/GIF formats requires an image "
+            "codec (PIL/libvips) — not in this sandbox; pass fake=True for "
+            "the deterministic stand-in"
         )
     w, h = header_dimensions(data)
     mean_byte = (sum(data) / len(data)) if data else 0.0
@@ -334,10 +656,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def decode_image_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
-    """Real pixel-decode pass over PNG rows (stdlib codec — no PIL):
-    mapInPandas with the same byte-budget re-chunking as the metadata
-    pass; non-PNG and undecodable rows surface NULL features rather than
-    failing the batch (a corrupt image must not kill a 100 TB job)."""
+    """Real pixel-decode pass over PNG and 24-bit-BMP rows (stdlib codecs
+    — no PIL): mapInPandas with the same byte-budget re-chunking as the
+    metadata pass; other formats and undecodable rows surface NULL
+    features rather than failing the batch (a corrupt image must not kill
+    a 100 TB job)."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,12 +681,10 @@ def decode_image_features(media: DataFrame, batch_bytes: int = 64 << 20) -> Data
                         "pixel_sum", "n_pix", "pixel_sha256")
                 for mid, blob in zip(chunk["media_id"], chunk["content"]):
                     row = [None] * len(cols)
-                    if blob is not None and bytes(blob[:8]) == _PNG_SIG:
-                        try:
-                            d = decode_png(bytes(blob))
+                    if blob is not None:
+                        d = _try_decode_pixels(bytes(blob))
+                        if d is not None:
                             row = [d[k] for k in cols]
-                        except ValueError:
-                            pass  # undecodable -> NULL features
                     out["media_id"].append(mid)
                     for k, v in zip(cols, row):
                         out[k].append(v)
@@ -399,9 +720,10 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5,
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests — no external data. PNG
-    rows (i%5==0) are REAL decodable images (stdlib encoder, deterministic
-    RGB gradient) so the pixel-decode path is exercised on true bytes;
-    the other formats carry valid headers + noise bodies."""
+    rows (i%5==0), GIF rows (i%5==1) and BMP rows (i%5==2) are REAL
+    decodable images (stdlib encoders, deterministic gradients) so every
+    pixel-decode path is exercised on true bytes; audio/video rows carry
+    valid headers + noise bodies."""
     import random
 
     rng = random.Random(42)
@@ -419,10 +741,20 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             body = encode_png(w, h, px, channels=3)
         elif i % 5 == 1:
             w, h = 8 + i % 32, 8 + i % 32
-            body = b"GIF89a" + struct.pack("<HH", w, h)
+            palette = bytes(
+                v for j in range(8) for v in (j * 31 % 256, (j * 57 + i) % 256, j * 13 % 256)
+            )
+            idx = bytes(((x * 3 + y * 7 + i) % 8) for y in range(h) for x in range(w))
+            body = encode_gif(w, h, idx, palette)
         elif i % 5 == 2:
             w, h = 32 + i % 16, 24 + i % 16
-            body = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+            px = bytes(
+                ((x * 7 + y * 13 + c * 29 + i) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            body = encode_bmp(w, h, px, channels=3)
         elif i % 5 == 3:
             body = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
         else:

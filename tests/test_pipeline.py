@@ -316,15 +316,18 @@ def test_media_meta_sniffing(spark):
     assert meta[4].mime_sniffed == "video/mp4"
 
 
-def test_media_decode_stub_gated_for_non_png():
-    # non-PNG pixel decode still needs a codec this container lacks
+def test_media_decode_stub_gated_for_jpeg():
+    # JPEG pixel decode still needs a codec this container lacks
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]))
-    fake = MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]), fake=True)
-    assert fake["width"] == 16 and fake["height"] == 12
-    # a malformed PNG is a data error, not a missing-codec error
+        MM._decode_image(jpeg)
+    fake = MM._decode_image(jpeg, fake=True)
+    assert fake["mean_pixel"] > 0 and fake["width"] is None
+    # malformed PNG/GIF are data errors, not missing-codec errors
     with pytest.raises(ValueError):
         MM._decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
+    with pytest.raises(ValueError):
+        MM._decode_image(b"GIF89a" + bytes([16, 0, 12, 0]))
 
 
 def test_png_codec_roundtrip_all_filters():
@@ -412,7 +415,7 @@ def test_png_codec_palette_and_gray():
 
 def test_decode_image_features_on_real_bytes(spark):
     """media_meta-adjacent gate: the mapInPandas decode pass produces true
-    pixel stats for the synth corpus' REAL PNGs and NULLs elsewhere."""
+    pixel stats for the synth corpus' REAL PNGs and BMPs, NULLs elsewhere."""
     media = MM.synth_media(spark, 20)
     feats = {r.media_id: r for r in MM.decode_image_features(media).collect()}
     assert len(feats) == 20
@@ -424,8 +427,107 @@ def test_decode_image_features_on_real_bytes(spark):
             assert (r.width, r.height, r.channels) == (16 + i % 64, 9 + i % 48, 3)
             assert r.pixel_sha256 == d["pixel_sha256"]
             assert r.mean_pixel == d["mean_pixel"] > 0
+        elif i % 5 == 1:
+            d = MM.decode_gif(blobs[i])
+            r = feats[i]
+            assert (r.width, r.height, r.channels) == (8 + i % 32, 8 + i % 32, 3)
+            assert r.pixel_sha256 == d["pixel_sha256"]
+            assert r.mean_pixel == d["mean_pixel"] > 0
+        elif i % 5 == 2:
+            d = MM.decode_bmp(blobs[i])
+            r = feats[i]
+            assert (r.width, r.height, r.channels) == (32 + i % 16, 24 + i % 16, 3)
+            assert r.pixel_sha256 == d["pixel_sha256"]
+            assert r.mean_pixel == d["mean_pixel"] > 0
         else:
             assert feats[i].width is None and feats[i].pixel_sha256 is None
+
+
+def test_gif_codec_roundtrip_lzw_and_interlace():
+    """decode_gif is a REAL LZW decoder: encode→decode round-trips the
+    palette-expanded pixels (exercising variable code widths + dictionary
+    growth on a large frame), and an interlaced variant deinterlaces to
+    the same image."""
+    import struct as st
+
+    w, h = 40, 30  # 1200 px through 8-color LZW → several width bumps
+    palette = bytes(v for j in range(8) for v in (j * 31 % 256, j * 57 % 256, j * 13 % 256))
+    idx = bytes(((x * 3 + y * 7) % 8) for y in range(h) for x in range(w))
+    blob = MM.encode_gif(w, h, idx, palette)
+    d = MM.decode_gif(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    expect = bytes(v for ci in idx for v in palette[ci * 3 : ci * 3 + 3])
+    assert d["pixels"] == expect
+    assert d["pixel_sum"] == sum(expect) and d["n_pix"] == len(expect)
+
+    # interlaced variant: rows stored in 4-pass order, flag bit 0x40
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+    interlaced_idx = b"".join(rows[y] for y in order)
+    lzw = MM._lzw_encode(interlaced_idx, 3)
+    blocks = bytearray([3])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        blocks.append(len(c))
+        blocks.extend(c)
+    blocks.append(0)
+    blob_i = (
+        b"GIF89a" + st.pack("<HHBBB", w, h, 0x80 | 2, 0, 0) + palette
+        + b"\x2C" + st.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes(blocks) + b"\x3B"
+    )
+    assert MM.decode_gif(blob_i)["pixels"] == expect
+    # extension blocks (e.g. GCE) are skipped, animated first frame wins
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    blob_a = blob[:13] + palette + gce + blob[13 + len(palette):]
+    assert MM.decode_gif(blob_a)["pixels"] == expect
+
+
+def test_bmp_codec_roundtrip_padding_and_topdown():
+    """decode_bmp handles 4-byte row padding (w*3 % 4 != 0), bottom-up
+    (the writer's form) and top-down (negative height) layouts, and the
+    PNG/BMP codecs agree on identical pixel content."""
+    import struct as st
+
+    w, h = 5, 3  # stride 15 -> 1 pad byte per row
+    px = bytes(((x * 11 + y * 17 + c * 5) % 256) for y in range(h) for x in range(w) for c in range(3))
+    blob = MM.encode_bmp(w, h, px, channels=3)
+    d = MM.decode_bmp(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == px
+    assert d["pixel_sum"] == sum(px) and d["n_pix"] == len(px)
+    # same pixels through the PNG codec -> identical stats + hash
+    dp = MM.decode_png(MM.encode_png(w, h, px, channels=3))
+    assert dp["pixel_sha256"] == d["pixel_sha256"]
+    assert dp["mean_pixel"] == d["mean_pixel"]
+
+    # top-down variant: negate height, rows in natural order
+    stride, pad = w * 3, b"\x00" * ((4 - (w * 3) % 4) % 4)
+    rows = b"".join(
+        bytes(
+            v
+            for x in range(w)
+            for v in (
+                px[(y * w + x) * 3 + 2], px[(y * w + x) * 3 + 1], px[(y * w + x) * 3],
+            )
+        )
+        + pad
+        for y in range(h)
+    )
+    off = 14 + 40
+    td = (
+        b"BM" + st.pack("<IHHI", off + len(rows), 0, 0, off)
+        + st.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+        + rows
+    )
+    assert MM.decode_bmp(td)["pixels"] == px
+    # unsupported depth is a data error
+    bad = bytearray(blob)
+    st.pack_into("<H", bad, 28, 8)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(bytes(bad))
 
 
 def test_frame_sample_plan(spark):
