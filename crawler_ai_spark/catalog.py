@@ -5112,3 +5112,127 @@ def q_live_fetch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetch_error_class_expr(F.col("fetch_error")).alias("error_class"),
         "body_bytes", "planned_offset_ms", "ua_idx",
     ).orderBy("url")
+
+
+@_register(
+    "media_audio_features",
+    # the oracle PREDICTS true PCM statistics arithmetically: the WAVs
+    # carry deterministic 8-bit samples s_j = (j*7 + doc_id) % 256, so
+    # abs-sum and peak (centered at 128) and the frame/duration math are
+    # pure integer functions of doc_id that DuckDB re-derives — the Spark
+    # side round-trips the actual encoded container bytes.
+    oracle="""
+WITH g AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+s AS (
+  SELECT g.doc_id, g.n, abs(((u.j * 7 + g.doc_id) % 256) - 128) AS a
+  FROM g, unnest(generate_series(0, g.n - 1)) AS u(j)
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(8 AS INT) AS bits,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(a) AS BIGINT) AS abs_sum,
+       CAST(max(a) AS INT) AS peak
+FROM s GROUP BY doc_id, n
+ORDER BY doc_id
+""",
+)
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the whole binary path: deterministic
+    8-bit PCM WAVs are encoded from doc_id (pipeline/multimodal.encode_wav,
+    pure stdlib), shipped as a binary column, and sample-decoded back by
+    decode_audio_features (RIFF chunk walk + PCM stats in byte-budgeted
+    mapInPandas). The oracle re-derives frames/duration/abs-sum/peak from
+    the sample formula alone — if the codec path mangled one PCM byte,
+    abs_sum would diverge."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.pipeline.multimodal import decode_audio_features, encode_wav
+
+    def _wav(s):
+        out = []
+        for d in s:
+            d = int(d)
+            n = 200 + d % 300
+            out.append(
+                encode_wav(
+                    bytes(((j * 7 + d) % 256) for j in range(n)),
+                    rate=8000, channels=1, bits=8,
+                )
+            )
+        return pd.Series(out)
+
+    _wav.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    wav_udf = pandas_udf(_wav, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), wav_udf(F.col("doc_id")).alias("content")
+    )
+    feats = decode_audio_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "channels", "sample_rate", "bits", "n_frames",
+        "duration_ms", "abs_sum", "peak",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "media_video_meta",
+    # ISO-BMFF probe oracle: the stub containers carry deterministic
+    # mvhd/tkhd values derived from doc_id (timescale 600), so brand,
+    # track dims and the tick→ms conversion are integer-predictable.
+    oracle="""
+SELECT doc_id,
+       'mp42' AS brand,
+       CAST(600 AS INT) AS timescale,
+       CAST(((60 + doc_id % 900) * 1000) // 600 AS BIGINT) AS duration_ms,
+       CAST(320 + doc_id % 64 AS INT) AS width,
+       CAST(180 + doc_id % 36 AS INT) AS height,
+       CAST(1 AS INT) AS n_tracks
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata through the binary path: structurally
+    real ftyp+moov(mvhd+trak(tkhd)) boxes built from doc_id
+    (encode_mp4_stub), probed back by probe_mp4's box walk inside the
+    byte-budget mapInPandas plumbing. Frame decode needs codecs this
+    sandbox lacks (frame_sample_plan plans that work); the container
+    probe — what a curation pipeline filters on — is fully real."""
+    import pandas as pd
+
+    from crawler_ai_spark.pipeline.multimodal import encode_mp4_stub, probe_mp4
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _probe(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "brand", "timescale", "duration_ms",
+                                    "width", "height", "n_tracks")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blob = encode_mp4_stub(
+                    320 + d % 64, 180 + d % 36,
+                    duration_ticks=60 + d % 900, timescale=600,
+                )
+                m = probe_mp4(blob)
+                rows["doc_id"].append(d)
+                rows["brand"].append(m["brand"])
+                rows["timescale"].append(m["timescale"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_tracks"].append(m["n_tracks"])
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        _probe,
+        "doc_id long, brand string, timescale int, duration_ms long, "
+        "width int, height int, n_tracks int",
+    )
+    return out.orderBy("doc_id")

@@ -554,6 +554,221 @@ def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     return header + dib + data
 
 
+# ---------------------------------------------------------------------------
+# WAV codec — RIFF/WAVE chunk walk, PCM 8/16-bit. The RIFF size field
+# bounds the walk, so trailing garbage after the container is ignored
+# (real-world WAVs are often padded or appended to).
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode a PCM WAV to sample statistics: channels, sample_rate, bit
+    depth, frame count, duration, integer abs-sum/peak (exact twins a SQL
+    oracle can re-derive), and a content hash of the raw PCM bytes."""
+    import hashlib
+
+    if not data or not data.startswith(b"RIFF") or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    fmt = pcm = None
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if fmt is None or pcm is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"WAV format {audio_format}/{bits}-bit not supported (PCM 8/16 only)")
+    if channels == 0 or rate == 0:
+        raise ValueError("bad WAV geometry")
+    frame_bytes = (bits // 8) * channels
+    n_frames = len(pcm) // frame_bytes
+    usable = pcm[: n_frames * frame_bytes]
+    if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        samples = [b - 128 for b in usable]
+    else:
+        samples = list(struct.unpack(f"<{n_frames * channels}h", usable))
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "abs_sum": sum(abs(s) for s in samples),
+        "peak": max((abs(s) for s in samples), default=0),
+        "pcm_sha256": hashlib.sha256(usable).hexdigest(),
+    }
+
+
+def encode_wav(samples: bytes | list[int], rate: int, channels: int = 1, bits: int = 8) -> bytes:
+    """Minimal PCM WAV writer (fixture side; decode_wav round-trips).
+    8-bit takes raw unsigned bytes; 16-bit takes signed ints."""
+    if bits == 8:
+        pcm = bytes(samples)
+    elif bits == 16:
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError("PCM 8/16-bit only")
+    block = (bits // 8) * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MP4 probe — ISO BMFF box walk: ftyp brand, moov→mvhd (timescale,
+# duration), moov→trak→tkhd (track dims). Metadata only — frame decode
+# needs real codecs; frame_sample_plan below plans that work instead.
+# ---------------------------------------------------------------------------
+
+
+def probe_mp4(data: bytes) -> dict:
+    """Container metadata from the box structure alone. Tolerates trailing
+    garbage after the last well-formed top-level box."""
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return  # trailing garbage / truncated box: stop the walk
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    if not data or len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 file")
+    out = {
+        "brand": data[8:12].decode("latin-1"),
+        "timescale": None,
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+    }
+    for tag, lo, hi in walk(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, l2, h2 in walk(data, lo, hi):
+            if t2 == b"mvhd" and h2 - l2 >= 20:
+                ver = data[l2]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, l2 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, l2 + 12)
+                if ts:
+                    out["timescale"] = ts
+                    out["duration_ms"] = dur * 1000 // ts
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, l3, h3 in walk(data, l2, h2):
+                    if t3 == b"tkhd" and h3 - l3 >= 84:
+                        ver = data[l3]
+                        off = l3 + (96 if ver == 1 else 84) - 8
+                        w, h = struct.unpack_from(">II", data, off)
+                        if w and h and out["width"] is None:
+                            out["width"], out["height"] = w >> 16, h >> 16
+    if out["timescale"] is None:
+        raise ValueError("MP4 missing mvhd")
+    return out
+
+
+def encode_mp4_stub(width: int, height: int, duration_ticks: int, timescale: int = 600) -> bytes:
+    """Minimal ftyp+moov(mvhd+trak(tkhd)) container for fixtures — no
+    media data, but a structurally real box tree probe_mp4 parses."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime/mtime
+        + struct.pack(">II", timescale, duration_ticks)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime/mtime/track_id/reserved
+        + struct.pack(">I", duration_ticks)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("abs_sum", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("pcm_sha256", StringType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+    """Real PCM decode pass over WAV rows (stdlib struct — no soundfile):
+    same byte-budget mapInPandas shape as the image pass; non-WAV and
+    undecodable rows surface NULL features rather than failing the batch."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
+            cols = ("channels", "sample_rate", "bits", "n_frames",
+                    "duration_ms", "abs_sum", "peak", "pcm_sha256")
+            acc = 0
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = [None] * len(cols)
+                if blob is not None and bytes(blob[:4]) == b"RIFF":
+                    try:
+                        d = decode_wav(bytes(blob))
+                        row = [d[k] for k in cols]
+                    except ValueError:
+                        pass  # undecodable -> NULL features
+                out["media_id"].append(mid)
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+                acc += len(blob) if blob is not None else 0
+                if acc >= batch_bytes:
+                    yield pd.DataFrame(out)
+                    out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
+                    acc = 0
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(_feats, AUDIO_FEATURES_SCHEMA)
+
+
 def _try_decode_pixels(data: bytes) -> dict | None:
     """Real pixel decode where a stdlib codec exists (PNG, 24-bit BMP,
     GIF); None for other formats or undecodable bytes."""
@@ -756,9 +971,14 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             )
             body = encode_bmp(w, h, px, channels=3)
         elif i % 5 == 3:
-            body = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
+            n = 160 + i * 5
+            body = encode_wav(
+                bytes(((j * 7 + i) % 256) for j in range(n)), rate=8000, channels=1, bits=8
+            )
         else:
-            body = b"\x00\x00\x00\x18ftypmp42"
+            body = encode_mp4_stub(
+                320 + i % 64, 180 + i % 36, duration_ticks=600 + i * 30, timescale=600
+            )
         body += bytes(rng.randrange(256) for _ in range(rng.randrange(64, 256)))
         rows.append((i, kind, body, None, len(body)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -582,3 +582,57 @@ def test_connected_components_multi_hop(spark):
         50: 7, 7: 7, 8: 7, 9: 7,
         100: 100, 101: 100,
     }
+
+
+def test_wav_codec_roundtrip_and_bounds():
+    """decode_wav parses real RIFF containers: 8- and 16-bit PCM
+    round-trip, the RIFF size field bounds the walk (trailing noise
+    ignored), and non-PCM is a data error."""
+    import struct as st
+
+    s8 = bytes((j * 7 + 3) % 256 for j in range(500))
+    blob = MM.encode_wav(s8, rate=8000, channels=1, bits=8)
+    d = MM.decode_wav(blob + b"\xde\xad" * 20)  # trailing garbage
+    assert (d["channels"], d["sample_rate"], d["bits"], d["n_frames"]) == (1, 8000, 8, 500)
+    assert d["abs_sum"] == sum(abs(b - 128) for b in s8)
+    assert d["peak"] == max(abs(b - 128) for b in s8)
+    assert d["duration_ms"] == 500 * 1000 // 8000
+
+    s16 = [(j * 997 - 16000) % 65536 - 32768 for j in range(300)]
+    d2 = MM.decode_wav(MM.encode_wav(s16, rate=44100, channels=2, bits=16))
+    assert (d2["channels"], d2["bits"], d2["n_frames"]) == (2, 16, 150)
+    assert d2["abs_sum"] == sum(abs(v) for v in s16)
+
+    bad = bytearray(blob)
+    st.pack_into("<H", bad, 20, 3)  # audio_format = IEEE float
+    with pytest.raises(ValueError):
+        MM.decode_wav(bytes(bad))
+
+
+def test_mp4_probe_roundtrip():
+    blob = MM.encode_mp4_stub(640, 360, duration_ticks=1500, timescale=600)
+    m = MM.probe_mp4(blob + b"junk after the last box")
+    assert m["brand"] == "mp42"
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["timescale"] == 600 and m["duration_ms"] == 1500 * 1000 // 600
+    assert m["n_tracks"] == 1
+    with pytest.raises(ValueError):
+        MM.probe_mp4(b"\x00\x00\x00\x18mdat" + b"\x00" * 16)  # no ftyp
+    with pytest.raises(ValueError):
+        MM.probe_mp4(blob[:20])  # ftyp only, no moov
+
+
+def test_decode_audio_features_on_real_bytes(spark):
+    media = MM.synth_media(spark, 20)
+    feats = {r.media_id: r for r in MM.decode_audio_features(media).collect()}
+    assert len(feats) == 20
+    blobs = {r.media_id: bytes(r.content) for r in media.collect()}
+    for i in range(20):
+        if i % 5 == 3:
+            d = MM.decode_wav(blobs[i])
+            r = feats[i]
+            assert (r.channels, r.sample_rate, r.bits) == (1, 8000, 8)
+            assert r.n_frames == 160 + i * 5
+            assert r.abs_sum == d["abs_sum"] and r.pcm_sha256 == d["pcm_sha256"]
+        else:
+            assert feats[i].channels is None and feats[i].pcm_sha256 is None
