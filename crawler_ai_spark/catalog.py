@@ -4899,8 +4899,10 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     container blobs (PNG/GIF/BMP/WAV/MP4 headers + padding) built from
     doc_id, then mime sniff + header-dimension extraction through the
     byte-budget mapInPandas plumbing (pipeline/multimodal.py). Codec-free
-    by design — media_decode_features below gates the REAL (stdlib) PNG
-    pixel decode; non-PNG pixel decode remains the documented stub."""
+    by design — the REAL stdlib decodes are gated separately:
+    media_decode_features (PNG+BMP pixels), media_audio_features (PCM
+    WAV), media_video_meta (MP4 box walk); JPEG pixel decode remains the
+    one documented codec-bound stub."""
     import struct
 
     import pandas as pd
@@ -5236,3 +5238,50 @@ def q_media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width int, height int, n_tracks int",
     )
     return out.orderBy("doc_id")
+
+
+def _lm_score_oracle() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+uni AS (
+  SELECT u.tok AS tok, count(*) AS c1
+  FROM toksed, unnest(toks) AS u(tok)
+  GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uni),
+bi AS (
+  SELECT t.doc_id, t.toks[CAST(r.i AS INT)] AS w1, t.toks[CAST(r.i AS INT) + 1] AS w2
+  FROM toksed t, unnest(range(1, greatest(len(t.toks), 1))) AS r(i)
+  WHERE len(t.toks) >= 2
+),
+bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         round(avg(log2((bc.c12 + 1.0) / (u.c1 + 1.0 * v.v))), 4) AS lm_score
+  FROM bi b
+  JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uni u ON u.tok = b.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.lm_score
+FROM documents d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("doc_lm_score", oracle=_lm_score_oracle())
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (pipeline/corpus.lm_bigram_score):
+    an add-1-smoothed bigram LM trained on the corpus itself, in-plan,
+    scoring every doc by mean log2 p(w2|w1). The DuckDB oracle re-derives
+    the whole model (counts, vocabulary, smoothing, log-mean) from the
+    same guarded tokenizer — engine-grade float parity at round(4)."""
+    from crawler_ai_spark.pipeline.corpus import lm_bigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_bigram_score(docs).orderBy("doc_id")

@@ -690,3 +690,82 @@ def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame
         "doc_id",
         "shuffle_key",
     )
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text", k: float = 1.0) -> DataFrame:
+    """CCNet-style corpus-LM quality signal (Wenzek et al. 2019 score by
+    LM perplexity; here the LM is an add-k-smoothed bigram model trained
+    on the corpus ITSELF, in the same plan): every doc gets the mean
+    log2 p(w2|w1) over its token bigrams, where
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V).
+
+    Gibberish, boilerplate-free OCR noise and wrong-language docs score
+    far below fluent in-distribution text — the standard curation cut.
+
+    Scale shape: unigram and bigram count tables are one partial-agg
+    shuffle each on the token/bigram key; each doc's bigrams then join
+    the count tables on those same keys (plain shuffle joins — at web
+    scale the count tables dwarf the broadcast threshold, and AQE picks
+    broadcast automatically when they don't); V rides in as a one-row
+    broadcast. No driver collect, no window.
+    """
+    t = F.col(text_col)
+    n_tok = F.when(F.length(norm_text(t)) == 0, F.lit(0)).otherwise(F.size(_toks(t)))
+    base = docs.select(
+        "doc_id",
+        F.when(n_tok > 0, _toks(t)).otherwise(F.array().cast("array<string>")).alias("toks"),
+    )
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bi = base.select(
+        "doc_id", F.explode(bigram_windows_from_toks(F.col("toks"))).alias("bg")
+    ).select(
+        "doc_id",
+        F.col("bg"),
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+    )
+    bic = bi.groupBy("bg").agg(F.count("*").alias("c12"))
+    scored = (
+        bi.join(bic, "bg")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log2(
+                        (F.col("c12") + F.lit(k))
+                        / (F.col("c1") + F.lit(k) * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "lm_score",
+        )
+    )
+
+
+def bigram_windows_from_toks(toks: Column) -> Column:
+    """bigram_windows, but over an already-materialized token array (the
+    LM scorer reuses one tokenization for unigrams and bigrams)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

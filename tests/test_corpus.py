@@ -333,3 +333,38 @@ def test_pack_presplit_bitwise_matches_single_window(zipf_docs):
             map(tuple, CP.pack_windows(zipf_docs, window=16, sub_shard_docs=stride).collect())
         )
         assert got_win == want_win, f"windows diverged at stride {stride}"
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Add-1 bigram LM on a 3-doc corpus, verified against a by-hand
+    model: fluent repeated phrasing scores above a gibberish doc, and the
+    numbers equal the closed-form counts."""
+    import math
+
+    from crawler_ai_spark.pipeline.corpus import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "zq xv"),
+            (3, "   "),  # blank -> 0 bigrams, NULL score
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    # corpus tokens: the(2) cat(2) sat(1) ran(1) zq(1) xv(1) -> V = 6
+    # bigrams: (the,cat) x2, (cat,sat), (cat,ran), (zq,xv)
+    v = 6
+
+    def p(c12, c1):
+        return (c12 + 1) / (c1 + v)
+
+    d0 = (math.log2(p(2, 2)) + math.log2(p(1, 2))) / 2
+    d2 = math.log2(p(1, 1))
+    assert got[0].n_bigrams == 2 and abs(got[0].lm_score - round(d0, 4)) < 1e-9
+    assert got[1].n_bigrams == 2 and got[1].lm_score == got[0].lm_score
+    assert got[2].n_bigrams == 1 and abs(got[2].lm_score - round(d2, 4)) < 1e-9
+    assert got[3].n_bigrams == 0 and got[3].lm_score is None
+    # the curation property: in-distribution text outscores one-off junk
+    assert got[0].lm_score > got[2].lm_score
