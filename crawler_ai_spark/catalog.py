@@ -5285,3 +5285,82 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return lm_bigram_score(docs).orderBy("doc_id")
+
+
+@_register(
+    "media_resize_features",
+    # the oracle predicts the RESIZED pixel sum arithmetically: nearest-
+    # neighbor maps dst (x,y) to src (x*w//4, y*h//3), and the source
+    # gradient is (sx*7 + sy*13 + c*29 + doc_id) % 256 — so the sampled
+    # sum is a pure integer function of doc_id. Containers alternate
+    # PNG/BMP by parity like media_decode_features.
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         (((ux.x * g.w) // 4) * 7 + ((uy.y * g.h) // 3) * 13 + uc.c * 29
+          + g.doc_id) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, 3)) AS ux(x),
+       unnest(generate_series(0, 2)) AS uy(y),
+       unnest(generate_series(0, 2)) AS uc(c)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS src_width,
+       CAST(h AS INT) AS src_height,
+       CAST(4 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(36 AS BIGINT) AS n_pix
+FROM px GROUP BY doc_id, w, h
+ORDER BY doc_id
+""",
+)
+def q_media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the whole binary path: the same gradient
+    PNG/BMP containers as media_decode_features, pixel-decoded and
+    nearest-neighbor-resampled to 4x3 by resize_images (which also
+    re-encodes the thumbnail as a PNG binary column). The oracle
+    re-derives the sampled pixel sum from the resample arithmetic alone
+    — wrong sampling coordinates, channel order, or a byte lost in the
+    decode→resize→stats chain all diverge the hash."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.pipeline.multimodal import (
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    def _blob(s):
+        out = []
+        for d in s:
+            d = int(d)
+            w, h = 8 + d % 16, 6 + d % 12
+            px = bytes(
+                ((x * 7 + y * 13 + c * 29 + d) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            enc = encode_png if d % 2 == 0 else encode_bmp
+            out.append(enc(w, h, px, channels=3))
+        return pd.Series(out)
+
+    _blob.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    blob_udf = pandas_udf(_blob, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), blob_udf(F.col("doc_id")).alias("content")
+    )
+    resized = resize_images(media, dst_w=4, dst_h=3)
+    return resized.select(
+        F.col("media_id").alias("doc_id"),
+        "src_width", "src_height", "width", "height", "channels",
+        "pixel_sum", "n_pix",
+    ).orderBy("doc_id")

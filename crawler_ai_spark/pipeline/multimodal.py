@@ -908,6 +908,87 @@ def decode_image_features(media: DataFrame, batch_bytes: int = 64 << 20) -> Data
     return media.mapInPandas(_feats, IMAGE_FEATURES_SCHEMA)
 
 
+def nearest_resize(pixels: bytes, sw: int, sh: int, channels: int, dw: int, dh: int) -> bytes:
+    """Nearest-neighbor resample (the thumbnail/normalize step a training
+    pipeline runs before feature extraction): dst (x,y) samples src
+    (floor(x·sw/dw), floor(y·sh/dh))."""
+    if dw <= 0 or dh <= 0:
+        raise ValueError("bad target geometry")
+    out = bytearray(dw * dh * channels)
+    for y in range(dh):
+        sy = y * sh // dh
+        src_row = sy * sw * channels
+        dst_row = y * dw * channels
+        for x in range(dw):
+            sx = x * sw // dw
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("pixel_sum", LongType()),
+        StructField("n_pix", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, dst_w: int, dst_h: int,
+                  batch_bytes: int = 64 << 20) -> DataFrame:
+    """Real image RESIZE pass: decode (PNG/BMP/GIF, stdlib codecs) →
+    nearest-neighbor resample to (dst_w, dst_h) → re-encode as PNG, with
+    exact integer pixel sums for oracle-grade verification. Gray stays
+    1-channel; palette/GIF expand to RGB; RGBA keeps alpha. Undecodable
+    rows surface NULL content rather than failing the batch. Same
+    byte-budget Arrow framing as the other media passes."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZED_SCHEMA.fields}
+            acc = 0
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                vals = [None] * (len(RESIZED_SCHEMA.fields) - 1)
+                if blob is not None:
+                    d = _try_decode_pixels(bytes(blob))
+                    if d is not None:
+                        px = nearest_resize(
+                            d["pixels"], d["width"], d["height"],
+                            d["channels"], dst_w, dst_h,
+                        )
+                        # gray+alpha (2ch) has no PNG writer form here:
+                        # stats still emit, content stays NULL
+                        enc = (
+                            encode_png(dst_w, dst_h, px, channels=d["channels"])
+                            if d["channels"] in (1, 3, 4)
+                            else None
+                        )
+                        vals = [
+                            d["width"], d["height"], dst_w, dst_h, d["channels"],
+                            enc, sum(px), len(px),
+                        ]
+                out["media_id"].append(mid)
+                for f, v in zip([f.name for f in RESIZED_SCHEMA.fields][1:], vals):
+                    out[f].append(v)
+                acc += len(blob) if blob is not None else 0
+                if acc >= batch_bytes:
+                    yield pd.DataFrame(out)
+                    out = {f.name: [] for f in RESIZED_SCHEMA.fields}
+                    acc = 0
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def repartition_by_bytes(media: DataFrame, target_bytes: int = 256 << 20,
                          total_bytes: int | None = None) -> DataFrame:
     """Byte-budget repartition: ranges by cumulative size, not row count.

@@ -124,3 +124,34 @@ def test_job_urls_match_and_nonempty(golden, spark_run):
     expected = set(map(tuple, golden["job_urls"]))
     assert expected, "golden simulator found no job URLs — fixtures regressed"
     assert got == expected
+
+
+def test_crawl_invariant_under_parallelism(spark, fixture_root, corpus, spark_run, tmp_path_factory):
+    """North-rule determinism across cluster sizes, asserted at LOOP level:
+    the same crawl at parallelism 2 (the N stand-in) produces every store
+    table bit-identically to the parallelism-8 run (4N). The golden-sim
+    equivalence pins semantics; this pins that no window, dedup
+    tie-break, or politeness rank leaks partition count into results."""
+    pages, seeds = corpus
+    pages_df = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F.col("url").endswith(".xml")
+    )
+    seeds_df = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    root2 = tmp_path_factory.mktemp("crawl_par2")
+    sum2 = run_crawl(
+        spark, pages_df, seeds_df, root2, CrawlConfig(max_batches=MAX_BATCHES, parallelism=2)
+    )
+    store8, sum8 = spark_run
+    assert sum2["last_batch"] == sum8["last_batch"]
+    store2 = CrawlStore(spark, root2)
+    for table in ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "seed_state"):
+        da = store8.read_all(table, sum8["last_batch"])
+        cols = sorted(da.columns)
+        a = {tuple(str(v) for v in r) for r in da.select(*cols).collect()}
+        b = {
+            tuple(str(v) for v in r)
+            for r in store2.read_all(table, sum2["last_batch"]).select(*cols).collect()
+        }
+        assert a == b, f"table {table} differs between parallelism 2 and 8"

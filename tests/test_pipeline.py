@@ -636,3 +636,35 @@ def test_decode_audio_features_on_real_bytes(spark):
             assert r.abs_sum == d["abs_sum"] and r.pcm_sha256 == d["pcm_sha256"]
         else:
             assert feats[i].channels is None and feats[i].pcm_sha256 is None
+
+
+def test_nearest_resize_hand_checked():
+    # 4x2 RGB source, downsample to 2x1: dst (x,y) samples (x*4//2, y*2//1)
+    src = bytes(range(24))
+    out = MM.nearest_resize(src, 4, 2, 3, 2, 1)
+    assert out == src[0:3] + src[6:9]
+    # upsample 1x1 -> 3x2 replicates the single pixel
+    one = bytes([7, 8, 9])
+    assert MM.nearest_resize(one, 1, 1, 3, 3, 2) == one * 6
+    with pytest.raises(ValueError):
+        MM.nearest_resize(one, 1, 1, 3, 0, 2)
+
+
+def test_resize_images_roundtrip(spark):
+    """The resize pass decodes real containers, resamples, and re-encodes
+    a PNG whose pixels ARE the resampled bytes."""
+    media = MM.synth_media(spark, 15)
+    rows = {r.media_id: r for r in MM.resize_images(media, 6, 4).collect()}
+    blobs = {r.media_id: bytes(r.content) for r in media.collect()}
+    for i in range(15):
+        r = rows[i]
+        if i % 5 in (0, 1, 2):  # PNG / GIF / BMP — all real decodes
+            d = MM._try_decode_pixels(blobs[i])
+            want = MM.nearest_resize(d["pixels"], d["width"], d["height"], d["channels"], 6, 4)
+            assert (r.width, r.height) == (6, 4)
+            assert (r.src_width, r.src_height) == (d["width"], d["height"])
+            assert r.pixel_sum == sum(want) and r.n_pix == len(want)
+            back = MM.decode_png(bytes(r.content))
+            assert back["pixels"] == want
+        else:
+            assert r.content is None and r.pixel_sum is None
