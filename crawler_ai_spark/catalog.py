@@ -5364,3 +5364,56 @@ def q_media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_width", "src_height", "width", "height", "channels",
         "pixel_sum", "n_pix",
     ).orderBy("doc_id")
+
+
+@_register(
+    "robots_crawl_delay",
+    # prediction oracle (media_meta style): the bodies are synthesized
+    # from the site number, so the parsed delay and the derived per-batch
+    # budget are pure functions of n%4 — the star-group scoping (the
+    # Googlebot group's 'Crawl-delay: 1' must NOT leak into site%4==0)
+    # and the min-of-values rule (2.5 vs 7) are what the hash checks.
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+hosts AS (
+  SELECT DISTINCT host, regexp_extract(host, 'site([0-9]+)', 1)::INT % 4 AS n
+  FROM synth_urls
+)
+SELECT host,
+       CASE WHEN n = 0 THEN 10.0 WHEN n = 1 THEN 2.5 END AS crawl_delay_s,
+       CAST(CASE WHEN n = 0 THEN 360 WHEN n = 1 THEN 1440 END AS INT) AS host_budget
+FROM hosts ORDER BY host
+""",
+)
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 × W2 — robots Crawl-delay through the REAL parser into the
+    politeness arithmetic the crawl loop applies: min across the star
+    group's values, non-star groups ignored, absent → NULL (crawler's own
+    pace), and host_budget = max(1, floor(batch_interval / delay)) — the
+    per-host per-batch cap apply_host_budget enforces."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    urls = synth_urls(spark, sf_dir)
+    n = F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 4
+    body = (
+        F.when(n == 0,
+               F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /login\n"
+                     "User-agent: Googlebot\nCrawl-delay: 1\nDisallow: /all"))
+        .when(n == 1,
+              F.lit("User-agent: Bingbot\nUser-agent: *\nCrawl-delay: 2.5\n"
+                    "Disallow: /x\ncrawl-delay: 7\nUser-agent: Yandex\n"
+                    "Crawl-delay: 0.1"))
+        .when(n == 2,
+              F.lit("user-agent: *\ndisallow: /shared"))
+        .otherwise(F.lit(""))
+    )
+    robots = urls.select("host").distinct().withColumn("body", body)
+    parsed = parse_robots(robots, with_crawl_delay=True)
+    return parsed.select(
+        "host",
+        "crawl_delay_s",
+        F.when(
+            F.col("crawl_delay_s").isNotNull(),
+            F.greatest(F.lit(1), F.floor(F.lit(3600) / F.col("crawl_delay_s"))).cast("int"),
+        ).alias("host_budget"),
+    ).orderBy("host")

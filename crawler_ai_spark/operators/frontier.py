@@ -176,12 +176,22 @@ def salted_budget_rank(
     )
 
 
-def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tuple[DataFrame, DataFrame]:
+def apply_host_budget(
+    frontier: DataFrame,
+    per_host_per_batch: int | None,
+    host_budgets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """W2 politeness budget: at most N URLs per host per batch (the batch
     analogue of DOWNLOAD_DELAY=1/s — crawl rate × batch wall-time). Returns
     (scheduled, deferred); deferred rows re-enter the next batch's frontier
-    unchanged, preserving their discovered_seq (so ordering is stable)."""
-    if per_host_per_batch is None:
+    unchanged, preserving their discovered_seq (so ordering is stable).
+
+    ``host_budgets`` (host, host_budget INT — typically derived from
+    robots Crawl-delay: interval ÷ delay) tightens the cap per host via a
+    broadcast join: effective budget = least(global, host's own); a host
+    with neither is unlimited. NULL-safe: `least` ignores NULLs and rows
+    with no budget at all are always scheduled."""
+    if per_host_per_batch is None and host_budgets is None:
         return frontier, frontier.limit(0)
     # (url, seed_url) is the unique final tie-break: discovered_seq is a
     # PER-SEED ordinal, so two seeds sharing a host can tie on (priority,
@@ -200,13 +210,34 @@ def apply_host_budget(frontier: DataFrame, per_host_per_batch: int | None) -> tu
     # salt alone, so its host-global rank exceeds the budget too — phase-1
     # losers are provably deferred, and only ≤ budget×salts survivors reach
     # the single-task-per-host phase-2 window
+    had_budget_col = False
+    if host_budgets is not None:
+        frontier = frontier.join(
+            F.broadcast(host_budgets.select("host", "host_budget")), "host", "left"
+        )
+        had_budget_col = True
+        eff = (
+            F.least(F.lit(per_host_per_batch), F.col("host_budget"))
+            if per_host_per_batch is not None
+            else F.col("host_budget")
+        )
+    else:
+        eff = F.lit(per_host_per_batch)
+
+    def keep(rank):
+        return eff.isNull() | (rank <= eff)
+
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
     w1 = Window.partitionBy("host", salt).orderBy(*order)
     r1 = frontier.withColumn("_hr1", F.row_number().over(w1))
-    survivors = r1.where(F.col("_hr1") <= per_host_per_batch).drop("_hr1")
-    lost1 = r1.where(F.col("_hr1") > per_host_per_batch).drop("_hr1")
+    survivors = r1.where(keep(F.col("_hr1"))).drop("_hr1")
+    lost1 = r1.where(~keep(F.col("_hr1"))).drop("_hr1")
     w2 = Window.partitionBy("host").orderBy(*order)
     r2 = survivors.withColumn("_hr2", F.row_number().over(w2))
-    scheduled = r2.where(F.col("_hr2") <= per_host_per_batch).drop("_hr2")
-    lost2 = r2.where(F.col("_hr2") > per_host_per_batch).drop("_hr2")
+    scheduled = r2.where(keep(F.col("_hr2"))).drop("_hr2")
+    lost2 = r2.where(~keep(F.col("_hr2"))).drop("_hr2")
+    if had_budget_col:
+        scheduled = scheduled.drop("host_budget")
+        lost1 = lost1.drop("host_budget")
+        lost2 = lost2.drop("host_budget")
     return scheduled, lost1.unionByName(lost2)

@@ -642,6 +642,27 @@ def run_crawl(
 
     import math
 
+    # W3 × W2 — robots Crawl-delay as a per-host batch cap: a host asking
+    # for d seconds between fetches gets at most interval/d fetches per
+    # batch (one batch ≙ batch_interval_seconds of wall time; same logical
+    # clock the TTL recrawl uses). Tiny table, broadcast by the budget op.
+    crawl_delay_budgets = None
+    if host_rules is not None and "crawl_delay_s" in host_rules.columns:
+        crawl_delay_budgets = (
+            host_rules.where(
+                F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0)
+            )
+            .select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cfg.batch_interval_seconds) / F.col("crawl_delay_s")),
+                )
+                .cast("int")
+                .alias("host_budget"),
+            )
+        )
+
     ttl_batches = None
     cache_filter = None
     if cfg.recrawl_ttl_seconds is not None:
@@ -697,7 +718,9 @@ def run_crawl(
         seen = store.read_all("seen_delta", prev)
 
         frontier = FR.apply_robots(frontier, host_rules)
-        frontier, deferred = FR.apply_host_budget(frontier, cfg.host_budget_per_batch)
+        frontier, deferred = FR.apply_host_budget(
+            frontier, cfg.host_budget_per_batch, host_budgets=crawl_delay_budgets
+        )
 
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()

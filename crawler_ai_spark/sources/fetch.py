@@ -175,6 +175,11 @@ class FetchConfig:
         default_factory=SyntheticTransport
     )
     per_host_delay_ms: int = 500
+    # robots Crawl-delay overrides, host → slot width ms (e.g.
+    # {h: int(d*1000) for h, d in parse_robots(..., with_crawl_delay=True)};
+    # hosts absent here use per_host_delay_ms). A dict, not a DataFrame:
+    # it rides into the Arrow workers via closure, sized like host_rules.
+    host_delays_ms: dict[str, int] | None = None
     host_partitions: int | None = None  # default: defaultParallelism * 2
     enforce_pacing: bool = False  # live mode sleeps; planning mode only books
     max_body_bytes: int = 2 << 20  # truncate pathological bodies (per row)
@@ -214,6 +219,7 @@ def fetch_pages(
     n_parts = cfg.host_partitions or spark.sparkContext.defaultParallelism * 2
     transport = cfg.transport
     delay_ms = cfg.per_host_delay_ms
+    host_delays = cfg.host_delays_ms or {}
     enforce = cfg.enforce_pacing
     max_body = cfg.max_body_bytes
     budget = cfg.batch_budget_bytes
@@ -250,7 +256,7 @@ def fetch_pages(
                 key = _url_key(url)
                 ua_idx = key % len(USER_AGENTS)
                 offset = next_slot.get(host, 0)
-                next_slot[host] = offset + delay_ms
+                next_slot[host] = offset + host_delays.get(host, delay_ms)
                 if enforce:  # pragma: no cover - live mode only
                     lag = offset / 1000.0 - (time.perf_counter() - t_start)
                     if lag > 0:

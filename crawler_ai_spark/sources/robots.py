@@ -4,9 +4,12 @@ disallow_prefixes) for operators/frontier.apply_robots.
 The reference DISOBEYS robots (ROBOTSTXT_OBEY=False, crawler_ai/
 settings.py:9), so there is no parity target; this implements the
 standard subset the gate consumes: ``User-agent`` groups and their
-``Disallow`` prefixes, taking the union of the ``*`` group(s). Allow
-lines, crawl-delay, and wildcards inside paths are out of scope for the
-prefix gate (a prefix match is what apply_robots implements).
+``Disallow`` prefixes, taking the union of the ``*`` group(s), plus the
+non-standard-but-ubiquitous ``Crawl-delay`` (min across the ``*``
+group's values; consumed by the politeness budget as a per-host
+fetches-per-batch cap and by the live fetch stage as the slot width).
+Allow lines and wildcards inside paths are out of scope for the prefix
+gate (a prefix match is what apply_robots implements).
 
 JVM-side: one regexp_extract_all per body picks the "User-agent: *"
 groups, a second picks their Disallow values — no Python in the path."""
@@ -32,15 +35,35 @@ _STAR_GROUP_RX = (
 # would cross the newline of an empty "Disallow:" line and capture the
 # NEXT line's text as the value (found by the hypothesis property test)
 _DISALLOW_RX = r"(?im)^[^\S\n]*disallow:[^\S\n]*(\S*)[^\S\n]*$"
+# digits only after the colon (same line-local whitespace discipline);
+# fractional seconds allowed (seen in the wild), negative/garbage ignored
+_CRAWL_DELAY_RX = r"(?im)^[^\S\n]*crawl-delay:[^\S\n]*([0-9]+(?:\.[0-9]+)?)[^\S\n]*$"
 
 
-def parse_robots(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
-    """(host, body) → (host, disallow_prefixes ARRAY<STRING>).
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    with_crawl_delay: bool = False,
+) -> DataFrame:
+    """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
+    crawl_delay_s DOUBLE]).
 
     Empty ``Disallow:`` lines (allow-all markers) are dropped; hosts whose
-    ``*`` group disallows nothing come back with an empty array."""
+    ``*`` group disallows nothing come back with an empty array. With
+    ``with_crawl_delay``, the minimum valid ``Crawl-delay`` across the
+    ``*`` group(s) is emitted (NULL when absent — crawler picks its own
+    pace)."""
     groups = F.regexp_extract_all(F.col(body_col), F.lit(_STAR_GROUP_RX), F.lit(1))
     star_text = F.concat_ws("\n", groups)
     prefixes = F.regexp_extract_all(star_text, F.lit(_DISALLOW_RX), F.lit(1))
     cleaned = F.array_distinct(F.filter(prefixes, lambda p: p != ""))
-    return robots.select(F.col(host_col).alias("host"), cleaned.alias("disallow_prefixes"))
+    cols = [F.col(host_col).alias("host"), cleaned.alias("disallow_prefixes")]
+    if with_crawl_delay:
+        delays = F.regexp_extract_all(star_text, F.lit(_CRAWL_DELAY_RX), F.lit(1))
+        cols.append(
+            F.array_min(F.transform(delays, lambda d: d.cast("double"))).alias(
+                "crawl_delay_s"
+            )
+        )
+    return robots.select(*cols)
