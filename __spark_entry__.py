@@ -41,7 +41,7 @@ _NEVER_SAMPLED_R12 = [
     # new in round 3 — never sampled by definition
     "emb_ann_recall", "media_decode_features", "live_fetch_stage",
     "media_audio_features", "media_video_meta", "doc_lm_score",
-    "media_resize_features", "robots_crawl_delay",
+    "media_resize_features", "robots_crawl_delay", "robots_allow_gate",
 ]
 
 

@@ -5417,3 +5417,52 @@ def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(1), F.floor(F.lit(3600) / F.col("crawl_delay_s"))).cast("int"),
         ).alias("host_budget"),
     ).orderBy("host")
+
+
+@_register(
+    "robots_allow_gate",
+    # RFC 9309 longest-match precedence re-derived as explicit CASE logic
+    # per rule group (the rules are fixed, so the SQL can expand the
+    # aggregate): site%3==0 disallows /careers but allows the LONGER
+    # /careers/apply (specific allow beats general disallow); %3==1
+    # disallows and allows /login at EQUAL length (tie -> least
+    # restrictive wins, nothing blocked); %3==2 is disallow-only.
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+f AS (
+  SELECT doc_id, host, url,
+         split_part(path, '?', 1) AS p,
+         regexp_extract(host, 'site([0-9]+)', 1)::INT % 3 AS n
+  FROM synth_urls
+)
+SELECT doc_id, host, url
+FROM f
+WHERE NOT (
+      (n = 0 AND starts_with(p, '/careers') AND NOT starts_with(p, '/careers/apply'))
+   OR (n = 2 AND (starts_with(p, '/news/') OR starts_with(p, '/jobs/')))
+)
+ORDER BY doc_id
+""",
+)
+def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — RFC 9309 Allow lines with longest-match precedence, through
+    the REAL parser + gate: bodies carry Allow/Disallow pairs, parse_robots
+    (with_allow=True) extracts both prefix sets, and apply_robots picks
+    the most specific matching rule per URL (ties -> allow) in one JVM
+    aggregate over the broadcast rule arrays."""
+    from crawler_ai_spark.operators.frontier import apply_robots
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    urls = synth_urls(spark, sf_dir)
+    n = F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 3
+    body = (
+        F.when(n == 0,
+               F.lit("User-agent: *\nDisallow: /careers\nAllow: /careers/apply"))
+        .when(n == 1, F.lit("User-agent: *\nDisallow: /login\nAllow: /login"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /news/\nDisallow: /jobs/"))
+    )
+    rules = parse_robots(
+        urls.select("host").distinct().withColumn("body", body), with_allow=True
+    )
+    frontier = urls.select("doc_id", "host", "url")
+    return apply_robots(frontier, rules).orderBy("doc_id")

@@ -25,7 +25,7 @@ Scale shape (what the plan compiles to):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_ai_spark import constants as K
@@ -122,21 +122,42 @@ def with_url_hash(df: DataFrame, url_col: str = "child_url") -> DataFrame:
 
 
 def apply_robots(frontier: DataFrame, host_rules: DataFrame | None) -> DataFrame:
-    """W3 — robots gate: drop frontier URLs whose path starts with a
-    disallowed prefix. Broadcast join (host_rules is small). Default
-    allow-all reproduces the reference (ROBOTSTXT_OBEY=False,
-    crawler_ai/settings.py:9)."""
+    """W3 — robots gate: drop frontier URLs a host's rules disallow.
+    Broadcast join (host_rules is small). Default allow-all reproduces
+    the reference (ROBOTSTXT_OBEY=False, crawler_ai/settings.py:9).
+
+    Disallow-only rules: blocked iff any disallow prefix matches. When
+    host_rules also carries ``allow_prefixes`` (parse_robots
+    with_allow=True), RFC 9309 longest-match precedence applies: the most
+    specific matching rule wins; at equal length the least restrictive
+    (allow) wins — all in one JVM aggregate over the prefix arrays, no
+    Python, no extra shuffle."""
     if host_rules is None:
         return frontier
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
+
+    def longest_match(arr: Column) -> Column:
+        return F.aggregate(
+            F.filter(F.coalesce(arr, F.array()), lambda p: path.startswith(p)),
+            F.lit(-1),
+            lambda acc, p: F.greatest(acc, F.length(p)),
+        )
+
+    rule_cols = ["host", "disallow_prefixes"]
+    if "allow_prefixes" in host_rules.columns:
+        rule_cols.append("allow_prefixes")
+        blocked = longest_match(F.col("disallow_prefixes")) > longest_match(
+            F.col("allow_prefixes")
+        )
+    else:
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
     return (
-        frontier.join(F.broadcast(host_rules.select("host", "disallow_prefixes")), "host", "left")
+        frontier.join(F.broadcast(host_rules.select(*rule_cols)), "host", "left")
         .where(~blocked)
-        .drop("disallow_prefixes")
+        .drop("disallow_prefixes", "allow_prefixes")
     )
 
 

@@ -35,6 +35,7 @@ _STAR_GROUP_RX = (
 # would cross the newline of an empty "Disallow:" line and capture the
 # NEXT line's text as the value (found by the hypothesis property test)
 _DISALLOW_RX = r"(?im)^[^\S\n]*disallow:[^\S\n]*(\S*)[^\S\n]*$"
+_ALLOW_RX = r"(?im)^[^\S\n]*allow:[^\S\n]*(\S*)[^\S\n]*$"
 # digits only after the colon (same line-local whitespace discipline);
 # fractional seconds allowed (seen in the wild), negative/garbage ignored
 _CRAWL_DELAY_RX = r"(?im)^[^\S\n]*crawl-delay:[^\S\n]*([0-9]+(?:\.[0-9]+)?)[^\S\n]*$"
@@ -45,12 +46,15 @@ def parse_robots(
     host_col: str = "host",
     body_col: str = "body",
     with_crawl_delay: bool = False,
+    with_allow: bool = False,
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
-    crawl_delay_s DOUBLE]).
+    allow_prefixes ARRAY<STRING>][, crawl_delay_s DOUBLE]).
 
     Empty ``Disallow:`` lines (allow-all markers) are dropped; hosts whose
     ``*`` group disallows nothing come back with an empty array. With
+    ``with_allow``, ``Allow`` prefixes are emitted too and apply_robots
+    switches to RFC 9309 longest-match precedence. With
     ``with_crawl_delay``, the minimum valid ``Crawl-delay`` across the
     ``*`` group(s) is emitted (NULL when absent — crawler picks its own
     pace)."""
@@ -59,6 +63,13 @@ def parse_robots(
     prefixes = F.regexp_extract_all(star_text, F.lit(_DISALLOW_RX), F.lit(1))
     cleaned = F.array_distinct(F.filter(prefixes, lambda p: p != ""))
     cols = [F.col(host_col).alias("host"), cleaned.alias("disallow_prefixes")]
+    if with_allow:
+        # (?<!dis) is unnecessary: _ALLOW_RX anchors at line start through
+        # whitespace only, so "Disallow:" lines can never match it
+        allows = F.regexp_extract_all(star_text, F.lit(_ALLOW_RX), F.lit(1))
+        cols.append(
+            F.array_distinct(F.filter(allows, lambda p: p != "")).alias("allow_prefixes")
+        )
     if with_crawl_delay:
         delays = F.regexp_extract_all(star_text, F.lit(_CRAWL_DELAY_RX), F.lit(1))
         cols.append(

@@ -127,3 +127,33 @@ def test_fetch_stage_honors_host_delays(spark):
     assert sorted(by_host["h0.example"]) == [i * 100 for i in range(10)]
     assert sorted(by_host["h1.example"]) == [i * 1000 for i in range(10)]
     assert sorted(by_host["h2.example"]) == [i * 100 for i in range(10)]
+
+
+def test_robots_allow_longest_match_precedence(spark):
+    """RFC 9309: most specific rule wins; equal length -> allow."""
+    from crawler_ai_spark.operators.frontier import apply_robots
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h", "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+                   "Disallow: /a/b/c\nAllow: /t\nDisallow: /t")],
+            ["host", "body"],
+        ),
+        with_allow=True,
+    )
+    frontier = spark.createDataFrame(
+        [("h", f"https://h{p}") for p in
+         ["/a", "/a/x", "/a/b", "/a/b/z", "/a/b/c", "/a/b/c/d", "/t", "/t/u", "/other", "/"]],
+        ["host", "url"],
+    )
+    kept = {r.url.split("https://h")[1] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"/a/b", "/a/b/z", "/t", "/t/u", "/other", "/"}, kept
+    # disallow-only rules keep the old exists() semantics
+    rules2 = parse_robots(
+        spark.createDataFrame([("h", "User-agent: *\nDisallow: /a")], ["host", "body"])
+    )
+    kept2 = {r.url.split("https://h")[1] for r in apply_robots(frontier, rules2).collect()}
+    assert kept2 == {"/t", "/t/u", "/other", "/"}
+    # a host with no rules row at all is unrestricted in both modes
+    f2 = frontier.withColumn("host", F.lit("unknown.example"))
+    assert apply_robots(f2, rules).count() == 10
