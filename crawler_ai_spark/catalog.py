@@ -3286,7 +3286,9 @@ feat AS (
 SELECT doc_id, title,
        {level_case} AS level,
        {cat_case} AS category,
-       list_sort(list_distinct(list_filter([{tech_list}], t -> contains(blow, t)))) AS technologies
+       array_to_string(
+         list_sort(list_distinct(list_filter([{tech_list}], t -> contains(blow, t)))),
+         '|') AS technologies
 FROM feat ORDER BY doc_id
 """
 
@@ -3310,11 +3312,16 @@ def q_job_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cards = docs.select(
         "doc_id", F.expr(_TITLE_CASE_SQL).alias("title"), body.alias("body")
     )
+    # The underlying expr keeps its ARRAY type (the crawl loop consumes it);
+    # the catalog projection serializes to '|'-joined text so the driver's
+    # hash canonicalizer (which cannot sort list cells) can compare rows.
     return cards.select(
         "doc_id", "title",
         job_level_expr(F.col("title")).alias("level"),
         job_category_expr(F.col("title")).alias("category"),
-        technologies_expr(F.col("body")).alias("technologies"),
+        F.concat_ws("|", F.array_sort(technologies_expr(F.col("body")))).alias(
+            "technologies"
+        ),
     ).orderBy("doc_id")
 
 
@@ -3547,8 +3554,10 @@ prefixes AS (
   WHERE p <> ''
 )
 SELECT bodies.host,
-       coalesce(list_sort(list_distinct(list(p) FILTER (WHERE p IS NOT NULL))),
-                []) AS disallow_prefixes
+       coalesce(array_to_string(
+         coalesce(list_sort(list_distinct(list(p) FILTER (WHERE p IS NOT NULL))),
+                  []),
+         '|'), '') AS disallow_prefixes
 FROM bodies LEFT JOIN prefixes ON bodies.host = prefixes.host
 GROUP BY bodies.host ORDER BY bodies.host
 """,
@@ -3574,9 +3583,17 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     robots = urls.select("host").distinct().withColumn("body", body)
+    # parse_robots keeps the ARRAY shape for the frontier gate; the catalog
+    # projection joins to '|'-separated text so the external driver's hash
+    # canonicalizer (pandas sort over cells) can handle the column.
     return (
         parse_robots(robots)
-        .select("host", F.array_sort("disallow_prefixes").alias("disallow_prefixes"))
+        .select(
+            "host",
+            F.array_join(F.array_sort("disallow_prefixes"), "|").alias(
+                "disallow_prefixes"
+            ),
+        )
         .orderBy("host")
     )
 
