@@ -443,3 +443,41 @@ class CuckooFilter:
                 row[hit[0]] = 0
                 return True
         return False
+
+    # -- blob form (executor-sharded state, operators/cachefilter.py) ------
+
+    def to_bytes(self) -> bytes:
+        """The table as an opaque blob; shape is recoverable (slots fixed,
+        row count = len/ (2*BUCKET_SLOTS)), mirroring the bloom blobs."""
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        arr = (
+            np.frombuffer(blob, dtype=np.uint16)
+            .reshape(-1, cls.BUCKET_SLOTS)
+            .copy()  # frombuffer is read-only; the filter mutates
+        )
+        cf = cls.__new__(cls)
+        cf.n_buckets = arr.shape[0]
+        cf.table = arr
+        # fresh kick-RNG: every blob update round starts from bytes, so a
+        # resumed run replays the identical (reset-rng, sorted-keys) update
+        # sequence as the uninterrupted one — blob bytes stay bit-identical
+        cf._rng_state = np.uint64(0x2545F4914F6CDD1D)
+        return cf
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership for an int64 key array — must agree with
+        the scalar contains() bit-for-bit (same splitmix64 double-hash)."""
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        u = keys.astype(np.int64).view(np.uint64)
+        fp = (_splitmix64(u) & np.uint64(0xFFFF)).astype(np.uint64)
+        fp[fp == 0] = 1
+        i1 = _splitmix64(u ^ np.uint64(0xABCDEF)) % np.uint64(self.n_buckets)
+        i2 = (i1 ^ _splitmix64(fp)) % np.uint64(self.n_buckets)
+        fps = fp.astype(np.uint16)[:, None]
+        return (self.table[i1.astype(np.int64)] == fps).any(axis=1) | (
+            self.table[i2.astype(np.int64)] == fps
+        ).any(axis=1)

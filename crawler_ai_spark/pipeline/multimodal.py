@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via mapInPandas in fixed-size Arrow batches.
 
-PNG, 24-bit-BMP and GIF pixel decode are REAL — pure-stdlib codecs below
-handle PNG's 8-bit non-interlaced critical path (gray/RGB/palette/RGBA,
-all five row filters, zlib inflate), BMP's uncompressed BI_RGB path
-(padding, bottom-up/top-down, BGR swap), and GIF87a/89a first-frame
-decode (full variable-width LZW with dictionary reset, local/global
-palettes, 4-pass deinterlace), so `decode_image_features` produces true
-dimensions, channel counts, pixel means and pixel hashes with no PIL in
-the container. JPEG pixel decode still needs a codec this sandbox lacks
-(`_decode_image` raises NotImplementedError unless ``fake=True``
-substitutes a deterministic header-parse). Everything AROUND decode is
+PNG, 24-bit-BMP, GIF and baseline JPEG pixel decode are REAL —
+pure-stdlib codecs handle PNG's 8-bit non-interlaced critical path
+(gray/RGB/palette/RGBA, all five row filters, zlib inflate), BMP's
+uncompressed BI_RGB path (padding, bottom-up/top-down, BGR swap),
+GIF87a/89a first-frame decode (full variable-width LZW with dictionary
+reset, local/global palettes, 4-pass deinterlace), and baseline-
+sequential JPEG (pipeline/jpegcodec.py: stream-read Huffman tables,
+restart intervals, 4:2:0/4:2:2/4:4:4, numpy IDCT, JFIF YCbCr→RGB), so
+`decode_image_features` produces true dimensions, channel counts, pixel
+means and pixel hashes with no PIL in the container. Only codec-less
+formats (WebP/TIFF/AVIF) and progressive JPEG need ``fake=True``'s
+deterministic header-parse stand-in. Everything AROUND decode is
 real and tested either way: the schema contract, the Arrow batch shape,
 partition sizing by byte budget, and codec-free metadata extraction
 (magic-number sniffing, container dimensions from headers).
@@ -771,7 +773,7 @@ def decode_audio_features(media: DataFrame, batch_bytes: int = 64 << 20) -> Data
 
 def _try_decode_pixels(data: bytes) -> dict | None:
     """Real pixel decode where a stdlib codec exists (PNG, 24-bit BMP,
-    GIF); None for other formats or undecodable bytes."""
+    GIF, baseline JPEG); None for other formats or undecodable bytes."""
     try:
         if data.startswith(_PNG_SIG):
             return decode_png(data)
@@ -779,25 +781,34 @@ def _try_decode_pixels(data: bytes) -> dict | None:
             return decode_bmp(data)
         if data.startswith((b"GIF87a", b"GIF89a")):
             return decode_gif(data)
+        if data.startswith(b"\xff\xd8"):
+            from crawler_ai_spark.pipeline.jpegcodec import decode_jpeg
+
+            return decode_jpeg(data)
     except ValueError:
         return None
     return None
 
 
 def _decode_image(data: bytes, fake: bool = False):
-    """Pixel decode. PNG, 24-bit BMP and GIF decode FOR REAL via the
-    stdlib codecs above (no PIL needed — incl. full LZW for GIF); JPEG
-    still requires a codec this container lacks — for it, ``fake=True``
-    returns a deterministic stand-in (dimensions from the header, mean
-    'pixel' = byte mean) so downstream plumbing — feature vectors, resize
-    bookkeeping, batch shapes — is exercised for real. A deployment with
-    PIL replaces only this function."""
+    """Pixel decode. PNG, 24-bit BMP, GIF and baseline-sequential JPEG
+    decode FOR REAL via the stdlib codecs (no PIL needed — full LZW for
+    GIF, full Huffman+IDCT for JPEG in pipeline/jpegcodec.py). For the
+    formats with no codec here (WebP/TIFF/AVIF, progressive JPEG),
+    ``fake=True`` returns a deterministic stand-in (dimensions from the
+    header, mean 'pixel' = byte mean) so downstream plumbing — feature
+    vectors, resize bookkeeping, batch shapes — is exercised for real.
+    A deployment with PIL replaces only this function."""
     if data and data.startswith(_PNG_SIG):
         d = decode_png(data)
     elif data and data.startswith(b"BM") and not fake:
         d = decode_bmp(data)  # malformed BMP = data error, raises ValueError
     elif data and data.startswith((b"GIF87a", b"GIF89a")) and not fake:
         d = decode_gif(data)
+    elif data and data.startswith(b"\xff\xd8") and not fake:
+        from crawler_ai_spark.pipeline.jpegcodec import decode_jpeg
+
+        d = decode_jpeg(data)  # progressive/arithmetic raise ValueError
     else:
         d = None
     if d is not None:
@@ -810,9 +821,9 @@ def _decode_image(data: bytes, fake: bool = False):
         }
     if not fake:
         raise NotImplementedError(
-            "pixel decode for non-PNG/BMP/GIF formats requires an image "
-            "codec (PIL/libvips) — not in this sandbox; pass fake=True for "
-            "the deterministic stand-in"
+            "pixel decode for non-PNG/BMP/GIF/JPEG formats requires an "
+            "image codec (PIL/libvips) — not in this sandbox; pass "
+            "fake=True for the deterministic stand-in"
         )
     w, h = header_dimensions(data)
     mean_byte = (sum(data) / len(data)) if data else 0.0

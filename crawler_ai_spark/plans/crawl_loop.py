@@ -86,6 +86,12 @@ class CrawlConfig:
     # refresh rather than a new page discovery. None disables recrawl.
     recrawl_ttl_seconds: int | None = None
     batch_interval_seconds: int = 3600
+    # fixed per-bucket capacity of the sharded cache filter (operators/
+    # cachefilter.py) — like bloom_keys_per_bucket, every shard shares one
+    # table geometry so per-batch updates never resize. Size for the live-
+    # within-TTL key count per bucket at the target crawl scale; a shard
+    # overflow raises (rebuild from the ledger at higher capacity).
+    cache_keys_per_bucket: int = 8192
     # S1 LIVE-fetch mode: when set, the batch "fetch" runs through the
     # host-partitioned politeness-paced fetch stage (sources/fetch.py)
     # with this transport instead of joining the pre-fetched pages table.
@@ -109,7 +115,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -204,20 +210,30 @@ class CrawlStore:
             return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(str(self.batch_dir(batch_id) / table))
 
-    def read_all(self, table: str, through_batch: int) -> DataFrame:
+    def read_all(
+        self, table: str, through_batch: int, merge_schema: bool = False
+    ) -> DataFrame:
         """All committed appends through a batch — planned from the
         snapshot manifests (one metadata read) instead of O(batches)
         directory listings; at object-store scale this is the difference
-        between a LIST storm and a single manifest fetch."""
+        between a LIST storm and a single manifest fetch.
+
+        ``merge_schema=True`` unions file schemas across batches — needed
+        when a store spans a schema upgrade (e.g. visited written before
+        the TTL-recrawl columns existed), where the default pick-a-file
+        schema would either drop the new columns or fail analysis."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         paths = self._manifest_paths(table, through_batch)
         if paths is not None:
-            return self.spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         paths = [
             str(self.batch_dir(b) / table)
             for b in self.committed_batches()
             if b <= through_batch and (self.batch_dir(b) / table).exists()
         ]
-        return self.spark.read.parquet(*paths)
+        return reader.parquet(*paths)
 
 
 # ---------------------------------------------------------------------------
@@ -285,9 +301,12 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             passthrough=passthrough,
         ).drop("body_bytes", "planned_offset_ms", "fetch_ms", "ua_idx")
         fetched = (
-            # the stage emits decoded text; the loop's page schema is BINARY
-            # (decoded_html / byte-true page_bytes) — utf-8 round-trip
-            fetched.withColumn("html", F.encode(F.col("html"), "UTF-8"))
+            # the loop's page schema is BINARY: use the stage's RAW body
+            # bytes, not a re-encode of the decoded text — the utf-8→
+            # latin-1 ladder is lossy for non-utf8 pages, and byte-true
+            # page_bytes is what makes live mode ≡ pages-table mode for
+            # arbitrary corpora, not just utf-8-round-trippable ones
+            fetched.withColumn("html", F.col("body")).drop("body")
             .withColumn("warc_ts", F.lit(None).cast("timestamp"))
             .withColumn("lang", F.lit(None).cast("string"))
             .withColumn("fetched", F.col("html").isNotNull())
@@ -483,7 +502,21 @@ def _cache_ledger(store: CrawlStore, prev: int):
         if b <= prev
     ):
         return None
-    vis = store.read_all("visited", prev)
+    vis = store.read_all("visited", prev, merge_schema=True)
+    # A store written before the TTL-recrawl upgrade has visited files
+    # without batch_id; mergeSchema surfaces the column as null for those
+    # files (or omits it when NO file has it). Recover it from the
+    # batch_id=N partition directory in the file path, same as the
+    # frontier's is_recrawl backfill in run_crawl.
+    if "batch_id" not in vis.columns:
+        vis = vis.withColumn("batch_id", F.lit(None).cast("long"))
+    vis = vis.withColumn(
+        "batch_id",
+        F.coalesce(
+            F.col("batch_id"),
+            F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast("long"),
+        ),
+    )
     return vis.groupBy("seed_url", "url").agg(
         F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
         F.max("batch_id").alias("last_visit_batch"),
@@ -538,30 +571,43 @@ def _recrawl_frontier(due: DataFrame) -> DataFrame:
     )
 
 
-def _rebuild_cache_filter(store: CrawlStore, prev: int, ttl_batches: int, capacity_floor: int = 16384):
-    """Deterministically rebuild the deletable cache filter for a resumed
-    crawl: entering batch prev+1, the live entries are exactly the keys
-    whose last successful fetch is within the TTL window (everything
-    older was deleted at its own expiry batch). Driver-side like the
-    bloom blobs (operators/seen.py broadcast_probe) — at 10^10-URL scale
-    this state shards into per-bucket cuckoo blobs exactly as the bloom
-    deltas do; the transition mirrors seen.py's ≤256 MB gate."""
-    from crawler_ai_spark.operators.seen import CuckooFilter
+def _restore_cache_blobs(
+    spark: SparkSession,
+    store: CrawlStore,
+    prev: int,
+    ttl_batches: int,
+    capacity_per_bucket: int,
+) -> DataFrame:
+    """Deterministically restore the SHARDED cache filter (operators/
+    cachefilter.py — per-bucket cuckoo blobs, built and updated on
+    executors like the bloom deltas) for a (resumed) crawl entering batch
+    prev+1. Prefer the blob table the last committed batch wrote: those
+    are the exact bytes the uninterrupted run would carry, so resume is
+    bit-identical by construction. A store predating the blob table (or a
+    fresh crawl) rebuilds from the authoritative ledger: the live entries
+    are exactly the keys whose last successful fetch is within the TTL
+    window (everything older was deleted at its own expiry batch) — a
+    distributed groupBy-bucket build, no driver collect."""
+    from crawler_ai_spark.operators import cachefilter as CF
 
+    with_blobs = [
+        b
+        for b in store.committed_batches()
+        if b <= prev and (store.batch_dir(b) / "cache_blobs").exists()
+    ]
+    if with_blobs:
+        return store.read("cache_blobs", max(with_blobs))
     ledger = _cache_ledger(store, prev)
     if ledger is None:
-        return CuckooFilter(capacity_floor)
+        return CF.empty_blobs(spark)
     live = _url_cache_state(ledger).where(
         F.col("url_fetch_batch").isNotNull()
         & (F.col("url_fetch_batch") > F.lit(prev - ttl_batches))
     )
-    keys = [r.k for r in live.select(url_hash(F.col("url")).alias("k")).collect()]
-    total = ledger.count()
-    cf = CuckooFilter(max(capacity_floor, 2 * max(total, 1)))
-    for k in keys:
-        if not cf.insert(k):  # pragma: no cover - capacity is 2x oversized
-            raise RuntimeError("cache cuckoo filter overflow during rebuild")
-    return cf
+    return CF.build_cuckoo_blobs(
+        live.select(url_hash(F.col("url")).alias("url_hash")),
+        capacity_per_bucket=capacity_per_bucket,
+    )
 
 
 def _bloom_coverage_start(store: CrawlStore, prev: int) -> int | None:
@@ -664,12 +710,16 @@ def run_crawl(
         )
 
     ttl_batches = None
-    cache_filter = None
+    cache_blobs = None
     if cfg.recrawl_ttl_seconds is not None:
+        from crawler_ai_spark.operators import cachefilter as CF
+
         ttl_batches = max(
             1, math.ceil(cfg.recrawl_ttl_seconds / cfg.batch_interval_seconds)
         )
-        cache_filter = _rebuild_cache_filter(store, start - 1, ttl_batches)
+        cache_blobs = _restore_cache_blobs(
+            spark, store, start - 1, ttl_batches, cfg.cache_keys_per_bucket
+        )
 
     total_scheduled = 0
     total_recrawled = 0
@@ -681,33 +731,54 @@ def run_crawl(
             frontier = frontier.withColumn("is_recrawl", F.lit(False))
 
         ledger = _cache_ledger(store, prev) if ttl_batches is not None else None
+        blob_stage_cache = None
         if ledger is not None:
             # S5 — TTL expiry: entries fetched exactly ttl_batches ago lapse
             # NOW; their keys leave the deletable cache filter (cuckoo —
             # delete must succeed: the entry was inserted at fetch time and
             # expiry fires exactly once per fetch) and due URLs re-enter
-            # the frontier as refresh rows.
-            expiring = [
-                r.k
-                for r in _url_cache_state(ledger)
+            # the frontier as refresh rows. The delete is applied shard-
+            # locally on executors (cogroup over bucket blobs); the only
+            # driver-side value is the scalar eviction count.
+            expiring = (
+                _url_cache_state(ledger)
                 .where(F.col("url_fetch_batch") == F.lit(batch_id - ttl_batches))
-                .select(url_hash(F.col("url")).alias("k"))
-                .collect()
-            ]
-            for k in expiring:
-                if not cache_filter.delete(k):
-                    raise RuntimeError(
-                        "cache filter eviction missed a key that must be present"
-                    )
-            total_evictions += len(expiring)
+                .select(url_hash(F.col("url")).alias("url_hash"))
+            )
+            n_expiring = expiring.count()
+            if n_expiring:
+                cache_blobs = CF.update_cuckoo_blobs(
+                    cache_blobs,
+                    expiring,
+                    op="delete",
+                    capacity_per_bucket=cfg.cache_keys_per_bucket,
+                ).persist()
+                blob_stage_cache = cache_blobs
+            total_evictions += n_expiring
             due = _recrawl_due(ledger, batch_id, ttl_batches)
             recrawl_rows = _recrawl_frontier(due)
-            # coherence probe (BOUNDED — a full check would be an O(due)
-            # driver loop at 10^10-URL scale): a due URL is by definition
-            # expired, so its key must NOT be in the cache filter anymore
-            for r in recrawl_rows.select("url_hash").distinct().limit(4096).collect():
-                if cache_filter.contains(r.url_hash):
-                    raise RuntimeError("recrawl-due key still present in cache filter")
+            # a refresh DEFERRED by the host budget last batch is still in
+            # the carried-over frontier, and its ledger rows never advanced
+            # (a deferral writes no visited row) — so _recrawl_due
+            # regenerates the same (seed, url) refresh. Keeping both would
+            # double-fetch the URL in one batch and break the "consecutive
+            # visits ≥ TTL apart" invariant; drop the regenerated copy.
+            recrawl_rows = recrawl_rows.join(
+                frontier.select("seed_url", "url"), ["seed_url", "url"], "left_anti"
+            )
+            # coherence invariant, FULL and in-plan (the old driver loop
+            # was bounded to 4096 rows at 10^10-URL scale): a due URL is by
+            # definition expired, so its key must have left the filter when
+            # the expiry delete ran
+            stale = (
+                CF.probe_cuckoo_blobs(
+                    recrawl_rows.select("url_hash").distinct(), cache_blobs
+                )
+                .where(F.col("in_cache"))
+                .count()
+            )
+            if stale:
+                raise RuntimeError("recrawl-due key still present in cache filter")
             n_recrawl = recrawl_rows.count()
             total_recrawled += n_recrawl
             frontier = frontier.unionByName(recrawl_rows.select(*FRONTIER_COLS))
@@ -737,16 +808,21 @@ def run_crawl(
         if ttl_batches is not None:
             # cache store-on-success (cache.py:26-33): every successful
             # fetch this batch (fresh page or refresh) re-enters the filter
-            fetched_keys = [
-                r.url_hash
-                for r in gated.where(F.col("fetched"))
-                .select("url_hash")
-                .distinct()
-                .collect()
-            ]
-            for k in fetched_keys:
-                if not cache_filter.contains(k) and not cache_filter.insert(k):
-                    raise RuntimeError("cache cuckoo filter overflow at insert")
+            # — insert-if-absent applied shard-locally on executors, then
+            # the full sharded state (metadata-sized: buckets × fixed
+            # capacity) persists WITH the batch. The next batch and any
+            # resume read these exact bytes, which is what makes the blob
+            # chain — and therefore resume — bit-identical.
+            cache_blobs = CF.update_cuckoo_blobs(
+                cache_blobs,
+                gated.where(F.col("fetched")).select("url_hash").distinct(),
+                op="insert_if_absent",
+                capacity_per_bucket=cfg.cache_keys_per_bucket,
+            )
+            store.write(batch_id, "cache_blobs", cache_blobs)
+            cache_blobs = store.read("cache_blobs", batch_id)
+            if blob_stage_cache is not None:
+                blob_stage_cache.unpersist()
 
         # TTL refreshes update visited only (a cache refresh, not a new
         # discovery) — the career/job/seen outputs of a crawl with

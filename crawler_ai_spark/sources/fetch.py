@@ -36,7 +36,9 @@ body and failure deterministically from md5(url) — DuckDB can re-derive
 every output column arithmetically, which is what makes `live_fetch_stage`
 an oracle-gated catalog row; `UrllibTransport` is the stdlib live
 implementation (no aiohttp dependency), constructor-gated behind
-allow_network because this sandbox must never open a socket.
+allow_network because this sandbox must never egress — it IS executed
+in tests against a loopback http.server (tests/test_urllib_transport.py:
+real sockets, real status lines, real timeouts, zero egress).
 
 Retries stay OUT of this stage by design: the crawl loop's W4 ladder
 (plans/crawl_loop.py) re-enqueues non-permanent failures as attempt+1
@@ -60,6 +62,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -86,6 +89,12 @@ FETCH_SCHEMA = StructType(
         StructField("status", IntegerType()),
         StructField("html", StringType()),
         StructField("fetch_error", StringType()),
+        # the RAW response bytes (post-truncation): `html` is the decoded
+        # convenience view, but the utf-8→latin-1 ladder is lossy for
+        # non-utf8 pages, so byte-true downstream values (page_bytes, byte
+        # parity vs the pages table) must come from here, not from
+        # re-encoding `html`
+        StructField("body", BinaryType()),
         StructField("body_bytes", LongType()),
         StructField("planned_offset_ms", LongType()),
         StructField("fetch_ms", LongType()),
@@ -158,11 +167,11 @@ class UrllibTransport:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 return resp.status, resp.read(), None
-        except urllib.error.HTTPError as e:  # pragma: no cover - needs egress
+        except urllib.error.HTTPError as e:
             return e.code, None, f"{e.code} {e.reason}"
-        except socket.timeout:  # pragma: no cover - needs egress
+        except socket.timeout:
             return None, None, f"Connection timeout after {self.timeout_s:g}s"
-        except urllib.error.URLError as e:  # pragma: no cover - needs egress
+        except urllib.error.URLError as e:
             reason = str(e.reason).lower()
             if "name or service not known" in reason or "nodename" in reason:
                 return None, None, "DNS name or service not known"
@@ -240,7 +249,7 @@ def fetch_pages(
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         next_slot: dict[str, int] = {}  # host → next politeness offset (ms)
-        t_start = time.perf_counter()
+        last_dispatch: dict[str, float] = {}  # host → last dispatch wall time
         rows: list[tuple] = []
         acc_bytes = 0
 
@@ -257,11 +266,21 @@ def fetch_pages(
                 ua_idx = key % len(USER_AGENTS)
                 offset = next_slot.get(host, 0)
                 next_slot[host] = offset + host_delays.get(host, delay_ms)
-                if enforce:  # pragma: no cover - live mode only
-                    lag = offset / 1000.0 - (time.perf_counter() - t_start)
-                    if lag > 0:
-                        time.sleep(lag)
+                if enforce:
+                    # pacing is per-host WALL time between dispatches, not
+                    # the logical offset vs a partition-start clock: hosts
+                    # run serially in host-sorted order, so by the time the
+                    # second host starts, partition-elapsed already exceeds
+                    # every one of its offsets and an offset-based lag
+                    # would never sleep — zero politeness in the only mode
+                    # where the delay is real.
+                    prev_t = last_dispatch.get(host)
+                    if prev_t is not None:
+                        lag = prev_t + host_delays.get(host, delay_ms) / 1000.0 - time.perf_counter()
+                        if lag > 0:
+                            time.sleep(lag)
                 t0 = time.perf_counter()
+                last_dispatch[host] = t0
                 try:
                     status, body, err = transport(url, _headers_for(url, USER_AGENTS[ua_idx]))
                 except Exception as e:  # noqa: BLE001 - a 100 TB job survives one bad URL
@@ -280,13 +299,14 @@ def fetch_pages(
                     (
                         url, host,
                         int(status) if status is not None else None,
-                        html, err,
+                        html, err, body,
                         len(body) if body is not None else 0,
                         offset, fetch_ms, ua_idx,
                         *(col[i] for col in extra),
                     )
                 )
-                acc_bytes += len(body) if body is not None else 0
+                # the frame carries the body twice (raw + decoded view)
+                acc_bytes += 2 * (len(body) if body is not None else 0)
                 if acc_bytes >= budget:
                     yield from flush()
         yield from flush()

@@ -118,6 +118,40 @@ def test_encoding_fallback_latin1(spark):
     f = _frontier(spark, n=5, hosts=1)
     rows = FS.fetch_pages(f, FS.FetchConfig(transport=Latin1Transport())).collect()
     assert all(r.html == "caf\xe9 r\xe9sum\xe9" for r in rows)
+    # the RAW bytes ride through untouched — the decode ladder is a view,
+    # not the record; byte-true downstream values come from `body`
+    assert all(bytes(r.body) == "caf\xe9 r\xe9sum\xe9".encode("latin-1") for r in rows)
+
+
+def test_enforce_pacing_spaces_every_host(spark):
+    """enforce_pacing must pace EVERY host by wall time between its own
+    dispatches. The round-3 implementation compared the logical offset to
+    a partition-start clock, so every host after the first in a partition
+    (hosts run serially, host-sorted) saw elapsed > all its offsets and
+    fired back-to-back with zero delay."""
+    import time as _t
+
+    class ClockTransport:
+        def __call__(self, url, headers):
+            return 200, repr(_t.perf_counter()).encode(), None
+
+    delay_ms = 250
+    rows = FS.fetch_pages(
+        _frontier(spark, n=6, hosts=2),
+        FS.FetchConfig(
+            transport=ClockTransport(), per_host_delay_ms=delay_ms,
+            host_partitions=1, enforce_pacing=True,
+        ),
+    ).collect()
+    by_host: dict[str, list[float]] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(float(bytes(r.body).decode()))
+    assert len(by_host) == 2
+    for host, times in by_host.items():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            # sleep granularity margin; the broken path gives deltas ~0
+            assert b - a >= delay_ms / 1000.0 - 0.02, (host, times)
 
 
 def test_transport_exception_becomes_error_row(spark):

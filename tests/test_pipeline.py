@@ -316,13 +316,26 @@ def test_media_meta_sniffing(spark):
     assert meta[4].mime_sniffed == "video/mp4"
 
 
-def test_media_decode_stub_gated_for_jpeg():
-    # JPEG pixel decode still needs a codec this container lacks
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+def test_media_decode_jpeg_is_real():
+    """Round 4: baseline JPEG decodes FOR REAL (pipeline/jpegcodec.py);
+    the NotImplementedError stand-in now covers only codec-less formats."""
+    from crawler_ai_spark.pipeline.jpegcodec import encode_jpeg
+
+    w, h = 16, 12
+    px = bytes(((x * 7 + y * 13 + c * 29) % 256)
+               for y in range(h) for x in range(w) for c in range(3))
+    d = MM._decode_image(encode_jpeg(w, h, px, 3))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert 0.0 < d["mean_pixel"] < 1.0 and len(d["pixel_sha256"]) == 64
+    # a JPEG with no scan is a data error, not a missing codec
+    with pytest.raises(ValueError):
+        MM._decode_image(b"\xff\xd8\xff\xd9")
+    # the stand-in still serves genuinely codec-less formats (e.g. WebP)
+    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        MM._decode_image(jpeg)
-    fake = MM._decode_image(jpeg, fake=True)
-    assert fake["mean_pixel"] > 0 and fake["width"] is None
+        MM._decode_image(webp)
+    fake = MM._decode_image(webp, fake=True)
+    assert fake["width"] is None
     # malformed PNG/GIF are data errors, not missing-codec errors
     with pytest.raises(ValueError):
         MM._decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)

@@ -119,6 +119,101 @@ def test_recrawl_is_not_reseen(runs):
     assert vb == vt
 
 
+def test_cache_ledger_backfills_pre_ttl_visited(spark, tmp_path):
+    """Enabling recrawl_ttl_seconds on a store written BEFORE the TTL
+    upgrade must work: old visited files lack batch_id (and is_recrawl);
+    _cache_ledger reads with mergeSchema and recovers batch_id from the
+    batch_id=N partition directory in the file path."""
+    from crawler_ai_spark.plans.crawl_loop import _cache_ledger
+
+    store = CrawlStore(spark, tmp_path / "store")
+    old = spark.createDataFrame(
+        [("s", "u1", True, 1, 0, 0), ("s", "u2", True, 1, 0, 1)],
+        ["seed_url", "url", "fetched", "priority", "depth", "discovered_seq"],
+    )
+    old.write.parquet(str(store.batch_dir(1) / "visited"))
+    (store.batch_dir(1) / "_COMMITTED").touch()
+    new = spark.createDataFrame(
+        [("s", "u1", True, 1, 0, 0, False, 2)],
+        [
+            "seed_url", "url", "fetched", "priority", "depth",
+            "discovered_seq", "is_recrawl", "batch_id",
+        ],
+    )
+    new.write.parquet(str(store.batch_dir(2) / "visited"))
+    (store.batch_dir(2) / "_COMMITTED").touch()
+    ledger = {r.url: r for r in _cache_ledger(store, 2).collect()}
+    assert ledger["u1"].last_fetch_batch == 2  # refreshed in the new era
+    assert ledger["u2"].last_fetch_batch == 1  # recovered from the path
+
+
+def test_ttl_with_host_budget_no_duplicate_refresh(spark, inputs, tmp_path_factory):
+    """S5 × W2: a refresh row DEFERRED by the per-host budget writes no
+    visited row, so its ledger never advances and _recrawl_due would
+    regenerate the same (seed, url) refresh next batch — the loop must
+    keep exactly ONE copy (the anti-join against the carried frontier),
+    or the URL double-fetches in one batch and the 'consecutive visits of
+    a cache entry ≥ TTL apart' invariant breaks."""
+    pages, seeds = inputs
+    root = tmp_path_factory.mktemp("ttl_budget")
+    run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(
+            max_batches=8, parallelism=8, recrawl_ttl_seconds=7200,
+            host_budget_per_batch=2,
+        ),
+    )
+    store = CrawlStore(spark, root)
+    last = max(store.committed_batches())
+    vis = store.read_all("visited", last)
+    dup = (
+        vis.groupBy("seed_url", "url", "batch_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "a (seed, url) was visited twice in one batch"
+    per_url: dict[tuple, list[int]] = {}
+    for r in vis.where(F.col("fetched")).collect():
+        per_url.setdefault((r.seed_url, r.url), []).append(r.batch_id)
+    for key, batches in per_url.items():
+        batches.sort()
+        for a, b in zip(batches, batches[1:]):
+            assert b - a >= TTL_BATCHES, (key, batches)
+
+
+def test_pre_blob_store_resume_rebuilds_distributed(spark, inputs, tmp_path_factory, runs):
+    """A store whose committed batches predate the sharded cache_blobs
+    table (= the round-3 driver-resident filter era) resumes via the
+    distributed ledger rebuild and still produces bit-identical output
+    tables."""
+    import shutil
+
+    pages, seeds = inputs
+    (_, _), (store_t, ttl) = runs
+    root = tmp_path_factory.mktemp("ttl_preblob")
+    cfg2 = CrawlConfig(max_batches=2, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg2)
+    store_r = CrawlStore(spark, root)
+    for b in store_r.committed_batches():
+        blob_dir = store_r.batch_dir(b) / "cache_blobs"
+        if blob_dir.exists():
+            shutil.rmtree(blob_dir)
+    cfg4 = CrawlConfig(max_batches=4, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg4, resume=True)
+    last = ttl["last_batch"]
+    assert max(store_r.committed_batches()) == last
+    for table in ("frontier", "visited", "seen_delta", "seed_state"):
+        df_a = store_t.read_all(table, last)
+        cols = sorted(df_a.columns)
+        a = {tuple(str(v) for v in r) for r in df_a.select(*cols).collect()}
+        b = {
+            tuple(str(v) for v in r)
+            for r in store_r.read_all(table, last).select(*cols).collect()
+        }
+        assert a == b, f"table {table} differs after pre-blob-store resume"
+
+
 def test_ttl_resume_is_bit_identical(spark, inputs, tmp_path_factory, runs):
     """W6 x S5: kill after 2 batches and resume — the deletable cache
     filter is rebuilt deterministically from the visited ledger, so the
