@@ -1,0 +1,407 @@
+"""Crawl-engine operators over synthesized URLs (SURVEY.md S/P/F/C/D/J/O/W rows exercised as catalog queries).
+
+Split out of the monolithic catalog.py in round 4 (no behavior
+change; see catalog.py for the registry contract and parity rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from crawler_ai_spark import constants as K
+from crawler_ai_spark.functions import filters as FL
+
+from crawler_ai_spark.queries._shared import (
+    SYNTH_URLS_CTE,
+    _any_substr_rx,
+    _register,
+    _rx_quote,
+    _sql_quote,
+    _t,
+    synth_urls,
+)
+
+
+# ===========================================================================
+# 1. crawl-engine operators over synthesized URLs
+# ===========================================================================
+
+
+@_register(
+    "url_parse_norm",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         CASE WHEN regexp_extract(url, '^https?://([^/?#]+)', 1) LIKE 'www.%'
+              THEN substr(regexp_extract(url, '^https?://([^/?#]+)', 1), 5)
+              ELSE regexp_extract(url, '^https?://([^/?#]+)', 1) END AS host_nw
+  FROM synth_urls
+)
+SELECT doc_id, url, host, path,
+       upper(substr(split_part(host_nw, '.', 1), 1, 1)) ||
+       substr(split_part(host_nw, '.', 1), 2) AS company
+FROM parsed ORDER BY doc_id
+""",
+)
+def q_url_parse_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P11 — URL decomposition + company-from-URL on one engine pass."""
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        "url",
+        FL.url_host(F.col("url")).alias("host"),
+        FL.url_path(F.col("url")).alias("path"),
+        FL.company_from_url_expr(F.col("url")).alias("company"),
+    ).orderBy("doc_id")
+
+
+def _job_url_oracle() -> str:
+    skip_rx = _any_substr_rx(K.JOB_URL_SKIP_PATTERNS + K.JOB_URL_SKIP_FILES)
+    job_rx = _any_substr_rx(K.JOB_URL_PATTERNS)
+    query_rx = _any_substr_rx(K.JOB_QUERY_PARAMS)
+    nonjob_rx = _any_substr_rx(K.OBVIOUS_NON_JOB_PATTERNS)
+    sub_rx = "^(?:" + "|".join(_rx_quote(s) for s in K.CAREER_SUBDOMAINS) + ")"
+    return f"""
+WITH {SYNTH_URLS_CTE},
+feat AS (
+  SELECT doc_id, url, lower(url) AS low,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                        '^/+|/+$', '', 'g') AS pstrip
+  FROM synth_urls
+),
+cls AS (
+  SELECT doc_id, url,
+    CASE
+      WHEN regexp_matches(low, {_sql_quote(skip_rx)})
+        OR NOT (url LIKE 'http://%' OR url LIKE 'https://%') THEN FALSE
+      WHEN regexp_matches(host, {_sql_quote(sub_rx)}) AND pstrip <> '' THEN TRUE
+      WHEN regexp_matches(low, {_sql_quote(job_rx)}) THEN TRUE
+      WHEN contains(url, '?') AND regexp_matches(low, {_sql_quote(query_rx)}) THEN TRUE
+      WHEN pstrip <> '' AND regexp_matches(split_part(pstrip, '/', -1), '^[0-9]+$') THEN TRUE
+      ELSE FALSE
+    END AS is_job_url
+  FROM feat
+)
+SELECT doc_id, url, is_job_url FROM cls ORDER BY doc_id
+"""
+
+
+@_register("job_url_classify", oracle=_job_url_oracle())
+def q_job_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — the 4-priority job-URL rule cascade as one boolean column."""
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id", "url", FL.is_job_url_expr(F.col("url")).alias("is_job_url")
+    ).orderBy("doc_id")
+
+
+def _priority_oracle() -> str:
+    car = _any_substr_rx(K.CAREER_KEYWORDS)
+    nav = _any_substr_rx(K.NAV_KEYWORDS)
+    con = _any_substr_rx(K.CONTENT_KEYWORDS)
+    return f"""
+WITH {SYNTH_URLS_CTE},
+prio AS (
+  SELECT doc_id, host, url,
+    CASE WHEN regexp_matches(lower(url), {_sql_quote(car)}) THEN 100
+         WHEN regexp_matches(lower(url), {_sql_quote(nav)}) THEN 80
+         WHEN regexp_matches(lower(url), {_sql_quote(con)}) THEN 50
+         ELSE 10 END AS priority
+  FROM synth_urls
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host, priority ORDER BY doc_id) AS bucket_rank
+  FROM prio
+)
+SELECT doc_id, host, url, priority, bucket_rank
+FROM ranked
+WHERE bucket_rank <= CASE priority WHEN 100 THEN 5 WHEN 80 THEN 3 ELSE 2 END
+ORDER BY host, priority DESC, bucket_rank
+"""
+
+
+@_register("priority_schedule", oracle=_priority_oracle())
+def q_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 — priority bucketing + per-(host, bucket) budget window: the
+    frontier scheduler's core ranking on one batch of candidate URLs."""
+    urls = synth_urls(spark, sf_dir)
+    w = Window.partitionBy("host", "priority").orderBy("doc_id")
+    return (
+        urls.withColumn("priority", FL.priority_expr(F.col("url")))
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .where(F.col("bucket_rank") <= FL.priority_budget_expr(F.col("priority")))
+        .select("doc_id", "host", "url", "priority", "bucket_rank")
+        .orderBy("host", F.col("priority").desc(), "bucket_rank")
+    )
+
+
+@_register(
+    "frontier_dedup",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+candidates AS (SELECT doc_id AS discovered_seq, url, host FROM synth_urls),
+seen AS (SELECT DISTINCT url FROM synth_urls WHERE doc_id % 3 = 0),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY discovered_seq) AS rn
+  FROM candidates
+)
+SELECT f.url, f.host, f.discovered_seq
+FROM firsts f LEFT JOIN seen s ON f.url = s.url
+WHERE f.rn = 1 AND s.url IS NULL
+ORDER BY f.discovered_seq
+""",
+)
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — within-batch first-wins dedup + URL-seen anti-join."""
+    urls = synth_urls(spark, sf_dir)
+    candidates = urls.select(
+        F.col("doc_id").alias("discovered_seq"), "url", "host"
+    )
+    seen = urls.where(F.col("doc_id") % 3 == 0).select("url").distinct()
+    w = Window.partitionBy("url").orderBy("discovered_seq")
+    firsts = (
+        candidates.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    return (
+        firsts.join(seen, "url", "left_anti")
+        .select("url", "host", "discovered_seq")
+        .orderBy("discovered_seq")
+    )
+
+
+@_register(
+    "politeness_budget",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+ranked AS (
+  SELECT host, url, doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS host_rank
+  FROM synth_urls
+)
+SELECT host,
+       count(*) FILTER (WHERE host_rank <= 4) AS scheduled,
+       count(*) FILTER (WHERE host_rank > 4) AS deferred
+FROM ranked GROUP BY host ORDER BY host
+""",
+)
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — per-host politeness cap: ≤ 4 URLs/host/batch, rest deferred."""
+    urls = synth_urls(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    ranked = urls.withColumn("host_rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.sum((F.col("host_rank") <= 4).cast("long")).alias("scheduled"),
+            F.sum((F.col("host_rank") > 4).cast("long")).alias("deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+def _career_score_oracle() -> str:
+    url_rx = _any_substr_rx(K.CAREER_URL_INDICATORS)
+    return f"""
+WITH {SYNTH_URLS_CTE}
+SELECT doc_id, url,
+       round(least(1.0,
+         (CASE WHEN regexp_matches(lower(url), {_sql_quote(url_rx)}) THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN (doc_id % 12) IN (0, 3, 11) THEN 0.3 ELSE 0.0 END)
+       ), 6) AS career_score
+FROM synth_urls ORDER BY doc_id
+"""
+
+
+@_register("career_score_urls", oracle=_career_score_oracle())
+def q_career_score_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (url part) — additive capped career score; the title/content
+    terms use a deterministic proxy (path family) on both engines."""
+    urls = synth_urls(spark, sf_dir)
+    url_hit = F.when(
+        FL.any_substr(F.lower(F.col("url")), K.CAREER_URL_INDICATORS), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    title_hit = F.when(
+        (F.col("doc_id") % 12).isin(0, 3, 11), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    return urls.select(
+        "doc_id",
+        "url",
+        F.round(F.least(F.lit(1.0), url_hit + title_hit), 6).alias("career_score"),
+    ).orderBy("doc_id")
+
+
+def _email_oracle() -> str:
+    # RE2 has no lookaround: use the two overlapping email sweeps (both
+    # RE2-safe) + reject list, as the reference's crawler.py:292-316 does
+    rx1 = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    bad = _any_substr_rx(K.EMAIL_INVALID_SUBSTRINGS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@mail' || (doc_id % 7) ||
+         '.example.com or favicon' || doc_id || '@x.png' AS text
+  FROM documents
+),
+found AS (
+  SELECT doc_id, lower(e) AS email
+  FROM aug, unnest(regexp_extract_all(text, {_sql_quote(rx1)})) AS t(e)
+),
+valid AS (
+  SELECT DISTINCT doc_id, email FROM found
+  WHERE NOT regexp_matches(email, {_sql_quote(bad)})
+)
+SELECT doc_id, email FROM valid ORDER BY doc_id, email
+"""
+
+
+@_register("email_extract", oracle=_email_oracle())
+def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — email sweep + reject-substring filter + dedup, exploded."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' contact: user' || CAST(doc_id AS STRING) || '@mail' || "
+            "CAST(doc_id % 7 AS STRING) || '.example.com or favicon' || "
+            "CAST(doc_id AS STRING) || '@x.png'"
+        ).alias("text"),
+    )
+    rx = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    found = aug.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0))).alias("raw"),
+    ).select("doc_id", F.lower(F.col("raw")).alias("email"))
+    valid = found.where(~FL.any_substr(F.col("email"), K.EMAIL_INVALID_SUBSTRINGS))
+    return valid.distinct().orderBy("doc_id", "email")
+
+
+# training-data pipeline: PII scrubbing before a corpus ships to training.
+# RE2-safe patterns shared verbatim by both engines (the Java/RE2 dialect
+# overlap this repo's oracles rely on); emails first so their digits never
+# feed the phone pattern.
+_PII_EMAIL_RX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+_PII_PHONE_RX = r"\b0\d{8,10}\b"
+
+
+@_register(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com or call 09'
+              || lpad(CAST(doc_id % 10000000 AS VARCHAR), 8, '0') || ' today' AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL_RX}')) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL_RX}', '<EMAIL>', 'g') AS no_email
+  FROM aug
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{_PII_PHONE_RX}')) AS BIGINT) AS n_phones,
+       regexp_replace(no_email, '{_PII_PHONE_RX}', '<PHONE>', 'g') AS text_scrubbed
+FROM counted ORDER BY doc_id
+""",
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: redact emails then 0-leading phone runs
+    with typed placeholders, counting replacements — the redaction pass a
+    corpus gets before training. Pure JVM regexp_replace (global on both
+    engines), one linear scan, no shuffle; the input is augmented with
+    one synthesized email+phone per doc so the gate is non-degenerate."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com or call 09"),
+            F.lpad((F.col("doc_id") % 10_000_000).cast("string"), 8, "0"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL_RX, "<EMAIL>")
+    out = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        no_email.alias("no_email"),
+    )
+    return out.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all(F.col("no_email"), F.lit(_PII_PHONE_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(F.col("no_email"), _PII_PHONE_RX, "<PHONE>").alias(
+            "text_scrubbed"
+        ),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "crawl_harvest_links",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+    || '<nav class="navbar"><a href="/careers">Careers</a>'
+    || '<a href="/about-us">About</a><a href="#top">Top</a></nav>'
+    || '<p>body text here</p>'
+    || '<a href="/jobs/view/' || doc_id || '">Open role</a>'
+    || '<a href="javascript:void(0)">Menu</a>'
+    || '<footer><a href="/contact">Contact</a></footer></body></html>' AS html
+  FROM synth_urls WHERE doc_id % 5 = 0
+),
+links AS (
+  SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages
+),
+exploded AS (
+  SELECT doc_id, unnest(hrefs) AS href,
+         unnest(generate_series(0, len(hrefs) - 1)) AS link_pos
+  FROM links
+)
+SELECT doc_id, link_pos, href FROM exploded ORDER BY doc_id, link_pos
+""",
+)
+def q_crawl_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 through the REAL structural parse UDF: synthesized HTML → parse →
+    ordered link explode; the oracle recovers hrefs by regex. Checks that
+    the DOM scanner sees exactly the document-order links."""
+    from crawler_ai_spark.functions.html import explode_links, with_parse
+
+    urls = synth_urls(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    pages = urls.select(
+        "doc_id",
+        F.expr(
+            "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title></head><body>'"
+            " || '<nav class=\"navbar\"><a href=\"/careers\">Careers</a>'"
+            " || '<a href=\"/about-us\">About</a><a href=\"#top\">Top</a></nav>'"
+            " || '<p>body text here</p>'"
+            " || '<a href=\"/jobs/view/' || CAST(doc_id AS STRING) || '\">Open role</a>'"
+            " || '<a href=\"javascript:void(0)\">Menu</a>'"
+            " || '<footer><a href=\"/contact\">Contact</a></footer></body></html>'"
+        ).alias("html"),
+    )
+    parsed = with_parse(pages)
+    return (
+        explode_links(parsed)
+        .where(F.col("href").isNotNull())
+        .select("doc_id", "link_pos", "href")
+        .orderBy("doc_id", "link_pos")
+    )
+
+
+# ===========================================================================
