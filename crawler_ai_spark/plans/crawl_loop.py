@@ -115,7 +115,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -488,6 +488,40 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _ledger_delta(visited: DataFrame) -> DataFrame:
+    """One batch's visited rows folded to the ledger shape."""
+    return visited.groupBy("seed_url", "url").agg(
+        F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
+        F.max("batch_id").alias("last_visit_batch"),
+        F.min("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+        F.min("discovered_seq").alias("discovered_seq"),
+    )
+
+
+def _merge_ledger(prev_ledger: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a batch delta into the carried ledger state. min/max are
+    associative, so merging per batch equals aggregating all history:
+    greatest/least skip NULLs in Spark, which keeps last_fetch_batch NULL
+    until the first successful fetch — same as the global aggregate."""
+    keys = ("seed_url", "url")
+    vals = (
+        "last_fetch_batch", "last_visit_batch", "priority", "depth",
+        "discovered_seq",
+    )
+    p = prev_ledger.select(*keys, *[F.col(c).alias(f"p_{c}") for c in vals])
+    d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in vals])
+    j = p.join(d, list(keys), "full_outer")
+    return j.select(
+        *keys,
+        F.greatest("p_last_fetch_batch", "d_last_fetch_batch").alias("last_fetch_batch"),
+        F.greatest("p_last_visit_batch", "d_last_visit_batch").alias("last_visit_batch"),
+        F.least("p_priority", "d_priority").alias("priority"),
+        F.least("p_depth", "d_depth").alias("depth"),
+        F.least("p_discovered_seq", "d_discovered_seq").alias("discovered_seq"),
+    )
+
+
 def _cache_ledger(store: CrawlStore, prev: int):
     """Per-URL fetch-cache state through batch ``prev`` (S5 TTL recrawl):
     one row per (seed_url, url) with the batch of the last SUCCESSFUL
@@ -495,12 +529,32 @@ def _cache_ledger(store: CrawlStore, prev: int):
     reference cache.py:26-33), the last visit of any kind (spacing bound
     for refresh attempts on pages that have since vanished), and the
     scheduling metadata a refresh row re-enters the frontier with.
-    None before the first visited batch exists (batch 0 writes none)."""
-    if not any(
-        (store.batch_dir(b) / "visited").exists()
-        for b in store.committed_batches()
-        if b <= prev
-    ):
+    None before the first visited batch exists (batch 0 writes none).
+
+    The state is INCREMENTAL: every TTL batch persists its merged ledger
+    as the ``cache_ledger`` table, so the steady-state read here is one
+    parquet load of the latest snapshot — NOT an O(crawl-age) re-scan of
+    all visited history per batch (at a 10^10-URL frontier the visited
+    log only grows; re-aggregating it every batch is the same disease the
+    sharded cache filter fixed for the key set). Two fallbacks keep old
+    stores working: batches run before this table existed (or with TTL
+    disabled) are folded in from their per-batch visited deltas; a store
+    with no ledger snapshot at all falls back to the full-history
+    aggregation with mergeSchema + path-derived batch_id backfill."""
+    committed = [b for b in store.committed_batches() if b <= prev]
+    with_ledger = [
+        b for b in committed if (store.batch_dir(b) / "cache_ledger").exists()
+    ]
+    if with_ledger:
+        b0 = max(with_ledger)
+        ledger = store.read("cache_ledger", b0)
+        # fold in any visited batches after the snapshot (TTL toggled off
+        # and on again, or a legacy tail) — bounded by the gap, not by age
+        for b in committed:
+            if b > b0 and (store.batch_dir(b) / "visited").exists():
+                ledger = _merge_ledger(ledger, _ledger_delta(store.read("visited", b)))
+        return ledger
+    if not any((store.batch_dir(b) / "visited").exists() for b in committed):
         return None
     vis = store.read_all("visited", prev, merge_schema=True)
     # A store written before the TTL-recrawl upgrade has visited files
@@ -806,6 +860,12 @@ def run_crawl(
         store.write(batch_id, "visited", visited)
 
         if ttl_batches is not None:
+            # incremental ledger snapshot: fold THIS batch's visited into
+            # the carried per-(seed,url) state so the next batch reads one
+            # table instead of re-aggregating all visited history
+            delta = _ledger_delta(visited)
+            new_ledger = _merge_ledger(ledger, delta) if ledger is not None else delta
+            store.write(batch_id, "cache_ledger", new_ledger)
             # cache store-on-success (cache.py:26-33): every successful
             # fetch this batch (fresh page or refresh) re-enters the filter
             # — insert-if-absent applied shard-locally on executors, then

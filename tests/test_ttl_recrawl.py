@@ -119,6 +119,32 @@ def test_recrawl_is_not_reseen(runs):
     assert vb == vt
 
 
+def test_incremental_ledger_equals_full_history(runs):
+    """The per-batch merged cache_ledger snapshot must equal the full
+    re-aggregation of all visited history (min/max associativity) — the
+    incremental state is what lets a 10^10-URL crawl avoid an
+    O(crawl-age) visited re-scan every batch."""
+    (_, _), (store_t, ttl) = runs
+    last = ttl["last_batch"]
+    stored = store_t.read("cache_ledger", last)
+    full = (
+        store_t.read_all("visited", last)
+        .groupBy("seed_url", "url")
+        .agg(
+            F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
+            F.max("batch_id").alias("last_visit_batch"),
+            F.min("priority").alias("priority"),
+            F.min("depth").alias("depth"),
+            F.min("discovered_seq").alias("discovered_seq"),
+        )
+    )
+    cols = sorted(stored.columns)
+    assert cols == sorted(full.columns)
+    a = {tuple(str(v) for v in r) for r in stored.select(*cols).collect()}
+    b = {tuple(str(v) for v in r) for r in full.select(*cols).collect()}
+    assert a == b
+
+
 def test_cache_ledger_backfills_pre_ttl_visited(spark, tmp_path):
     """Enabling recrawl_ttl_seconds on a store written BEFORE the TTL
     upgrade must work: old visited files lack batch_id (and is_recrawl);
