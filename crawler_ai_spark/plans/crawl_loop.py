@@ -100,6 +100,13 @@ class CrawlConfig:
     # UrllibTransport(allow_network=True).
     live_transport: object | None = None
     live_delay_ms: int = 0  # politeness slot width booked by the stage
+    # W3 LIVE robots: fetch each newly-seen host's /robots.txt through the
+    # live fetch stage (sources/robots.fetch_robots), parse it (Allow
+    # longest-match + Crawl-delay), cache the rules in a per-batch
+    # robots_cache state table, and gate/budget the frontier with them —
+    # replacing the static host_rules input. Requires live_transport;
+    # mutually exclusive with a caller-supplied host_rules.
+    live_robots: bool = False
 
 
 FRONTIER_COLS = [
@@ -115,7 +122,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -664,6 +671,45 @@ def _restore_cache_blobs(
     )
 
 
+def _crawl_delay_budgets(host_rules: DataFrame | None, interval_s: int) -> DataFrame | None:
+    """W3 × W2 — robots Crawl-delay as a per-host batch cap: a host asking
+    for d seconds between fetches gets at most interval/d fetches per
+    batch (one batch ≙ interval_s of wall time; same logical clock the
+    TTL recrawl uses). Tiny table, broadcast by the budget op."""
+    if host_rules is None or "crawl_delay_s" not in host_rules.columns:
+        return None
+    return host_rules.where(
+        F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0)
+    ).select(
+        "host",
+        F.greatest(
+            F.lit(1), F.floor(F.lit(interval_s) / F.col("crawl_delay_s"))
+        )
+        .cast("int")
+        .alias("host_budget"),
+    )
+
+
+_ROBOTS_CACHE_SCHEMA = (
+    "host string, disallow_prefixes array<string>, "
+    "allow_prefixes array<string>, crawl_delay_s double"
+)
+
+
+def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
+    """Latest committed robots_cache snapshot (live-robots mode state:
+    one row per host ever seen, rules parsed from its fetched
+    /robots.txt), or an empty table for a fresh crawl."""
+    with_cache = [
+        b
+        for b in store.committed_batches()
+        if b <= prev and (store.batch_dir(b) / "robots_cache").exists()
+    ]
+    if with_cache:
+        return store.read("robots_cache", max(with_cache))
+    return spark.createDataFrame([], _ROBOTS_CACHE_SCHEMA)
+
+
 def _bloom_coverage_start(store: CrawlStore, prev: int) -> int | None:
     """First batch of an unbroken bloom_delta chain that covers ALL seen
     keys through ``prev``: batch 0's blob is full by construction (its
@@ -744,24 +790,20 @@ def run_crawl(
 
     # W3 × W2 — robots Crawl-delay as a per-host batch cap: a host asking
     # for d seconds between fetches gets at most interval/d fetches per
-    # batch (one batch ≙ batch_interval_seconds of wall time; same logical
-    # clock the TTL recrawl uses). Tiny table, broadcast by the budget op.
-    crawl_delay_budgets = None
-    if host_rules is not None and "crawl_delay_s" in host_rules.columns:
-        crawl_delay_budgets = (
-            host_rules.where(
-                F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0)
+    # batch — see _crawl_delay_budgets. In live-robots mode the budgets
+    # derive per batch from the growing robots_cache instead.
+    crawl_delay_budgets = _crawl_delay_budgets(host_rules, cfg.batch_interval_seconds)
+
+    robots_state = None
+    if cfg.live_robots:
+        if cfg.live_transport is None:
+            raise ValueError("live_robots=True requires a live_transport")
+        if host_rules is not None:
+            raise ValueError(
+                "live_robots replaces the static host_rules input — pass one "
+                "or the other"
             )
-            .select(
-                "host",
-                F.greatest(
-                    F.lit(1),
-                    F.floor(F.lit(cfg.batch_interval_seconds) / F.col("crawl_delay_s")),
-                )
-                .cast("int")
-                .alias("host_budget"),
-            )
-        )
+        robots_state = _restore_robots_cache(spark, store, start - 1)
 
     ttl_batches = None
     cache_blobs = None
@@ -842,9 +884,36 @@ def run_crawl(
         seed_state = store.read("seed_state", prev)
         seen = store.read_all("seen_delta", prev)
 
-        frontier = FR.apply_robots(frontier, host_rules)
+        if cfg.live_robots:
+            # W3 LIVE — robots.txt fetched over the wire for hosts this
+            # crawl has never seen (anti-join against the cached host set:
+            # one robots fetch per host per crawl, like the reference's
+            # per-site robots middleware would do), parsed with RFC 9309
+            # Allow precedence + Crawl-delay, folded into the robots_cache
+            # state table that persists with the batch (resume reads it
+            # back — no refetch on restart).
+            from crawler_ai_spark.sources.robots import fetch_robots, parse_robots
+
+            unseen = frontier.join(robots_state.select("host"), "host", "left_anti")
+            new_rules = parse_robots(
+                fetch_robots(
+                    unseen.select("url", "host"),
+                    cfg.live_transport,
+                    host_partitions=cfg.parallelism,
+                ),
+                with_allow=True,
+                with_crawl_delay=True,
+            )
+            robots_state = robots_state.unionByName(new_rules)
+            store.write(batch_id, "robots_cache", robots_state)
+            robots_state = store.read("robots_cache", batch_id)  # lineage reset
+            rules_now = robots_state
+            budgets_now = _crawl_delay_budgets(rules_now, cfg.batch_interval_seconds)
+        else:
+            rules_now, budgets_now = host_rules, crawl_delay_budgets
+        frontier = FR.apply_robots(frontier, rules_now)
         frontier, deferred = FR.apply_host_budget(
-            frontier, cfg.host_budget_per_batch, host_budgets=crawl_delay_budgets
+            frontier, cfg.host_budget_per_batch, host_budgets=budgets_now
         )
 
         parsed = fetch_and_parse(frontier, pages, cfg)

@@ -78,3 +78,47 @@ def parse_robots(
             )
         )
     return robots.select(*cols)
+
+
+def fetch_robots(frontier: DataFrame, transport, host_partitions: int | None = None) -> DataFrame:
+    """W3 LIVE mode — fetch each host's /robots.txt through the real
+    fetch stage (host co-location, UA rotation, shared error taxonomy;
+    sources/fetch.py) and return (host, body) ready for parse_robots.
+
+    The robots URL derives from a deterministic exemplar frontier URL per
+    host (min(url)), because the HOST component alone loses scheme and
+    port. Availability semantics follow RFC 9309 §2.3.1: an unavailable
+    robots file (4xx, transport failure) means unrestricted — empty body,
+    which parses to an empty rule set = allow-all. The stricter
+    assume-disallow-on-5xx variant is a caller policy, not baked in here
+    (the reference itself crawls with ROBOTSTXT_OBEY=False, so any
+    obedience at all is an extension).
+
+    One fetch per host per crawl: the caller caches results in the
+    robots_cache state table (plans/crawl_loop.py) and only newly-seen
+    hosts reach this stage."""
+    from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
+
+    origins = (
+        frontier.groupBy("host")
+        .agg(F.min("url").alias("u"))
+        .select("host", F.regexp_extract("u", r"^(https?://[^/]+)", 1).alias("origin"))
+    )
+    robots_frontier = origins.select(
+        F.concat(F.col("origin"), F.lit("/robots.txt")).alias("url"),
+        "host",
+        F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("discovered_seq"),
+    )
+    fetched = fetch_pages(
+        robots_frontier,
+        FetchConfig(transport=transport, per_host_delay_ms=0, host_partitions=host_partitions),
+    )
+    return fetched.select(
+        "host",
+        F.when(
+            (F.col("status") == 200) & F.col("html").isNotNull(), F.col("html")
+        )
+        .otherwise(F.lit(""))
+        .alias("body"),
+    )

@@ -27,6 +27,8 @@ from crawler_ai_spark.sources.fetch import UrllibTransport
 
 def _site(base: str) -> dict[str, str]:
     return {
+        # served for live_robots mode; ignored (never fetched) otherwise
+        "/robots.txt": "User-agent: *\nDisallow: /jobs/2\nCrawl-delay: 1800\n",
         "/": (
             "<html><head><title>Acme Corp</title></head><body>"
             f'<a href="{base}/careers">Careers</a> '
@@ -132,6 +134,50 @@ def test_live_crawl_over_real_sockets(spark, base_url, tmp_path_factory):
     # job URLs harvested from the careers page
     jobs = {r.job_url for r in store.read_all("job_urls", last).collect()}
     assert base_url + "/jobs/1" in jobs and base_url + "/jobs/2" in jobs
+
+
+def test_live_robots_gate_budget_and_cache(spark, base_url, tmp_path_factory):
+    """live_robots=True fetches /robots.txt over a real socket for each
+    newly-seen host, parses it (Disallow + Crawl-delay), gates the
+    frontier with it, caps the per-host batch budget from the Crawl-delay,
+    and persists the rules in the robots_cache state table."""
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(base_url + "/", 20, 5)], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    root = tmp_path_factory.mktemp("live_robots")
+    summary = run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(
+            max_batches=6,
+            parallelism=4,
+            live_transport=UrllibTransport(timeout_s=10, allow_network=True),
+            live_robots=True,
+        ),
+    )
+    store = CrawlStore(spark, root)
+    last = summary["last_batch"]
+    vis = store.read_all("visited", last)
+    fetched = {r.url for r in vis.where(F.col("fetched")).collect()}
+    assert base_url + "/jobs/1" in fetched
+    # the robots Disallow pruned /jobs/2 before any fetch
+    assert not any(u.endswith("/jobs/2") for u in (r.url for r in vis.collect()))
+    # Crawl-delay 1800 at the 3600 s batch interval = at most 2 fetch
+    # attempts per host per batch
+    per_batch = (
+        vis.groupBy("batch_id").count().collect()
+    )
+    assert per_batch and all(r["count"] <= 2 for r in per_batch)
+    # the parsed rules persisted with the crawl state (per-batch full
+    # snapshots — read the latest, like the loop's restore does)
+    last_cache = max(
+        b for b in store.committed_batches()
+        if (store.batch_dir(b) / "robots_cache").exists()
+    )
+    rules = {r.host: r for r in store.read("robots_cache", last_cache).collect()}
+    host = next(iter(rules))
+    assert list(rules[host].disallow_prefixes) == ["/jobs/2"]
+    assert rules[host].crawl_delay_s == 1800.0
 
 
 def test_live_crawl_is_deterministic(spark, base_url, tmp_path_factory):
