@@ -47,6 +47,23 @@ def main() -> None:
                          "delta blobs OR-merge; size for total keys/bucket)")
     ap.add_argument("--max-attempts", type=int, default=1,
                     help="fetch attempts per URL (W4 retry rows; 1 = no retry)")
+    ap.add_argument("--recrawl-ttl", type=int, default=None,
+                    help="S5 fetch-cache TTL in seconds (reference: 3600); "
+                         "expired pages re-enter the frontier as refresh "
+                         "rows; state lives in the sharded cuckoo cache "
+                         "filter + incremental ledger tables")
+    ap.add_argument("--live", action="store_true",
+                    help="LIVE fetch mode over real sockets "
+                         "(UrllibTransport; needs egress) instead of the "
+                         "pages-table join")
+    ap.add_argument("--live-delay-ms", type=int, default=1000,
+                    help="per-host politeness slot width for --live "
+                         "(reference DOWNLOAD_DELAY=1s)")
+    ap.add_argument("--live-robots", action="store_true",
+                    help="with --live: fetch+parse+cache each host's "
+                         "robots.txt in-loop (RFC 9309 Allow precedence, "
+                         "Crawl-delay budgets) instead of a static "
+                         "host_rules table")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="after the run, rewrite the seen-delta appends into "
@@ -93,6 +110,13 @@ def main() -> None:
                 if col not in seeds.columns:
                     seeds = seeds.withColumn(col, F.lit(None).cast(typ))
 
+        live_transport = None
+        if args.live:
+            from crawler_ai_spark.sources.fetch import UrllibTransport
+
+            live_transport = UrllibTransport(allow_network=True)
+        elif args.live_robots:
+            ap.error("--live-robots requires --live")
         cfg = CrawlConfig(
             max_batches=args.batches,
             parallelism=args.parallelism or spark.sparkContext.defaultParallelism,
@@ -100,6 +124,10 @@ def main() -> None:
             use_bloom=args.bloom,
             bloom_keys_per_bucket=args.bloom_keys,
             max_fetch_attempts=args.max_attempts,
+            recrawl_ttl_seconds=args.recrawl_ttl,
+            live_transport=live_transport,
+            live_delay_ms=args.live_delay_ms,
+            live_robots=args.live_robots,
         )
         summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
         if args.compact or args.vacuum:
