@@ -283,3 +283,62 @@ def test_live_fetch_stage_single_exchange(spark):
     assert data_path.count("hashpartitioning(host") == 1, data_path[:2000]
     assert "SortMergeJoin" not in data_path and "BroadcastHashJoin" not in data_path
     assert "CartesianProduct" not in data_path
+
+
+def test_cachefilter_probe_is_broadcast_no_shuffle(spark):
+    """The sharded cache-filter probe (operators/cachefilter.py) must be
+    map-side: blob map broadcast into an Arrow UDF, candidates never
+    shuffled — the same discipline as the broadcast bloom probe."""
+    from crawler_ai_spark.operators import cachefilter as CF
+
+    keys = spark.range(0, 1000).selectExpr("xxhash64(id) AS url_hash")
+    blobs = CF.build_cuckoo_blobs(keys, capacity_per_bucket=256)
+    probed = CF.probe_cuckoo_blobs(spark.range(0, 500).selectExpr("xxhash64(id*7) AS url_hash"), blobs)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+    # candidate side: no exchange at all — the probe is purely map-side
+    assert "Exchange" not in plan, plan
+
+
+def test_cachefilter_update_single_cogroup_exchange_pair(spark):
+    """A blob update is ONE cogroup: one hash exchange per side on
+    bucket_id, the Arrow cogroup UDF, nothing else."""
+    from crawler_ai_spark.operators import cachefilter as CF
+
+    keys = spark.range(0, 1000).selectExpr("xxhash64(id) AS url_hash")
+    blobs = CF.build_cuckoo_blobs(keys, capacity_per_bucket=256)
+    upd = CF.update_cuckoo_blobs(
+        blobs,
+        spark.range(0, 100).selectExpr("xxhash64(id*3) AS url_hash"),
+        op="insert_if_absent",
+        capacity_per_bucket=256,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        upd._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges <= 4, f"update plan has {n_exchanges} hash exchanges"
+
+
+def test_live_robots_fetch_single_exchange_per_host_stage(spark):
+    """fetch_robots = one groupBy(host) for the exemplar origin, then the
+    single host-hash exchange of the fetch stage — no extra shuffles, no
+    row-at-a-time Python."""
+    from crawler_ai_spark.sources.fetch import SyntheticTransport
+    from crawler_ai_spark.sources.robots import fetch_robots
+
+    frontier = spark.range(0, 200).selectExpr(
+        "concat('https://h', id % 9, '.example/p/', id) AS url",
+        "concat('h', id % 9, '.example') AS host",
+    )
+    robots = fetch_robots(frontier, SyntheticTransport(), host_partitions=4)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        robots._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, f"fetch_robots plan has {n_exchanges} exchanges"
