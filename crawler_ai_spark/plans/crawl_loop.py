@@ -208,6 +208,33 @@ class CrawlStore:
             table, tip, out, operation="replace", replaces_through_batch=tip
         )
 
+    # tables that write a FULL state snapshot every batch (only the
+    # latest is ever read; older copies are replay history, not a log)
+    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache")
+
+    def compact_state(self, table: str) -> int | None:
+        """Rewrite a state table's LATEST snapshot as a replace at the
+        tip so :meth:`SnapshotLog.vacuum` can expire the superseded
+        per-batch copies — bounding state storage at O(state) instead of
+        O(batches × state) for a long-running crawl. Readers keep working
+        through :func:`_read_latest_state`'s log fallback. Returns the
+        replace snapshot id, or None when the table has no data."""
+        batches = [
+            b
+            for b in self.committed_batches()
+            if any((self.batch_dir(b) / table).glob("*.parquet"))
+        ]
+        if not batches:
+            return None
+        tip = max(self.committed_batches())
+        df = self.read(table, max(batches))
+        sid = (self.log.current_snapshot_id(table) or 0) + 1
+        out = self.root / "compacted" / table / f"through={tip}-snap={sid}"
+        df.write.mode("overwrite").parquet(str(out))
+        return self.log.commit(
+            table, tip, out, operation="replace", replaces_through_batch=tip
+        )
+
     def read(self, table: str, batch_id: int) -> DataFrame:
         """ONE batch's append — planned from that batch's append snapshot
         (never from a replace snapshot: compacted files cover the whole
@@ -495,6 +522,32 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _read_latest_state(
+    store: CrawlStore, table: str, prev: int
+) -> tuple[DataFrame, int] | None:
+    """Latest copy of a full-state-per-batch table through batch ``prev``
+    plus the batch it is current AS OF: the newest committed batch dir
+    that still holds parquet files (a vacuumed dir may exist but be
+    empty), else the newest replace snapshot in the table's log
+    (compact_state + vacuum moves the only live copy there; its as-of is
+    replaces_through_batch), else None."""
+    with_files = [
+        b
+        for b in store.committed_batches()
+        if b <= prev and any((store.batch_dir(b) / table).glob("*.parquet"))
+    ]
+    if with_files:
+        b0 = max(with_files)
+        return store.read(table, b0), b0
+    reps = [s for s in store.log.snapshots(table) if s["operation"] == "replace"]
+    if reps:
+        paths = [e["path"] for e in reps[-1]["manifest"]]
+        if paths:
+            as_of = reps[-1].get("replaces_through_batch") or reps[-1]["batch_id"]
+            return store.spark.read.parquet(*paths), int(as_of)
+    return None
+
+
 def _ledger_delta(visited: DataFrame) -> DataFrame:
     """One batch's visited rows folded to the ledger shape."""
     return visited.groupBy("seed_url", "url").agg(
@@ -549,12 +602,9 @@ def _cache_ledger(store: CrawlStore, prev: int):
     with no ledger snapshot at all falls back to the full-history
     aggregation with mergeSchema + path-derived batch_id backfill."""
     committed = [b for b in store.committed_batches() if b <= prev]
-    with_ledger = [
-        b for b in committed if (store.batch_dir(b) / "cache_ledger").exists()
-    ]
-    if with_ledger:
-        b0 = max(with_ledger)
-        ledger = store.read("cache_ledger", b0)
+    state = _read_latest_state(store, "cache_ledger", prev)
+    if state is not None:
+        ledger, b0 = state
         # fold in any visited batches after the snapshot (TTL toggled off
         # and on again, or a legacy tail) — bounded by the gap, not by age
         for b in committed:
@@ -651,13 +701,19 @@ def _restore_cache_blobs(
     distributed groupBy-bucket build, no driver collect."""
     from crawler_ai_spark.operators import cachefilter as CF
 
-    with_blobs = [
-        b
-        for b in store.committed_batches()
-        if b <= prev and (store.batch_dir(b) / "cache_blobs").exists()
-    ]
-    if with_blobs:
-        return store.read("cache_blobs", max(with_blobs))
+    state = _read_latest_state(store, "cache_blobs", prev)
+    if state is not None:
+        blobs, as_of = state
+        # a blob snapshot is only continuable if no visited batch ran
+        # after it (a TTL-off gap fetches pages the filter never saw;
+        # the ledger, not the filter, is the source of truth — rebuild)
+        stale = any(
+            b > as_of and (store.batch_dir(b) / "visited").exists()
+            for b in store.committed_batches()
+            if b <= prev
+        )
+        if not stale:
+            return blobs
     ledger = _cache_ledger(store, prev)
     if ledger is None:
         return CF.empty_blobs(spark)
@@ -700,13 +756,9 @@ def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> 
     """Latest committed robots_cache snapshot (live-robots mode state:
     one row per host ever seen, rules parsed from its fetched
     /robots.txt), or an empty table for a fresh crawl."""
-    with_cache = [
-        b
-        for b in store.committed_batches()
-        if b <= prev and (store.batch_dir(b) / "robots_cache").exists()
-    ]
-    if with_cache:
-        return store.read("robots_cache", max(with_cache))
+    state = _read_latest_state(store, "robots_cache", prev)
+    if state is not None:
+        return state[0]
     return spark.createDataFrame([], _ROBOTS_CACHE_SCHEMA)
 
 

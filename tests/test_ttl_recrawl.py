@@ -240,6 +240,41 @@ def test_pre_blob_store_resume_rebuilds_distributed(spark, inputs, tmp_path_fact
         assert a == b, f"table {table} differs after pre-blob-store resume"
 
 
+def test_state_compaction_then_resume_bit_identical(spark, inputs, tmp_path_factory, runs):
+    """compact_state + vacuum collapse the per-batch full-state snapshots
+    (cache_blobs / cache_ledger) to one live copy — state storage
+    O(state), not O(batches × state) — and a resumed crawl restores
+    through the snapshot-log fallback and stays bit-identical."""
+    pages, seeds = inputs
+    (_, _), (store_t, ttl) = runs
+    root = tmp_path_factory.mktemp("ttl_state_compact")
+    cfg2 = CrawlConfig(max_batches=2, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg2)
+    store = CrawlStore(spark, root)
+    vacuumed = 0
+    for t in CrawlStore.STATE_TABLES:
+        if store.compact_state(t) is not None:
+            vacuumed += len(store.log.vacuum(t))
+    assert vacuumed > 0, "no superseded state files were expired"
+    # every per-batch state dir is empty now; the live copy is the replace
+    for b in store.committed_batches():
+        for t in ("cache_blobs", "cache_ledger"):
+            assert not list((store.batch_dir(b) / t).glob("*.parquet")), (b, t)
+    cfg4 = CrawlConfig(max_batches=4, parallelism=8, recrawl_ttl_seconds=7200)
+    run_crawl(spark, pages, seeds, root, cfg4, resume=True)
+    last = ttl["last_batch"]
+    assert max(store.committed_batches()) == last
+    for table in ("frontier", "visited", "seen_delta", "seed_state"):
+        df_a = store_t.read_all(table, last)
+        cols = sorted(df_a.columns)
+        a = {tuple(str(v) for v in r) for r in df_a.select(*cols).collect()}
+        b = {
+            tuple(str(v) for v in r)
+            for r in store.read_all(table, last).select(*cols).collect()
+        }
+        assert a == b, f"table {table} differs after state compaction + resume"
+
+
 def test_ttl_resume_is_bit_identical(spark, inputs, tmp_path_factory, runs):
     """W6 x S5: kill after 2 batches and resume — the deletable cache
     filter is rebuilt deterministically from the visited ledger, so the

@@ -74,6 +74,12 @@ def main() -> None:
                          "compaction and delete their data files (drops "
                          "pre-compaction time travel); works with --compact "
                          "or on a previously compacted store")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="rewrite each per-batch full-state table (cache "
+                         "filter blobs / TTL ledger / robots cache) to its "
+                         "latest snapshot only and vacuum the superseded "
+                         "copies — state storage O(state), not "
+                         "O(batches x state)")
     ap.add_argument("--compact-files", type=int, default=64,
                     help="target file count for --compact (size for ~total "
                          "seen keys / file at the crawl scale)")
@@ -130,7 +136,7 @@ def main() -> None:
             live_robots=args.live_robots,
         )
         summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
-        if args.compact or args.vacuum:
+        if args.compact or args.vacuum or args.compact_state:
             from crawler_ai_spark.plans.crawl_loop import CrawlStore
 
             store = CrawlStore(spark, args.state)
@@ -138,6 +144,12 @@ def main() -> None:
                 store.compact("seen_delta", files=args.compact_files)
             if args.vacuum:
                 summary["vacuumed_files"] = len(store.log.vacuum("seen_delta"))
+            if args.compact_state:
+                removed = 0
+                for t in CrawlStore.STATE_TABLES:
+                    if store.compact_state(t) is not None:
+                        removed += len(store.log.vacuum(t))
+                summary["state_files_vacuumed"] = removed
         print(json.dumps(summary))
     finally:
         spark.stop()
