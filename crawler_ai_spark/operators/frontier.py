@@ -121,24 +121,50 @@ def with_url_hash(df: DataFrame, url_col: str = "child_url") -> DataFrame:
     return df.withColumn("url_hash", url_hash(F.col(url_col)))
 
 
+def _robots_rule_matches(path: Column, p: Column) -> Column:
+    """RFC 9309 §2.2.3 special characters, evaluated JVM-side: ``*``
+    matches any octet sequence and a TRAILING ``$`` anchors the end of
+    the path; everything else is a literal prefix match. Plain rules (the
+    overwhelming majority) stay on the fast startswith path; a wildcard
+    rule translates to an anchored Java regex (metachars escaped, ``*``
+    → ``.*``, optional end anchor) checked with regexp_like."""
+    anchored = p.endswith("$")
+    wild = p.contains("*") | anchored
+    # strip the trailing anchor BEFORE escaping — any remaining '$' in
+    # the rule body is a literal octet and gets escaped below
+    core = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    escaped = F.regexp_replace(core, r"([\\.\^\$\+\?\(\)\[\]\{\}\|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(wild, F.regexp_like(path, rx)).otherwise(path.startswith(p))
+
+
 def apply_robots(frontier: DataFrame, host_rules: DataFrame | None) -> DataFrame:
     """W3 — robots gate: drop frontier URLs a host's rules disallow.
     Broadcast join (host_rules is small). Default allow-all reproduces
     the reference (ROBOTSTXT_OBEY=False, crawler_ai/settings.py:9).
 
-    Disallow-only rules: blocked iff any disallow prefix matches. When
+    Disallow-only rules: blocked iff any disallow rule matches. When
     host_rules also carries ``allow_prefixes`` (parse_robots
     with_allow=True), RFC 9309 longest-match precedence applies: the most
     specific matching rule wins; at equal length the least restrictive
-    (allow) wins — all in one JVM aggregate over the prefix arrays, no
-    Python, no extra shuffle."""
+    (allow) wins — all in one JVM aggregate over the rule arrays, no
+    Python, no extra shuffle. Rules may use the RFC's ``*`` / trailing
+    ``$`` special characters (_robots_rule_matches); specificity is the
+    rule's length, the standard most-octets tiebreak."""
     if host_rules is None:
         return frontier
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
 
     def longest_match(arr: Column) -> Column:
         return F.aggregate(
-            F.filter(F.coalesce(arr, F.array()), lambda p: path.startswith(p)),
+            F.filter(
+                F.coalesce(arr, F.array()),
+                lambda p: _robots_rule_matches(path, p),
+            ),
             F.lit(-1),
             lambda acc, p: F.greatest(acc, F.length(p)),
         )
@@ -152,7 +178,7 @@ def apply_robots(frontier: DataFrame, host_rules: DataFrame | None) -> DataFrame
     else:
         blocked = F.exists(
             F.coalesce(F.col("disallow_prefixes"), F.array()),
-            lambda p: path.startswith(p),
+            lambda p: _robots_rule_matches(path, p),
         )
     return (
         frontier.join(F.broadcast(host_rules.select(*rule_cols)), "host", "left")

@@ -1923,3 +1923,53 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure-CPU per-row work: spread rows across the cluster first
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(_roundtrip, out_schema).orderBy("doc_id")
+
+
+@_register(
+    "robots_wildcard_gate",
+    # outcomes predicted per synthesized rule case (the established
+    # robots-oracle style: the SQL re-states WHICH urls survive, it does
+    # not re-implement the matcher):
+    #   n%4==0  Disallow: /careers*apply      → ^/careers.*apply blocked
+    #   n%4==1  Disallow: /job*  Allow: /jobs/view*
+    #           → longest-match keeps /jobs/view/..., blocks other /job...
+    #   n%4==2  Disallow: /*-us$               → exact-suffix '-us' blocked
+    #   n%4==3  no robots
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+f AS (
+  SELECT doc_id, host, url, path AS p,
+         CAST(regexp_extract(host, 'site(\\d+)', 1) AS INT) % 4 AS n
+  FROM synth_urls
+)
+SELECT doc_id, host, url FROM f
+WHERE NOT (
+      (n = 0 AND regexp_matches(p, '^/careers.*apply'))
+   OR (n = 1 AND starts_with(p, '/job') AND NOT starts_with(p, '/jobs/view'))
+   OR (n = 2 AND regexp_matches(p, '^/.*-us$'))
+)
+ORDER BY doc_id
+""",
+)
+def q_robots_wildcard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — RFC 9309 §2.2.3 special characters through the REAL parser +
+    gate: '*' (any octet sequence) and trailing '$' (end anchor) in both
+    Disallow and Allow rules, with most-octets precedence — evaluated
+    JVM-side (operators/frontier._robots_rule_matches)."""
+    from crawler_ai_spark.operators.frontier import apply_robots
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    urls = synth_urls(spark, sf_dir)
+    n = F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 4
+    body = (
+        F.when(n == 0, F.lit("User-agent: *\nDisallow: /careers*apply"))
+        .when(n == 1,
+              F.lit("User-agent: *\nDisallow: /job*\nAllow: /jobs/view*"))
+        .when(n == 2, F.lit("User-agent: *\nDisallow: /*-us$"))
+        .otherwise(F.lit(""))
+    )
+    rules = parse_robots(
+        urls.select("host").distinct().withColumn("body", body), with_allow=True
+    )
+    frontier = urls.select("doc_id", "host", "url")
+    return apply_robots(frontier, rules).orderBy("doc_id")

@@ -39,6 +39,9 @@ _ALLOW_RX = r"(?im)^[^\S\n]*allow:[^\S\n]*(\S*)[^\S\n]*$"
 # digits only after the colon (same line-local whitespace discipline);
 # fractional seconds allowed (seen in the wild), negative/garbage ignored
 _CRAWL_DELAY_RX = r"(?im)^[^\S\n]*crawl-delay:[^\S\n]*([0-9]+(?:\.[0-9]+)?)[^\S\n]*$"
+# Sitemap lines are GLOBAL, not group-scoped (sitemaps.org protocol /
+# RFC 9309 §2.2.4 "other records"): extracted from the whole body
+_SITEMAP_RX = r"(?im)^[^\S\n]*sitemap:[^\S\n]*(\S+)[^\S\n]*$"
 
 
 def parse_robots(
@@ -47,9 +50,11 @@ def parse_robots(
     body_col: str = "body",
     with_crawl_delay: bool = False,
     with_allow: bool = False,
+    with_sitemaps: bool = False,
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
-    allow_prefixes ARRAY<STRING>][, crawl_delay_s DOUBLE]).
+    allow_prefixes ARRAY<STRING>][, crawl_delay_s DOUBLE][,
+    sitemap_urls ARRAY<STRING>]).
 
     Empty ``Disallow:`` lines (allow-all markers) are dropped; hosts whose
     ``*`` group disallows nothing come back with an empty array. With
@@ -57,7 +62,11 @@ def parse_robots(
     switches to RFC 9309 longest-match precedence. With
     ``with_crawl_delay``, the minimum valid ``Crawl-delay`` across the
     ``*`` group(s) is emitted (NULL when absent — crawler picks its own
-    pace)."""
+    pace). With ``with_sitemaps``, ``Sitemap:`` URLs are emitted —
+    these are GLOBAL lines (not group-scoped), ready to seed the S6
+    sitemap source. Rule values may carry RFC 9309 ``*`` / trailing
+    ``$`` special characters; the gate (operators/frontier.apply_robots)
+    interprets them."""
     groups = F.regexp_extract_all(F.col(body_col), F.lit(_STAR_GROUP_RX), F.lit(1))
     star_text = F.concat_ws("\n", groups)
     prefixes = F.regexp_extract_all(star_text, F.lit(_DISALLOW_RX), F.lit(1))
@@ -77,6 +86,9 @@ def parse_robots(
                 "crawl_delay_s"
             )
         )
+    if with_sitemaps:
+        maps = F.regexp_extract_all(F.col(body_col), F.lit(_SITEMAP_RX), F.lit(1))
+        cols.append(F.array_distinct(maps).alias("sitemap_urls"))
     return robots.select(*cols)
 
 
