@@ -681,3 +681,36 @@ def test_resize_images_roundtrip(spark):
             assert back["pixels"] == want
         else:
             assert r.content is None and r.pixel_sum is None
+
+
+def test_media_jpeg_through_spark_decode_and_resize(spark):
+    """JPEG rows flow through the SAME Spark media passes as PNG/BMP/GIF
+    now that _try_decode_pixels handles baseline JPEG: decode features
+    (true dims/means/hashes) and the decode→resize→PNG-re-encode pass."""
+    import numpy as np
+
+    from crawler_ai_spark.pipeline.jpegcodec import encode_jpeg
+    from crawler_ai_spark.pipeline.multimodal import decode_png
+
+    rows = []
+    for i in range(6):
+        w, h = 12 + i, 10 + i
+        px = bytes(
+            min(255, 10 + x * 3 + y * 2 + c * 11)
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        blob = encode_jpeg(w, h, px, 3, subsample=(i % 2 == 1))
+        rows.append((i, "image", blob, "image/jpeg", len(blob)))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in MM.decode_image_features(media).collect()}
+    assert len(feats) == 6
+    for i in range(6):
+        assert (feats[i].width, feats[i].height, feats[i].channels) == (12 + i, 10 + i, 3)
+        assert feats[i].pixel_sha256 is not None and 0 < feats[i].mean_pixel < 1
+    resized = {r.media_id: r for r in MM.resize_images(media, 8, 6).collect()}
+    for i in range(6):
+        out = decode_png(bytes(resized[i].content))
+        assert (out["width"], out["height"], out["channels"]) == (8, 6, 3)
+    # a decoded-then-resized JPEG is deterministic end to end
+    again = {r.media_id: bytes(r.content) for r in MM.resize_images(media, 8, 6).collect()}
+    assert all(bytes(resized[i].content) == again[i] for i in range(6))
