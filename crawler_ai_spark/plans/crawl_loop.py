@@ -748,7 +748,8 @@ def _crawl_delay_budgets(host_rules: DataFrame | None, interval_s: int) -> DataF
 
 _ROBOTS_CACHE_SCHEMA = (
     "host string, disallow_prefixes array<string>, "
-    "allow_prefixes array<string>, crawl_delay_s double"
+    "allow_prefixes array<string>, crawl_delay_s double, "
+    "sitemap_urls array<string>"
 )
 
 
@@ -955,6 +956,7 @@ def run_crawl(
                 ),
                 with_allow=True,
                 with_crawl_delay=True,
+                with_sitemaps=True,
             )
             robots_state = robots_state.unionByName(new_rules)
             store.write(batch_id, "robots_cache", robots_state)

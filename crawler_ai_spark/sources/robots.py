@@ -8,8 +8,10 @@ standard subset the gate consumes: ``User-agent`` groups and their
 non-standard-but-ubiquitous ``Crawl-delay`` (min across the ``*``
 group's values; consumed by the politeness budget as a per-host
 fetches-per-batch cap and by the live fetch stage as the slot width).
-Allow lines and wildcards inside paths are out of scope for the prefix
-gate (a prefix match is what apply_robots implements).
+Allow lines (with_allow=True → RFC 9309 longest-match precedence), the
+RFC's ``*`` / trailing-``$`` wildcard rule values (interpreted by
+apply_robots), and global ``Sitemap:`` lines (with_sitemaps=True, fed to
+expand_sitemaps) are all supported.
 
 JVM-side: one regexp_extract_all per body picks the "User-agent: *"
 groups, a second picks their Disallow values — no Python in the path."""
@@ -134,3 +136,42 @@ def fetch_robots(frontier: DataFrame, transport, host_partitions: int | None = N
         .otherwise(F.lit(""))
         .alias("body"),
     )
+
+
+def expand_sitemaps(rules: DataFrame, transport, host_partitions: int | None = None) -> DataFrame:
+    """Robots → sitemap → candidate URLs: fetch every ``Sitemap:`` URL a
+    host's robots.txt advertised (parse_robots with_sitemaps=True) through
+    the real fetch stage and extract the ``<loc>`` entries — the
+    standard seed-expansion pipeline real crawlers run (sitemaps.org
+    protocol; the same <loc> scan as the S6 sitemap source). Returns
+    (host, url) candidate rows, deterministic order by (host, url).
+
+    Unfetchable or non-XML sitemap bodies contribute nothing (a missing
+    sitemap must not fail a crawl batch); nested sitemap INDEX files
+    contribute their child sitemap URLs as candidates for a further
+    round — the caller decides how deep to go."""
+    from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
+
+    targets = rules.select(
+        "host",
+        F.explode(
+            F.coalesce(F.col("sitemap_urls"), F.array().cast("array<string>"))
+        ).alias("url"),
+    ).distinct()
+    frontier = targets.select(
+        "url", "host", F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("discovered_seq"),
+    )
+    fetched = fetch_pages(
+        frontier,
+        FetchConfig(transport=transport, per_host_delay_ms=0, host_partitions=host_partitions),
+    )
+    locs = fetched.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col("html"), F.lit("")), F.lit(r"<loc>([^<]+)</loc>"), F.lit(1)
+            )
+        ).alias("url"),
+    )
+    return locs.distinct().orderBy("host", "url")

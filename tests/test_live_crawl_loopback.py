@@ -28,7 +28,16 @@ from crawler_ai_spark.sources.fetch import UrllibTransport
 def _site(base: str) -> dict[str, str]:
     return {
         # served for live_robots mode; ignored (never fetched) otherwise
-        "/robots.txt": "User-agent: *\nDisallow: /jobs/2\nCrawl-delay: 1800\n",
+        "/robots.txt": (
+            "User-agent: *\nDisallow: /jobs/2\nCrawl-delay: 1800\n"
+            f"Sitemap: {base}/sitemap.xml\n"
+        ),
+        "/sitemap.xml": (
+            '<?xml version="1.0"?><urlset>'
+            f"<url><loc>{base}/careers</loc></url>"
+            f"<url><loc>{base}/jobs/1</loc></url>"
+            "</urlset>"
+        ),
         "/": (
             "<html><head><title>Acme Corp</title></head><body>"
             f'<a href="{base}/careers">Careers</a> '
@@ -178,6 +187,20 @@ def test_live_robots_gate_budget_and_cache(spark, base_url, tmp_path_factory):
     host = next(iter(rules))
     assert list(rules[host].disallow_prefixes) == ["/jobs/2"]
     assert rules[host].crawl_delay_s == 1800.0
+    # the global Sitemap line rode into the cache, and expanding it over
+    # a real socket yields the advertised <loc> URLs
+    assert list(rules[host].sitemap_urls) == [base_url + "/sitemap.xml"]
+    from crawler_ai_spark.sources.robots import expand_sitemaps
+
+    locs = {
+        r.url
+        for r in expand_sitemaps(
+            store.read("robots_cache", last_cache),
+            UrllibTransport(timeout_s=10, allow_network=True),
+            host_partitions=2,
+        ).collect()
+    }
+    assert locs == {base_url + "/careers", base_url + "/jobs/1"}
 
 
 def test_live_crawl_is_deterministic(spark, base_url, tmp_path_factory):
