@@ -1,0 +1,80 @@
+"""Host-graph rank for crawl prioritization (power-iteration PageRank).
+
+The reference crawler schedules fetches per-seed with static keyword
+scores (services/crawler/spider.py priority heuristics); a web-scale
+frontier additionally wants a *global* host-importance signal so crawl
+budget flows toward well-linked hosts. This operator computes damped
+PageRank over the host link graph with a fixed iteration count — the
+classic batch formulation (Page et al. 1999; same shape as GraphX/
+Pregel's pagerank but expressed as plain DataFrame joins so Catalyst
+plans it).
+
+Scale notes (10^8-host graph, 10^10 edges):
+  * `edges` + `outdeg` are iteration-invariant — callers should persist
+    (or bucket-by `src`) once; each iteration is then one shuffle-join
+    on `src` (rank is re-keyed by `host`) plus one aggregation keyed by
+    `dst`. K iterations = 2K shuffles, no driver state, no collect.
+  * Map-side combine applies to the inflow aggregation; a hot host
+    (huge in-degree) is absorbed by partial aggregation when
+    `deterministic_fold=False` (plain SUM — the production path).
+  * `deterministic_fold=True` sums each host's in-contributions in
+    src-sorted order via a fold, making the resulting doubles
+    bit-identical across engines (the cross-engine oracle-hash harness
+    needs reproducible float addition order). That path materializes a
+    per-host in-edge array, so it is for bounded-degree graphs /
+    test rigs — production uses the SUM path where last-bit float
+    determinism is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def host_rank(
+    edges: DataFrame,
+    hosts: DataFrame,
+    n_hosts: int,
+    iterations: int = 3,
+    damping: float = DAMPING,
+    deterministic_fold: bool = True,
+) -> DataFrame:
+    """Damped PageRank over a host graph, fixed `iterations` power steps.
+
+    edges:  distinct (src, dst) host-id pairs, self-loops removed; every
+            host MUST have >= 1 out-edge (add sink handling upstream —
+            the catalog fixture guarantees it with a ring).
+    hosts:  one row per host id (the rank universe).
+    Returns (host, rank) with sum(rank) ~= 1.
+    """
+    base = (1.0 - damping) / n_hosts
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src")  # iteration-invariant; persist at scale
+    r = hosts.select("host", F.lit(1.0 / n_hosts).alias("rank"))
+    for _ in range(iterations):
+        contrib = e.join(r, e["src"] == r["host"]).select(
+            e["dst"], e["src"], (r["rank"] / e["outdeg"]).alias("c")
+        )
+        if deterministic_fold:
+            inflow = contrib.groupBy("dst").agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(src, c))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x.c)"
+                ).alias("inflow")
+            )
+        else:
+            inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        r = (
+            hosts.join(inflow, hosts["host"] == inflow["dst"], "left")
+            .select(
+                hosts["host"],
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r

@@ -405,3 +405,90 @@ def q_crawl_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# host-graph rank (crawl-budget prioritization; operators/hostrank.py)
+# ===========================================================================
+
+_HR_DAMP = 0.85
+_HR_N = 37
+_HR_ITERS = 3
+
+
+def _host_rank_oracle() -> str:
+    """Unrolled power iteration; every float literal is emitted in
+    scientific notation so DuckDB parses DOUBLE (a bare decimal literal
+    would be DECIMAL and the arithmetic would diverge from Spark's IEEE
+    doubles). Contributions fold in src-sorted order — bit-identical to
+    the Spark side's sorted-array aggregate."""
+    damp = f"{_HR_DAMP:.17e}"
+    base = f"{(1.0 - _HR_DAMP) / _HR_N:.17e}"
+    init = f"{1.0 / _HR_N:.17e}"
+    zero = f"{0.0:.17e}"
+    steps = []
+    prev = "r0"
+    for k in range(1, _HR_ITERS + 1):
+        steps.append(
+            f"""
+i{k} AS (
+  SELECT e.dst AS host,
+         list_reduce(list(r.rank / e.outdeg ORDER BY e.src), (a, b) -> a + b)
+           AS inflow
+  FROM e JOIN {prev} r ON e.src = r.host GROUP BY e.dst),
+r{k} AS (
+  SELECT h.host, {base} + {damp} * COALESCE(i{k}.inflow, {zero}) AS rank
+  FROM hosts h LEFT JOIN i{k} ON h.host = i{k}.host)"""
+        )
+        prev = f"r{k}"
+    return f"""
+WITH hosts AS (SELECT range AS host FROM range({_HR_N})),
+synth AS (
+  SELECT DISTINCT doc_id % {_HR_N} AS src, (doc_id // {_HR_N}) % {_HR_N} AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % {_HR_N}) != ((doc_id // {_HR_N}) % {_HR_N})),
+ring AS (SELECT host AS src, (host + 1) % {_HR_N} AS dst FROM hosts),
+edges AS (SELECT DISTINCT src, dst
+          FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT host, {init} AS rank FROM hosts),{",".join(steps)}
+SELECT host, rank FROM r{_HR_ITERS} ORDER BY host
+"""
+
+
+def synth_host_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic host link graph from the documents table: src/dst are
+    independent doc_id coordinates (mod / floor-div) so edges vary per
+    src, an LCG-mixed keep-gate sparsifies, and a ring edge per host
+    guarantees no dangling hosts (host_rank() requires outdeg >= 1)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    synth = (
+        docs.where(
+            f"((doc_id * 1103515245 + 12345) % 101) < 29"
+            f" AND (doc_id % {_HR_N}) != ((doc_id DIV {_HR_N}) % {_HR_N})"
+        )
+        .selectExpr(f"doc_id % {_HR_N} AS src", f"(doc_id DIV {_HR_N}) % {_HR_N} AS dst")
+        .distinct()
+    )
+    hosts = spark.range(_HR_N).select(F.col("id").alias("host"))
+    ring = hosts.selectExpr("host AS src", f"(host + 1) % {_HR_N} AS dst")
+    return synth.unionByName(ring).distinct(), hosts
+
+
+@_register("host_rank", oracle=_host_rank_oracle())
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global host-importance for crawl-budget allocation: damped PageRank
+    (3 power steps) over the synthesized host graph. The reference has no
+    global prioritizer (its spider scores URLs per-seed only —
+    services/crawler/spider.py); this is the web-scale addition that
+    ranks hosts for frontier budget. Oracle: unrolled CTE iteration in
+    DuckDB, bit-identical doubles via src-sorted folds."""
+    from crawler_ai_spark.operators.hostrank import host_rank
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    return (
+        host_rank(edges, hosts, n_hosts=_HR_N, iterations=_HR_ITERS, damping=_HR_DAMP)
+        .orderBy("host")
+    )
+
+
+# ===========================================================================

@@ -1,0 +1,102 @@
+"""host_rank (operators/hostrank.py) — semantics on hand-checkable graphs.
+
+The cross-engine float bit-identity of the catalog's `host_rank` query is
+covered by the oracle gate; these tests pin the PageRank math itself.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.operators.hostrank import host_rank
+
+
+def _rank_map(df):
+    return {r["host"]: r["rank"] for r in df.collect()}
+
+
+def _graph(spark, edges, n):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    h = spark.range(n).select(F.col("id").alias("host"))
+    return e, h
+
+
+def test_ring_is_uniform(spark):
+    # symmetric ring: every host identical by symmetry, sum == 1
+    n = 5
+    e, h = _graph(spark, [(i, (i + 1) % n) for i in range(n)], n)
+    ranks = _rank_map(host_rank(e, h, n_hosts=n, iterations=4))
+    assert len(ranks) == n
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-12)
+    assert all(math.isclose(v, 1.0 / n, rel_tol=1e-12) for v in ranks.values())
+
+
+def _py_pagerank(edges, n, iterations, d=0.85):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (1.0 - d) / n
+    r = [1.0 / n] * n
+    for _ in range(iterations):
+        inflow = [0.0] * n
+        for s, t in sorted(edges):
+            inflow[t] += r[s] / outdeg[s]
+        r = [base + d * inflow[i] for i in range(n)]
+    return r
+
+
+def test_star_matches_python_reference(spark):
+    # hosts 1..4 all point at 0; 0 points back at 1 (no dangling).  The
+    # star oscillates between hub and spoke under power iteration, so pin
+    # the exact iterated values against a plain-Python reference rather
+    # than converged-order claims.
+    n = 5
+    edges = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    e, h = _graph(spark, edges, n)
+    ranks = _rank_map(host_rank(e, h, n_hosts=n, iterations=10))
+    ref = _py_pagerank(edges, n, iterations=10)
+    for i in range(n):
+        assert math.isclose(ranks[i], ref[i], rel_tol=1e-12), (i, ranks[i], ref[i])
+    assert ranks[2] == ranks[3] == ranks[4]  # symmetric leaves, no inflow
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+
+
+def test_two_iterations_hand_computed(spark):
+    # 3 hosts: 0->1, 0->2, 1->2, 2->0.  Hand-run two damped steps.
+    n, d = 3, 0.85
+    e, h = _graph(spark, [(0, 1), (0, 2), (1, 2), (2, 0)], n)
+    base = (1.0 - d) / n
+    r = [1.0 / n] * 3
+    for _ in range(2):
+        r = [
+            base + d * r[2],
+            base + d * (r[0] / 2),
+            base + d * (r[0] / 2 + r[1]),
+        ]
+    got = _rank_map(host_rank(e, h, n_hosts=n, iterations=2, damping=d))
+    for i in range(3):
+        assert math.isclose(got[i], r[i], rel_tol=1e-12), (i, got[i], r[i])
+
+
+def test_sum_path_matches_fold_path(spark):
+    # production SUM aggregation agrees with the deterministic fold
+    n = 7
+    edges = [(i, (i * 3 + 1) % n) for i in range(n)] + [(i, (i + 1) % n) for i in range(n)]
+    edges = [(s, t) for s, t in dict.fromkeys(edges).keys() if s != t]
+    e, h = _graph(spark, edges, n)
+    fold = _rank_map(host_rank(e, h, n_hosts=n, iterations=3, deterministic_fold=True))
+    summed = _rank_map(host_rank(e, h, n_hosts=n, iterations=3, deterministic_fold=False))
+    for i in range(n):
+        assert math.isclose(fold[i], summed[i], rel_tol=1e-12)
+
+
+def test_catalog_fixture_has_no_dangling_hosts(spark):
+    from crawler_ai_spark.queries.crawl import _HR_N, synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, "/root/testdata/sf0.001")
+    assert edges.where("src = dst").count() == 0
+    assert edges.select("src").distinct().count() == _HR_N  # every host emits
+    ranks = host_rank(edges, hosts, n_hosts=_HR_N)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
