@@ -492,3 +492,64 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# WARC source/sink round-trip (sources/warc.py)
+# ===========================================================================
+
+_WARC_HTML = "'<html><body>' || text || '</body></html>'"
+_WARC_MICROS = "1704067200000000 + doc_id * 1000000 + (doc_id * 1337) % 1000000"
+
+
+@_register(
+    "warc_roundtrip",
+    # DuckDB re-derives every column from documents directly; the Spark
+    # side reads them back OUT OF WARC FILES it just wrote, so any header
+    # mis-framing, payload corruption, timestamp truncation or lost/extra
+    # record diverges the hash. strlen (BYTES in DuckDB, = Spark length on
+    # BINARY) not length (chars).
+    oracle=f"""
+SELECT 'https://warc' || (doc_id % 23) || '.example.com/p/' || doc_id AS url,
+       strftime(make_timestamp({_WARC_MICROS}),
+                '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       md5({_WARC_HTML}) AS html_md5,
+       CAST(strlen({_WARC_HTML}) AS BIGINT) AS body_bytes,
+       CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT) AS status
+FROM documents WHERE text IS NOT NULL
+ORDER BY url
+""",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-format I/O, driver-gated end to end: synthesized pages
+    are written as per-record-gzip-member WARC/1.1 (ISO 28500, the CC
+    layout) and read back through the binaryFile + Content-Length-framed
+    parser; the oracle predicts every cell from first principles so the
+    WARC layer must be an exact identity. Files land in a fresh mkdtemp
+    per run (tiny at catalog SF); the manifest collect() is 8 rows."""
+    import tempfile
+
+    from crawler_ai_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    pages = docs.select(
+        F.expr(
+            "'https://warc' || CAST(doc_id % 23 AS STRING) || '.example.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.expr(f"timestamp_micros({_WARC_MICROS})").alias("warc_ts"),
+        F.expr(f"CAST({_WARC_HTML} AS BINARY)").alias("html"),
+        F.expr("CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT)").alias(
+            "status"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
+    back = read_warc(spark, out)
+    return back.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.md5(F.col("html")).alias("html_md5"),
+        F.length(F.col("html")).cast("bigint").alias("body_bytes"),
+        "status",
+    ).orderBy("url")
+
+
+# ===========================================================================

@@ -1,0 +1,191 @@
+"""WARC source/sink — Common Crawl's interchange format (ISO 28500).
+
+The reference crawler persists pages as database rows only
+(services/crawl_service.py result dicts); a web-scale engine whose input
+is "Common-Crawl-style pages" (BASELINE.json input_hint) needs to read
+and write the archive format those corpora actually ship in. Implemented
+from the public WARC/1.0–1.1 spec with the stdlib only.
+
+Format choices (all from the public CC conventions):
+  * one `response` record per page; payload is a full HTTP/1.1 response
+    (status line + headers + body bytes), so `html` round-trips
+    byte-exactly and `status` survives;
+  * `WARC-Date` is emitted with microsecond precision (WARC/1.1 §5.4
+    allows fractional seconds) so `warc_ts` round-trips exactly;
+  * `gzip_records=True` writes each record as its OWN gzip member
+    (the Common Crawl layout) — a member boundary is a clean seek
+    point, which is what keeps multi-GB .warc.gz files splittable for
+    record-level readers.
+
+Scale notes:
+  * The sink is `mapInPandas` → one `part-<pid>.warc[.gz]` per input
+    partition, executor-side, no driver involvement; it returns a
+    manifest DataFrame (path, n_records, n_bytes) so callers keep
+    lineage. Size output partitions upstream (repartition) to hit the
+    ~1 GB/file CC convention.
+  * The source reads via `binaryFile` + `mapInPandas`: whole-file per
+    task, which is the right granularity when files are written at the
+    per-partition sizes above; a splittable member-seeking reader can
+    replace the loader without touching the parser.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("status", T.IntegerType()),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_REASON = {200: "OK", 301: "Moved Permanently", 404: "Not Found", 500: "Internal Server Error"}
+
+
+def _warc_date(ts) -> str:
+    # WARC/1.1 permits fractional seconds; microseconds keep warc_ts exact
+    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+
+
+def _record_bytes(url: str, ts, html: bytes, status: int) -> bytes:
+    html = bytes(html or b"")
+    status = int(status) if status is not None else 200
+    reason = _REASON.get(status, "Unknown")
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: text/html\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n"
+    ).encode("ascii") + html
+    rid = hashlib.md5((url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc(df: DataFrame, out_dir: str, gzip_records: bool = False) -> DataFrame:
+    """Write (url, warc_ts, html, status[, ...]) as WARC files, one per
+    partition. Returns the manifest (path, n_records, n_bytes); the
+    write happens when the manifest is consumed (pure-plan semantics —
+    cache/collect the manifest once)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+    cols = df.select("url", "warc_ts", "html", F.col("status").cast("int"))
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rec = _record_bytes(row.url, row.warc_ts, row.html, row.status)
+                if gzip_records:
+                    # one gzip MEMBER per record (CC convention, mtime=0
+                    # for determinism) — member boundaries keep the file
+                    # seekable/splittable at record granularity
+                    g = io.BytesIO()
+                    with gzip.GzipFile(fileobj=g, mode="wb", mtime=0) as zf:
+                        zf.write(rec)
+                    buf.write(g.getvalue())
+                else:
+                    buf.write(rec)
+                n += 1
+        data = buf.getvalue()
+        if n:
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [len(data)]})
+
+    return cols.mapInPandas(_write, schema=MANIFEST_SCHEMA)
+
+
+def _parse_warc(data: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_ts, html, status) from raw WARC bytes (headers
+    block + Content-Length payload per ISO 28500 — no naive splitting,
+    payload bytes may contain anything)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        headers = {}
+        lines = data[pos:hdr_end].split(_CRLF)
+        version = lines[0]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}: {version[:20]!r}")
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers[b"content-length"])
+        body = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get(b"warc-type") != b"response":
+            continue  # warcinfo/request/metadata records: skip
+        url = headers[b"warc-target-uri"].decode("utf-8")
+        ts = pd.Timestamp(headers[b"warc-date"].decode("ascii").rstrip("Z"))
+        # payload is an HTTP/1.1 response: status line, headers, body
+        status_line, _, rest = body.partition(_CRLF)
+        status = int(status_line.split(b" ")[1])
+        _, _, html = rest.partition(b"\r\n\r\n")
+        yield url, ts, html, status
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (stdlib gzip.decompress
+    already handles multi-member streams)."""
+    return gzip.decompress(data)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read .warc / .warc.gz files into (url, warc_ts, html, status)."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.warc*") if os.path.isdir(path) else path
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content)
+                if row.path.endswith(".gz"):
+                    data = _gunzip_members(data)
+                rows.extend(_parse_warc(data))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "status"])
+
+    return files.select("path", "content").mapInPandas(_read, schema=PAGE_SCHEMA)

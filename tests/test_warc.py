@@ -1,0 +1,89 @@
+"""WARC source/sink (sources/warc.py) — round-trip, format, determinism."""
+
+import gzip
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.sources import warc as W
+
+
+@pytest.fixture(scope="module")
+def pages(spark, fixture_root):
+    return (
+        spark.read.parquet(str(fixture_root / "sf0.01" / "pages.parquet"))
+        .where("html IS NOT NULL")
+        .select("url", "warc_ts", "html", "status")
+        .limit(300)
+    )
+
+
+def _roundtrip(spark, pages, out_dir, gz):
+    manifest = W.write_warc(pages.repartition(3), str(out_dir), gzip_records=gz)
+    m = manifest.collect()
+    assert sum(r.n_records for r in m) == pages.count()
+    assert all(r.path.endswith(".warc.gz" if gz else ".warc") for r in m)
+    return W.read_warc(spark, str(out_dir))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_bit_exact(spark, pages, tmp_path, gz):
+    back = _roundtrip(spark, pages, tmp_path / ("gz" if gz else "plain"), gz)
+    a = {r.url: r for r in pages.collect()}
+    b = {r.url: r for r in back.collect()}
+    assert set(a) == set(b)
+    for url, row in a.items():
+        got = b[url]
+        assert bytes(got.html) == bytes(row.html), url
+        assert got.status == row.status, url
+        assert got.warc_ts == row.warc_ts, url  # microsecond-exact WARC-Date
+
+
+def test_gzip_members_are_per_record(pages, spark, tmp_path):
+    # CC convention: each record its own gzip member → member count ==
+    # record count, and any member boundary is a valid seek point
+    manifest = W.write_warc(pages.coalesce(1), str(tmp_path), gzip_records=True).collect()
+    path = manifest[0]["path"]
+    data = open(path, "rb").read()
+    members = data.count(b"\x1f\x8b\x08")  # gzip magic + deflate method
+    assert members == manifest[0]["n_records"]
+    # second member parses standalone from its boundary
+    second = data.index(b"\x1f\x8b\x08", 1)
+    rec = gzip.decompress(data[second:])
+    assert rec.startswith(b"WARC/1.1\r\n")
+
+
+def test_deterministic_bytes(spark, pages, tmp_path):
+    m1 = W.write_warc(pages.coalesce(1), str(tmp_path / "a"), gzip_records=True).collect()
+    m2 = W.write_warc(pages.coalesce(1), str(tmp_path / "b"), gzip_records=True).collect()
+    h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(m1[0]["path"]) == h(m2[0]["path"])
+
+
+def test_non_response_records_skipped(spark, tmp_path):
+    info = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nWARC-Date: 2024-01-01T00:00:00.000000Z\r\n"
+        b"Content-Length: 9\r\n\r\nsoftware\n\r\n\r\n"
+    )
+    rec = W._record_bytes("https://x.example.com/", "2024-01-02T03:04:05.000006", b"<p>hi</p>", 200)
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(info + rec)
+    rows = W.read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].url == "https://x.example.com/"
+    assert bytes(rows[0].html) == b"<p>hi</p>"
+    assert rows[0].status == 200
+
+
+def test_payload_with_crlf_crlf_inside_html(spark, tmp_path):
+    # Content-Length framing, not delimiter splitting: html containing
+    # the record separator must survive
+    html = b"<html>\r\n\r\nWARC/1.1\r\n\r\n</html>"
+    rec = W._record_bytes("https://t.example.com/a", "2024-01-01T00:00:00", html, 404)
+    p = tmp_path / "tricky.warc"
+    p.write_bytes(rec + rec.replace(b"/a", b"/b"))
+    rows = {r.url: r for r in W.read_warc(spark, str(p)).collect()}
+    assert len(rows) == 2
+    assert bytes(rows["https://t.example.com/a"].html) == html
+    assert rows["https://t.example.com/a"].status == 404
