@@ -78,3 +78,26 @@ def host_rank(
             )
         )
     return r
+
+
+def budget_from_rank(
+    ranks: DataFrame,
+    total_per_batch: int,
+    min_budget: int = 1,
+    max_budget: int | None = None,
+) -> DataFrame:
+    """Turn host ranks into per-host politeness budgets: each host gets a
+    share of the batch's total fetch budget proportional to its rank
+    (floor(total * rank), clamped to [min_budget, max_budget]). The output
+    (host, host_budget) feeds operators/frontier.py:apply_host_budget's
+    `host_budgets` parameter directly — well-linked hosts get more slots
+    per batch, but min_budget keeps the tail crawlable and max_budget caps
+    any single host (rank-proportional, still polite).
+
+    floor() on the rank double is deterministic because host_rank's fold
+    path makes the rank bits reproducible."""
+    b = F.floor(F.lit(float(total_per_batch)) * F.col("rank")).cast("int")
+    b = F.greatest(F.lit(min_budget), b)
+    if max_budget is not None:
+        b = F.least(F.lit(max_budget), b)
+    return ranks.select("host", b.alias("host_budget"))

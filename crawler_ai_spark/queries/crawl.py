@@ -553,3 +553,82 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# rank-weighted politeness budgets (hostrank.budget_from_rank → W2)
+# ===========================================================================
+
+_RB_TOTAL, _RB_MIN, _RB_MAX = 150, 1, 8
+
+
+def _rank_budget_oracle() -> str:
+    car = _any_substr_rx(K.CAREER_KEYWORDS)
+    nav = _any_substr_rx(K.NAV_KEYWORDS)
+    con = _any_substr_rx(K.CONTENT_KEYWORDS)
+    # reuse the full host-rank iteration (bit-identical ranks), then the
+    # allocator clamp and the single-window equivalent of the two-phase
+    # salted budget rank (see apply_host_budget's equivalence docstring)
+    hr = _host_rank_oracle().strip()
+    hr_ctes = hr[: hr.rindex("SELECT host, rank")].rstrip()  # CTE chain only
+    return f"""{hr_ctes},
+budgets AS (
+  SELECT 'site' || host || '.example.com' AS hname,
+         GREATEST({_RB_MIN}, LEAST({_RB_MAX},
+             CAST(floor(CAST({_RB_TOTAL} AS DOUBLE) * rank) AS INTEGER)))
+           AS host_budget
+  FROM r{_HR_ITERS}),
+{SYNTH_URLS_CTE.strip().lstrip()},
+prio AS (
+  SELECT doc_id, host, url,
+    CASE WHEN regexp_matches(lower(url), {_sql_quote(car)}) THEN 100
+         WHEN regexp_matches(lower(url), {_sql_quote(nav)}) THEN 80
+         WHEN regexp_matches(lower(url), {_sql_quote(con)}) THEN 50
+         ELSE 10 END AS priority
+  FROM synth_urls),
+ranked AS (
+  SELECT p.*, b.host_budget,
+         row_number() OVER (PARTITION BY p.host
+                            ORDER BY p.priority DESC, p.doc_id, p.url) AS rk
+  FROM prio p JOIN budgets b ON p.host = b.hname)
+SELECT doc_id, host, url, priority, host_budget
+FROM ranked WHERE rk <= host_budget
+ORDER BY host, priority DESC, doc_id
+"""
+
+
+@_register("rank_budget_schedule", oracle=_rank_budget_oracle())
+def q_rank_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-weighted crawl-budget allocation end to end: host_rank over the
+    synthesized host graph → budget_from_rank (floor(total×rank) clamped
+    to [min,max]) → the REAL two-phase salted apply_host_budget (W2).
+    Well-linked hosts get more fetch slots per batch; the oracle re-runs
+    the whole chain as one SQL (single-window equivalence per
+    apply_host_budget's docstring). Gates the allocator arithmetic AND
+    the budget scheduler against rank-derived (not constant) caps."""
+    from crawler_ai_spark.operators.frontier import apply_host_budget
+    from crawler_ai_spark.operators.hostrank import budget_from_rank, host_rank
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    ranks = host_rank(edges, hosts, n_hosts=_HR_N, iterations=_HR_ITERS)
+    budgets = budget_from_rank(
+        ranks, total_per_batch=_RB_TOTAL, min_budget=_RB_MIN, max_budget=_RB_MAX
+    ).select(
+        F.expr("'site' || CAST(host AS STRING) || '.example.com'").alias("host"),
+        "host_budget",
+    )
+    urls = synth_urls(spark, sf_dir)
+    frontier = urls.select(
+        "url",
+        "host",
+        F.col("host").alias("seed_url"),  # constant within host: no order effect
+        F.col("doc_id").alias("discovered_seq"),
+        FL.priority_expr(F.col("url")).alias("priority"),
+        "doc_id",
+    )
+    scheduled, _deferred = apply_host_budget(frontier, None, budgets)
+    return (
+        scheduled.join(F.broadcast(budgets), "host")
+        .select("doc_id", "host", "url", "priority", "host_budget")
+        .orderBy("host", F.col("priority").desc(), "doc_id")
+    )
+
+
+# ===========================================================================

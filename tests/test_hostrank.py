@@ -100,3 +100,26 @@ def test_catalog_fixture_has_no_dangling_hosts(spark):
     ranks = host_rank(edges, hosts, n_hosts=_HR_N)
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_budget_from_rank_clamps(spark):
+    from crawler_ai_spark.operators.hostrank import budget_from_rank
+
+    ranks = spark.createDataFrame(
+        [(0, 0.5), (1, 0.001), (2, 0.09), (3, 0.25)], "host long, rank double"
+    )
+    got = {r.host: r.host_budget for r in budget_from_rank(
+        ranks, total_per_batch=100, min_budget=2, max_budget=20
+    ).collect()}
+    assert got == {0: 20, 1: 2, 2: 9, 3: 20}  # clamp high, clamp low, floor
+
+
+def test_rank_budget_respected_per_host(spark):
+    from crawler_ai_spark.queries.crawl import q_rank_budget_schedule, _RB_MAX, _RB_MIN
+
+    out = q_rank_budget_schedule(spark, "/root/testdata/sf0.001")
+    per_host = out.groupBy("host", "host_budget").count().collect()
+    assert per_host  # non-empty schedule
+    for r in per_host:
+        assert _RB_MIN <= r["host_budget"] <= _RB_MAX
+        assert r["count"] <= r["host_budget"], r
