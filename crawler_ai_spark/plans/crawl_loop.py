@@ -746,6 +746,24 @@ def _crawl_delay_budgets(host_rules: DataFrame | None, interval_s: int) -> DataF
     )
 
 
+def _merge_host_budgets(
+    a: DataFrame | None, b: DataFrame | None
+) -> DataFrame | None:
+    """Tightest-wins merge of two (host, host_budget) tables: a host in
+    both gets least(budget_a, budget_b); a host in one keeps its own
+    (Spark `least` skips NULLs). Used to combine robots Crawl-delay caps
+    with caller-supplied budgets (e.g. hostrank.budget_from_rank)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (
+        a.select("host", F.col("host_budget").alias("_ba"))
+        .join(b.select("host", F.col("host_budget").alias("_bb")), "host", "full_outer")
+        .select("host", F.least("_ba", "_bb").cast("int").alias("host_budget"))
+    )
+
+
 _ROBOTS_CACHE_SCHEMA = (
     "host string, disallow_prefixes array<string>, "
     "allow_prefixes array<string>, crawl_delay_s double, "
@@ -801,6 +819,7 @@ def run_crawl(
     cfg: CrawlConfig | None = None,
     host_rules: DataFrame | None = None,
     resume: bool = False,
+    host_budgets: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) the crawl to completion; returns summary counters.
 
@@ -844,8 +863,12 @@ def run_crawl(
     # W3 × W2 — robots Crawl-delay as a per-host batch cap: a host asking
     # for d seconds between fetches gets at most interval/d fetches per
     # batch — see _crawl_delay_budgets. In live-robots mode the budgets
-    # derive per batch from the growing robots_cache instead.
-    crawl_delay_budgets = _crawl_delay_budgets(host_rules, cfg.batch_interval_seconds)
+    # derive per batch from the growing robots_cache instead. Caller
+    # budgets (host_budgets — e.g. rank-proportional allocation from
+    # hostrank.budget_from_rank) merge tightest-wins in both modes.
+    crawl_delay_budgets = _merge_host_budgets(
+        _crawl_delay_budgets(host_rules, cfg.batch_interval_seconds), host_budgets
+    )
 
     robots_state = None
     if cfg.live_robots:
@@ -962,7 +985,10 @@ def run_crawl(
             store.write(batch_id, "robots_cache", robots_state)
             robots_state = store.read("robots_cache", batch_id)  # lineage reset
             rules_now = robots_state
-            budgets_now = _crawl_delay_budgets(rules_now, cfg.batch_interval_seconds)
+            budgets_now = _merge_host_budgets(
+                _crawl_delay_budgets(rules_now, cfg.batch_interval_seconds),
+                host_budgets,
+            )
         else:
             rules_now, budgets_now = host_rules, crawl_delay_budgets
         frontier = FR.apply_robots(frontier, rules_now)

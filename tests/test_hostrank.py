@@ -123,3 +123,52 @@ def test_rank_budget_respected_per_host(spark):
     for r in per_host:
         assert _RB_MIN <= r["host_budget"] <= _RB_MAX
         assert r["count"] <= r["host_budget"], r
+
+
+def test_caller_budgets_cap_loop_and_merge_tightest(spark, fixture_root, tmp_path_factory):
+    """run_crawl(host_budgets=...) caps a host per batch exactly like a
+    Crawl-delay rule, and when BOTH are present the tighter cap wins."""
+    from pyspark.sql import functions as F2
+
+    from crawler_ai_spark.plans.crawl_loop import (
+        CrawlConfig,
+        CrawlStore,
+        _merge_host_budgets,
+        run_crawl,
+    )
+
+    merged = {
+        r.host: r.host_budget
+        for r in _merge_host_budgets(
+            spark.createDataFrame([("a", 5), ("b", 2)], ["host", "host_budget"]),
+            spark.createDataFrame([("a", 3), ("c", 7)], ["host", "host_budget"]),
+        ).collect()
+    }
+    assert merged == {"a": 3, "b": 2, "c": 7}
+
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F2.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:3]
+    seeds = spark.createDataFrame(
+        [(s, 50, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    capped = seeds_urls[0].split("//")[1].rstrip("/")
+    budgets = spark.createDataFrame([(capped, 1)], ["host", "host_budget"])
+
+    root = tmp_path_factory.mktemp("rank_budget_loop")
+    res = run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(max_batches=12, parallelism=8), host_budgets=budgets,
+    )
+    vis = CrawlStore(spark, root).read_all("visited", res["last_batch"])
+    on_capped = F2.col("url").startswith(f"https://{capped}/")
+    per_batch = {
+        r.batch_id: r.n
+        for r in vis.where(on_capped).groupBy("batch_id").agg(F2.count("*").alias("n")).collect()
+    }
+    assert per_batch, "capped host never crawled"
+    assert all(n <= 1 for n in per_batch.values()), per_batch
+    assert sum(per_batch.values()) > 1, "deferral should spread across batches"
