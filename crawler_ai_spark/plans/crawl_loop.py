@@ -107,6 +107,10 @@ class CrawlConfig:
     # replacing the static host_rules input. Requires live_transport;
     # mutually exclusive with a caller-supplied host_rules.
     live_robots: bool = False
+    # S8 side-sink — archive every fetched page per batch as WARC
+    # (Common-Crawl layout, sources/warc.py) under warc_dir/batch-NNNNN/.
+    # None disables; the crawl state store is unaffected either way.
+    warc_dir: str | None = None
 
 
 FRONTIER_COLS = [
@@ -1007,6 +1011,31 @@ def run_crawl(
             "is_recrawl", F.lit(batch_id).cast("long").alias("batch_id"),
         )
         store.write(batch_id, "visited", visited)
+
+        if cfg.warc_dir is not None:
+            # S8 side-sink: archive this batch's fetched pages as
+            # per-record-gzip WARC (sources/warc.py, the Common Crawl
+            # layout) under warc_dir/batch-NNNNN/. Best-effort side
+            # output — the store stays the source of truth (a batch
+            # re-run after resume rewrites its own directory; readers
+            # see whole batches only). warc_ts falls back to the
+            # batch's logical clock for pages the corpus didn't stamp.
+            from crawler_ai_spark.sources.warc import write_warc
+
+            archive = gated.where(F.col("fetched")).select(
+                "url",
+                F.coalesce(
+                    F.col("warc_ts"),
+                    F.expr(f"timestamp_micros({int(batch_id)} * 1000000)"),
+                ).alias("warc_ts"),
+                "html",
+                F.col("status").cast("int").alias("status"),
+            )
+            write_warc(
+                archive,
+                str(pathlib.Path(cfg.warc_dir) / f"batch-{batch_id:05d}"),
+                gzip_records=True,
+            ).collect()  # manifest rows only (one per partition)
 
         if ttl_batches is not None:
             # incremental ledger snapshot: fold THIS batch's visited into

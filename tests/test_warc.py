@@ -87,3 +87,47 @@ def test_payload_with_crlf_crlf_inside_html(spark, tmp_path):
     assert len(rows) == 2
     assert bytes(rows["https://t.example.com/a"].html) == html
     assert rows["https://t.example.com/a"].status == 404
+
+
+def test_crawl_loop_warc_archive(spark, fixture_root, tmp_path_factory):
+    """cfg.warc_dir archives exactly the fetched pages of every batch,
+    byte-identical to the pages table, without touching crawl results."""
+    from pyspark.sql import functions as F2
+
+    from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+
+    pages = spark.read.parquet(str(fixture_root / "sf0.001" / "pages.parquet")).where(
+        ~F2.col("url").endswith(".xml")
+    )
+    seeds_urls = sorted(
+        r.url for r in pages.select("url").collect() if r.url.endswith(".example/")
+    )[:2]
+    seeds = spark.createDataFrame(
+        [(s, 30, 10) for s in seeds_urls], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    root = tmp_path_factory.mktemp("warc_loop_state")
+    warc_dir = tmp_path_factory.mktemp("warc_loop_archive")
+    res_a = run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(max_batches=4, parallelism=8, warc_dir=str(warc_dir)),
+    )
+    # archive == fetched visited set, per batch
+    vis = CrawlStore(spark, root).read_all("visited", res_a["last_batch"])
+    fetched_urls = {r.url for r in vis.where("fetched").select("url").distinct().collect()}
+    batch_dirs = sorted(p for p in warc_dir.iterdir() if p.name.startswith("batch-"))
+    assert batch_dirs, "no batch archives written"
+    archived = {}
+    for d in batch_dirs:
+        for r in W.read_warc(spark, str(d)).collect():
+            archived[r.url] = bytes(r.html)
+    assert set(archived) == fetched_urls
+    truth = {r.url: bytes(r.html) for r in pages.where("html IS NOT NULL").collect()}
+    assert all(archived[u] == truth[u] for u in archived)
+    # side-sink must not perturb the crawl itself
+    root_b = tmp_path_factory.mktemp("warc_loop_state_b")
+    res_b = run_crawl(
+        spark, pages, seeds, root_b, CrawlConfig(max_batches=4, parallelism=8),
+    )
+    assert {k: v for k, v in res_a.items() if k != "wall_s"} == {
+        k: v for k, v in res_b.items() if k != "wall_s"
+    }
