@@ -101,3 +101,36 @@ def budget_from_rank(
     if max_budget is not None:
         b = F.least(F.lit(max_budget), b)
     return ranks.select("host", b.alias("host_budget"))
+
+
+def host_edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Observed host link graph from a pages table (url, html): parse each
+    page with the engine's structural scanner, canonicalize every href
+    against its page, and keep distinct cross-host (src, dst) hostname
+    pairs. Returns (edges, hosts) shaped for host_rank(), with the host
+    universe restricted to hosts that have >= 1 out-edge (host_rank's
+    no-dangling precondition — hosts that only receive links get no rank
+    row and therefore no rank-derived budget, i.e. they fall back to the
+    caller's global politeness cap).
+
+    One parse pass + one distinct shuffle; at archive scale run it on a
+    sample or reuse the crawl's already-parsed link deltas."""
+    from crawler_ai_spark.functions.html import explode_links, with_parse
+    from crawler_ai_spark.functions.urls import canonicalize_udf, host_expr
+
+    parsed = with_parse(pages.select("url", "html").where(F.col("html").isNotNull()))
+    links = explode_links(parsed).where(F.col("href").isNotNull())
+    pairs = links.select(
+        host_expr(F.col("url")).alias("src"),
+        host_expr(canonicalize_udf(F.col("url"), F.col("href"))).alias("dst"),
+    )
+    edges = (
+        pairs.where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    hosts = edges.select(F.col("src").alias("host")).distinct()
+    return edges, hosts

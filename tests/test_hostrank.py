@@ -172,3 +172,25 @@ def test_caller_budgets_cap_loop_and_merge_tightest(spark, fixture_root, tmp_pat
     assert per_batch, "capped host never crawled"
     assert all(n <= 1 for n in per_batch.values()), per_batch
     assert sum(per_batch.values()) > 1, "deferral should spread across batches"
+
+
+def test_host_edges_from_pages(spark):
+    from crawler_ai_spark.operators.hostrank import host_edges_from_pages
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, f"<html><body>{body}</body></html>".encode())
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example/", ["https://b.example/jobs", "/local", "https://a.example/self"]),
+            page("https://b.example/", ["https://c.example/", "https://c.example/dup"]),
+            page("https://d.example/", []),  # no out-links -> not in universe
+        ],
+        "url string, html binary",
+    )
+    edges, hosts = host_edges_from_pages(pages)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # relative + same-host links dropped; (b->c) deduped to one edge
+    assert got == {("a.example", "b.example"), ("b.example", "c.example")}
+    assert {r.host for r in hosts.collect()} == {"a.example", "b.example"}

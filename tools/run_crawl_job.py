@@ -64,6 +64,20 @@ def main() -> None:
                          "robots.txt in-loop (RFC 9309 Allow precedence, "
                          "Crawl-delay budgets) instead of a static "
                          "host_rules table")
+    ap.add_argument("--warc-dir", default=None,
+                    help="archive every batch's fetched pages as "
+                         "per-record-gzip WARC under this dir "
+                         "(Common Crawl layout; sources/warc.py)")
+    ap.add_argument("--host-budgets", default=None,
+                    help="parquet of (host, host_budget) per-batch caps — "
+                         "e.g. rank-proportional allocation from "
+                         "operators/hostrank.budget_from_rank; merges "
+                         "tightest-wins with robots Crawl-delay budgets")
+    ap.add_argument("--rank-budget", type=int, default=None,
+                    help="derive --host-budgets on the fly: PageRank the "
+                         "host graph of the PAGES table's links and give "
+                         "each host floor(RANK_BUDGET x rank) fetch slots "
+                         "per batch (clamped to [1, --host-budget or 64])")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="after the run, rewrite the seen-delta appends into "
@@ -116,6 +130,30 @@ def main() -> None:
                 if col not in seeds.columns:
                     seeds = seeds.withColumn(col, F.lit(None).cast(typ))
 
+        host_budgets = None
+        if args.host_budgets:
+            host_budgets = spark.read.parquet(args.host_budgets)
+        elif args.rank_budget:
+            from crawler_ai_spark.operators.hostrank import (
+                budget_from_rank,
+                host_edges_from_pages,
+                host_rank,
+            )
+
+            edges, hosts = host_edges_from_pages(pages)
+            edges = edges.persist()  # iteration-invariant across power steps
+            n_hosts = hosts.count()
+            if n_hosts:
+                ranks = host_rank(
+                    edges, hosts, n_hosts=n_hosts, deterministic_fold=False
+                )
+                host_budgets = budget_from_rank(
+                    ranks,
+                    total_per_batch=args.rank_budget,
+                    min_budget=1,
+                    max_budget=args.host_budget or 64,
+                ).persist()
+
         live_transport = None
         if args.live:
             from crawler_ai_spark.sources.fetch import UrllibTransport
@@ -135,7 +173,11 @@ def main() -> None:
             live_delay_ms=args.live_delay_ms,
             live_robots=args.live_robots,
         )
-        summary = run_crawl(spark, pages, seeds, args.state, cfg, resume=args.resume)
+        cfg.warc_dir = args.warc_dir
+        summary = run_crawl(
+            spark, pages, seeds, args.state, cfg,
+            resume=args.resume, host_budgets=host_budgets,
+        )
         if args.compact or args.vacuum or args.compact_state:
             from crawler_ai_spark.plans.crawl_loop import CrawlStore
 
