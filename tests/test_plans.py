@@ -342,3 +342,31 @@ def test_live_robots_fetch_single_exchange_per_host_stage(spark):
     assert "BatchEvalPython" not in plan
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 4, f"fetch_robots plan has {n_exchanges} exchanges"
+
+
+def test_host_rank_is_pure_jvm_bounded_exchanges(spark):
+    """Power iteration stays JVM-side (sorted-fold aggregate, no pandas)
+    and plan size grows linearly in K: each step is one rank join + one
+    inflow aggregation over the re-derived edge subtree (callers persist
+    edges at scale; Spark ReusedExchange covers the rest at runtime).
+    A superlinear exchange count would mean accidental plan blowup."""
+    plan = _plan(spark, "host_rank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    from crawler_ai_spark.queries.crawl import _HR_ITERS
+
+    assert plan.count(") Exchange") <= 7 * _HR_ITERS
+
+
+def test_rank_budget_schedule_broadcasts_budgets(spark):
+    """The 37-row budget table must reach the frontier via broadcast (the
+    frontier side is the big one at scale), and the whole chain stays
+    JVM-side with no cartesian."""
+    plan = _plan(spark, "rank_budget_schedule")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "BroadcastHashJoin" in plan
