@@ -138,7 +138,12 @@ def fetch_robots(frontier: DataFrame, transport, host_partitions: int | None = N
     )
 
 
-def expand_sitemaps(rules: DataFrame, transport, host_partitions: int | None = None) -> DataFrame:
+def expand_sitemaps(
+    rules: DataFrame,
+    transport,
+    host_partitions: int | None = None,
+    max_depth: int = 1,
+) -> DataFrame:
     """Robots → sitemap → candidate URLs: fetch every ``Sitemap:`` URL a
     host's robots.txt advertised (parse_robots with_sitemaps=True) through
     the real fetch stage and extract the ``<loc>`` entries — the
@@ -147,9 +152,15 @@ def expand_sitemaps(rules: DataFrame, transport, host_partitions: int | None = N
     (host, url) candidate rows, deterministic order by (host, url).
 
     Unfetchable or non-XML sitemap bodies contribute nothing (a missing
-    sitemap must not fail a crawl batch); nested sitemap INDEX files
-    contribute their child sitemap URLs as candidates for a further
-    round — the caller decides how deep to go."""
+    sitemap must not fail a crawl batch). ``<sitemapindex>`` files
+    (sitemaps.org index format — the layout large sites actually use)
+    recurse: their child <loc>s are re-fetched for up to ``max_depth``
+    fetch rounds, with an already-fetched anti-join so index cycles
+    terminate; children still unexpanded when the depth cap hits are
+    returned as candidates (the caller sees them rather than losing
+    them). ``max_depth=1`` is the flat single-round behavior.
+    Driver work is one bounded loop of plan-building rounds — no
+    per-URL driver state; each round is one host-partitioned fetch."""
     from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
 
     targets = rules.select(
@@ -158,20 +169,41 @@ def expand_sitemaps(rules: DataFrame, transport, host_partitions: int | None = N
             F.coalesce(F.col("sitemap_urls"), F.array().cast("array<string>"))
         ).alias("url"),
     ).distinct()
-    frontier = targets.select(
-        "url", "host", F.lit(0).alias("priority"),
-        F.lit(0).cast("long").alias("discovered_seq"),
-    )
-    fetched = fetch_pages(
-        frontier,
-        FetchConfig(transport=transport, per_host_delay_ms=0, host_partitions=host_partitions),
-    )
-    locs = fetched.select(
-        "host",
-        F.explode(
-            F.regexp_extract_all(
-                F.coalesce(F.col("html"), F.lit("")), F.lit(r"<loc>([^<]+)</loc>"), F.lit(1)
-            )
-        ).alias("url"),
-    )
-    return locs.distinct().orderBy("host", "url")
+
+    def _fetch_locs(tgts: DataFrame) -> DataFrame:
+        frontier = tgts.select(
+            "url", "host", F.lit(0).alias("priority"),
+            F.lit(0).cast("long").alias("discovered_seq"),
+        )
+        fetched = fetch_pages(
+            frontier,
+            FetchConfig(
+                transport=transport, per_host_delay_ms=0, host_partitions=host_partitions
+            ),
+        )
+        body = F.coalesce(F.col("html"), F.lit(""))
+        return fetched.select(
+            "host",
+            F.contains(body, F.lit("<sitemapindex")).alias("from_index"),
+            F.explode(
+                F.regexp_extract_all(body, F.lit(r"<loc>([^<]+)</loc>"), F.lit(1))
+            ).alias("url"),
+        )
+
+    final = None
+    seen_maps = targets.select("host", "url")
+    for depth in range(max_depth):
+        locs = _fetch_locs(targets)
+        pages = locs.where(~F.col("from_index")).select("host", "url")
+        final = pages if final is None else final.unionByName(pages)
+        children = locs.where(F.col("from_index")).select("host", "url").distinct()
+        last_round = depth == max_depth - 1
+        if last_round:
+            # depth cap: surface unexpanded child sitemaps as candidates
+            final = final.unionByName(children)
+            break
+        targets = children.join(seen_maps, ["host", "url"], "left_anti").persist()
+        if targets.limit(1).count() == 0:
+            break
+        seen_maps = seen_maps.unionByName(targets)
+    return final.distinct().orderBy("host", "url")

@@ -91,3 +91,55 @@ def test_sitemap_lines_are_global(spark):
         "https://h.example/sitemap2.xml",
     ]
     assert list(rules.disallow_prefixes) == ["/x"]
+
+
+def _sitemap_corpus(spark, tmp_path):
+    """TableTransport corpus: an index → two child sitemaps → page URLs,
+    plus a self-referencing index (cycle) and a missing child (404)."""
+    h = "https://sm.example"
+
+    def urlset(*locs):
+        inner = "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        return f'<?xml version="1.0"?><urlset>{inner}</urlset>'.encode()
+
+    def index(*locs):
+        inner = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+        return f'<?xml version="1.0"?><sitemapindex>{inner}</sitemapindex>'.encode()
+
+    rows = [
+        (f"{h}/sitemap.xml", index(f"{h}/sm-a.xml", f"{h}/sm-b.xml",
+                                    f"{h}/sitemap.xml", f"{h}/missing.xml"), 200, None),
+        (f"{h}/sm-a.xml", urlset(f"{h}/p/1", f"{h}/p/2"), 200, None),
+        (f"{h}/sm-b.xml", index(f"{h}/sm-c.xml"), 200, None),
+        (f"{h}/sm-c.xml", urlset(f"{h}/p/3"), 200, None),
+    ]
+    path = str(tmp_path / "sitemap_pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, html binary, status int, fetch_error string"
+    ).write.mode("overwrite").parquet(path)
+    rules = spark.createDataFrame(
+        [("sm.example", [f"{h}/sitemap.xml"])], "host string, sitemap_urls array<string>"
+    )
+    return path, rules, h
+
+
+def test_sitemap_index_recursion_bounded(spark, tmp_path):
+    from crawler_ai_spark.sources.fetch import TableTransport
+    from crawler_ai_spark.sources.robots import expand_sitemaps
+
+    path, rules, h = _sitemap_corpus(spark, tmp_path)
+    t = TableTransport(path)
+
+    # depth 1 (default, old flat behavior): every <loc> of the root index
+    flat = {r.url for r in expand_sitemaps(rules, t).collect()}
+    assert flat == {f"{h}/sm-a.xml", f"{h}/sm-b.xml", f"{h}/sitemap.xml", f"{h}/missing.xml"}
+
+    # depth 3: full expansion — pages only; the cycle back to the root
+    # index and the 404 child contribute nothing and terminate
+    deep = {r.url for r in expand_sitemaps(rules, t, max_depth=3).collect()}
+    assert deep == {f"{h}/p/1", f"{h}/p/2", f"{h}/p/3"}
+
+    # depth 2: sm-b's child index is depth-capped and surfaces as a
+    # candidate instead of silently disappearing
+    mid = {r.url for r in expand_sitemaps(rules, t, max_depth=2).collect()}
+    assert mid == {f"{h}/p/1", f"{h}/p/2", f"{h}/sm-c.xml"}
