@@ -111,6 +111,16 @@ class CrawlConfig:
     # (Common-Crawl layout, sources/warc.py) under warc_dir/batch-NNNNN/.
     # None disables; the crawl state store is unaffected either way.
     warc_dir: str | None = None
+    # W4 at HOST granularity — failure circuit breaker: a host whose
+    # attempted batch produced only failures (≥1 attempt, 0 successes)
+    # for `host_failure_threshold` consecutive attempted batches is
+    # cooled down — its frontier rows defer untouched (never dropped)
+    # for `host_cooldown_batches` batches, then one probe batch runs and
+    # a failure re-trips. Protects the politeness budget from being
+    # burned on a dead/blocking host while its queue ages fairly.
+    # None disables (default: loop byte-identical).
+    host_failure_threshold: int | None = None
+    host_cooldown_batches: int = 2
 
 
 FRONTIER_COLS = [
@@ -214,7 +224,7 @@ class CrawlStore:
 
     # tables that write a FULL state snapshot every batch (only the
     # latest is ever read; older copies are replay history, not a log)
-    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache")
+    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker")
 
     def compact_state(self, table: str) -> int | None:
         """Rewrite a state table's LATEST snapshot as a replace at the
@@ -775,6 +785,61 @@ _ROBOTS_CACHE_SCHEMA = (
 )
 
 
+_BREAKER_SCHEMA = "host string, consec_fail_batches int, cooldown_until long"
+
+
+def _restore_breaker(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
+    """Latest committed host_breaker snapshot (one row per host currently
+    failing or cooling), or an empty table for a fresh crawl."""
+    state = _read_latest_state(store, "host_breaker", prev)
+    if state is not None:
+        return state[0]
+    return spark.createDataFrame([], _BREAKER_SCHEMA)
+
+
+def _advance_breaker(
+    breaker: DataFrame, gated: DataFrame, batch_id: int, threshold: int, cooldown: int
+) -> DataFrame:
+    """Fold one batch's per-host fetch outcomes into the breaker state.
+
+    A host attempted this batch with 0 successes extends its consecutive-
+    failure streak; any success resets it. A streak reaching `threshold`
+    trips: cooldown_until = batch_id + cooldown and the streak resets (the
+    post-cooldown batch is a fresh probe). Hosts not attempted (cooling or
+    simply absent from the batch) carry their state. Rows that are fully
+    idle (no streak, cooldown elapsed) are pruned so the state stays
+    proportional to the failing-host set, not the host universe."""
+    stats = gated.groupBy("host").agg(
+        F.sum(F.col("fetched").cast("int")).alias("_succ"),
+        F.sum((~F.col("fetched")).cast("int")).alias("_fail"),
+    )
+    merged = breaker.join(stats, "host", "full_outer")
+    attempted = F.col("_succ").isNotNull()
+    streak = F.when(
+        attempted,
+        F.when(
+            (F.col("_succ") == 0) & (F.col("_fail") > 0),
+            F.coalesce(F.col("consec_fail_batches"), F.lit(0)) + 1,
+        ).otherwise(F.lit(0)),
+    ).otherwise(F.coalesce(F.col("consec_fail_batches"), F.lit(0)))
+    merged = merged.select(
+        "host",
+        streak.alias("_streak"),
+        F.coalesce(F.col("cooldown_until"), F.lit(-1)).alias("_cool"),
+    )
+    tripped = F.col("_streak") >= threshold
+    out = merged.select(
+        "host",
+        F.when(tripped, F.lit(0)).otherwise(F.col("_streak")).cast("int")
+            .alias("consec_fail_batches"),
+        F.when(tripped, F.lit(batch_id + cooldown)).otherwise(F.col("_cool"))
+            .cast("long").alias("cooldown_until"),
+    )
+    return out.where(
+        (F.col("consec_fail_batches") > 0) | (F.col("cooldown_until") > batch_id)
+    )
+
+
 def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
     """Latest committed robots_cache snapshot (live-robots mode state:
     one row per host ever seen, rules parsed from its fetched
@@ -885,6 +950,10 @@ def run_crawl(
             )
         robots_state = _restore_robots_cache(spark, store, start - 1)
 
+    breaker_state = None
+    if cfg.host_failure_threshold is not None:
+        breaker_state = _restore_breaker(spark, store, start - 1)
+
     ttl_batches = None
     cache_blobs = None
     if cfg.recrawl_ttl_seconds is not None:
@@ -961,6 +1030,18 @@ def run_crawl(
 
         if frontier.limit(1).count() == 0:
             break
+        cooling = None
+        if breaker_state is not None:
+            # circuit breaker: rows of cooling hosts skip this batch's
+            # fetch entirely and re-enter the next frontier untouched
+            # (defer-not-drop, same contract as the budget deferral).
+            # The cooling-host set is proportional to the failing hosts,
+            # not the host universe — AQE picks the join strategy.
+            cooling_hosts = breaker_state.where(
+                F.col("cooldown_until") >= batch_id
+            ).select("host")
+            cooling = frontier.join(cooling_hosts, "host", "left_semi").persist()
+            frontier = frontier.join(cooling_hosts, "host", "left_anti")
         seed_state = store.read("seed_state", prev)
         seen = store.read_all("seen_delta", prev)
 
@@ -999,6 +1080,10 @@ def run_crawl(
         frontier, deferred = FR.apply_host_budget(
             frontier, cfg.host_budget_per_batch, host_budgets=budgets_now
         )
+        if cooling is not None:
+            deferred = deferred.select(*FRONTIER_COLS).unionByName(
+                cooling.select(*FRONTIER_COLS)
+            )
 
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()
@@ -1011,6 +1096,17 @@ def run_crawl(
             "is_recrawl", F.lit(batch_id).cast("long").alias("batch_id"),
         )
         store.write(batch_id, "visited", visited)
+
+        if breaker_state is not None:
+            breaker_state = _advance_breaker(
+                breaker_state,
+                gated,
+                batch_id,
+                cfg.host_failure_threshold,
+                cfg.host_cooldown_batches,
+            )
+            store.write(batch_id, "host_breaker", breaker_state)
+            breaker_state = store.read("host_breaker", batch_id)  # lineage reset
 
         if cfg.warc_dir is not None:
             # S8 side-sink: archive this batch's fetched pages as

@@ -78,6 +78,12 @@ def main() -> None:
                          "host graph of the PAGES table's links and give "
                          "each host floor(RANK_BUDGET x rank) fetch slots "
                          "per batch (clamped to [1, --host-budget or 64])")
+    ap.add_argument("--fail-threshold", type=int, default=None,
+                    help="host circuit breaker: consecutive all-failure "
+                         "batches before a host is cooled down "
+                         "(defer-not-drop; state table host_breaker)")
+    ap.add_argument("--fail-cooldown", type=int, default=2,
+                    help="batches a tripped host cools before a probe")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="after the run, rewrite the seen-delta appends into "
@@ -172,6 +178,8 @@ def main() -> None:
             live_transport=live_transport,
             live_delay_ms=args.live_delay_ms,
             live_robots=args.live_robots,
+            host_failure_threshold=args.fail_threshold,
+            host_cooldown_batches=args.fail_cooldown,
         )
         cfg.warc_dir = args.warc_dir
         summary = run_crawl(
