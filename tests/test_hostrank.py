@@ -194,3 +194,27 @@ def test_host_edges_from_pages(spark):
     # relative + same-host links dropped; (b->c) deduped to one edge
     assert got == {("a.example", "b.example"), ("b.example", "c.example")}
     assert {r.host for r in hosts.collect()} == {"a.example", "b.example"}
+
+
+def test_random_graphs_match_python_reference(spark):
+    """Random digraphs (every host given an out-edge) against the plain-
+    Python power iteration — both the fold and SUM paths."""
+    import random
+
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        n = rng.randint(3, 12)
+        edges = {(i, (i + 1) % n) for i in range(n)}  # ring: no dangling
+        for _ in range(rng.randint(0, 3 * n)):
+            s, t = rng.randrange(n), rng.randrange(n)
+            if s != t:
+                edges.add((s, t))
+        edges = sorted(edges)
+        iters = rng.randint(1, 5)
+        e, h = _graph(spark, edges, n)
+        ref = _py_pagerank(edges, n, iterations=iters)
+        for fold in (True, False):
+            got = _rank_map(host_rank(e, h, n_hosts=n, iterations=iters,
+                                      deterministic_fold=fold))
+            for i in range(n):
+                assert math.isclose(got[i], ref[i], rel_tol=1e-12), (seed, fold, i)
