@@ -136,7 +136,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
