@@ -92,6 +92,16 @@ class CrawlConfig:
     # within-TTL key count per bucket at the target crawl scale; a shard
     # overflow raises (rebuild from the ledger at higher capacity).
     cache_keys_per_bucket: int = 8192
+    # S5+ ADAPTIVE recrawl (freshness-aware scheduling a fixed TTL can't
+    # give a 10^10-URL frontier): every successful refresh compares the
+    # page's content hash against the ledger's; unchanged content DOUBLES
+    # that URL's recrawl interval (capped at recrawl_ttl_max_batches),
+    # changed content resets it to the base ttl — stable pages drift to
+    # rare refreshes, churning pages stay fresh, and total refresh load
+    # drops geometrically on a mostly-static corpus. False pins every URL
+    # at the base TTL (scheduling byte-identical to the fixed-TTL loop).
+    adaptive_recrawl: bool = False
+    recrawl_ttl_max_batches: int = 64
     # S1 LIVE-fetch mode: when set, the batch "fetch" runs through the
     # host-partitioned politeness-paced fetch stage (sources/fetch.py)
     # with this transport instead of joining the pre-fetched pages table.
@@ -562,30 +572,88 @@ def _read_latest_state(
     return None
 
 
-def _ledger_delta(visited: DataFrame) -> DataFrame:
-    """One batch's visited rows folded to the ledger shape."""
+def _with_adaptive_cols(ledger: DataFrame) -> DataFrame:
+    """Backfill the adaptive-recrawl ledger columns on snapshots written
+    before they existed (same pattern as the frontier's is_recrawl
+    backfill): NULLs mean 'no adaptive history' and every consumer
+    coalesces ttl_batches to the configured base."""
+    for c, t in (("content_hash", "long"), ("ttl_batches", "int")):
+        if c not in ledger.columns:
+            ledger = ledger.withColumn(c, F.lit(None).cast(t))
+    return ledger
+
+
+def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
+    """One batch's visited rows folded to the ledger shape. content_hash
+    rides along for the adaptive-recrawl change detector; a fresh fetch
+    starts at the base interval (the doubling happens in _merge_ledger
+    where the previous hash is visible)."""
+    if "content_hash" not in visited.columns:  # pre-upgrade visited files
+        visited = visited.withColumn("content_hash", F.lit(None).cast("long"))
     return visited.groupBy("seed_url", "url").agg(
         F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
         F.max("batch_id").alias("last_visit_batch"),
         F.min("priority").alias("priority"),
         F.min("depth").alias("depth"),
         F.min("discovered_seq").alias("discovered_seq"),
+        F.max(F.when(F.col("fetched"), F.col("content_hash"))).alias("content_hash"),
+        F.max(
+            F.when(F.col("fetched"), F.lit(base_ttl).cast("int"))
+        ).alias("ttl_batches"),
     )
 
 
-def _merge_ledger(prev_ledger: DataFrame, delta: DataFrame) -> DataFrame:
+def _merge_ledger(
+    prev_ledger: DataFrame,
+    delta: DataFrame,
+    adaptive: bool = False,
+    base_ttl: int | None = None,
+    max_ttl: int | None = None,
+) -> DataFrame:
     """Fold a batch delta into the carried ledger state. min/max are
     associative, so merging per batch equals aggregating all history:
     greatest/least skip NULLs in Spark, which keeps last_fetch_batch NULL
-    until the first successful fetch — same as the global aggregate."""
+    until the first successful fetch — same as the global aggregate.
+
+    Adaptive recrawl (Cho & Garcia-Molina-style freshness): when the
+    delta's fetch returned the SAME content hash the ledger already
+    holds, the URL's recrawl interval doubles (capped at max_ttl); a
+    CHANGED hash resets it to base_ttl; a first fetch starts at base_ttl.
+    The fold is order-dependent by design and every caller replays
+    batches in ascending order. adaptive=False pins ttl_batches at
+    base_ttl — byte-identical scheduling to the fixed-TTL loop."""
     keys = ("seed_url", "url")
     vals = (
         "last_fetch_batch", "last_visit_batch", "priority", "depth",
-        "discovered_seq",
+        "discovered_seq", "content_hash", "ttl_batches",
     )
+    prev_ledger = _with_adaptive_cols(prev_ledger)
+    delta = _with_adaptive_cols(delta)
     p = prev_ledger.select(*keys, *[F.col(c).alias(f"p_{c}") for c in vals])
     d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in vals])
     j = p.join(d, list(keys), "full_outer")
+    fetched_now = F.col("d_last_fetch_batch").isNotNull() & (
+        F.coalesce(F.col("p_last_fetch_batch"), F.lit(-1))
+        < F.col("d_last_fetch_batch")
+    )
+    prev_ttl = F.coalesce(F.col("p_ttl_batches"), F.lit(base_ttl).cast("int"))
+    if adaptive:
+        unchanged = (
+            F.col("p_content_hash").isNotNull()
+            & (F.col("d_content_hash") == F.col("p_content_hash"))
+        )
+        new_ttl = (
+            F.when(
+                fetched_now & unchanged,
+                F.least(prev_ttl * 2, F.lit(max_ttl).cast("int")),
+            )
+            .when(fetched_now, F.lit(base_ttl).cast("int"))
+            .otherwise(F.col("p_ttl_batches"))
+        )
+    else:
+        new_ttl = F.when(
+            fetched_now, F.lit(base_ttl).cast("int")
+        ).otherwise(F.col("p_ttl_batches"))
     return j.select(
         *keys,
         F.greatest("p_last_fetch_batch", "d_last_fetch_batch").alias("last_fetch_batch"),
@@ -593,10 +661,19 @@ def _merge_ledger(prev_ledger: DataFrame, delta: DataFrame) -> DataFrame:
         F.least("p_priority", "d_priority").alias("priority"),
         F.least("p_depth", "d_depth").alias("depth"),
         F.least("p_discovered_seq", "d_discovered_seq").alias("discovered_seq"),
+        F.when(fetched_now, F.col("d_content_hash"))
+            .otherwise(F.col("p_content_hash")).alias("content_hash"),
+        new_ttl.cast("int").alias("ttl_batches"),
     )
 
 
-def _cache_ledger(store: CrawlStore, prev: int):
+def _cache_ledger(
+    store: CrawlStore,
+    prev: int,
+    adaptive: bool = False,
+    base_ttl: int | None = None,
+    max_ttl: int | None = None,
+):
     """Per-URL fetch-cache state through batch ``prev`` (S5 TTL recrawl):
     one row per (seed_url, url) with the batch of the last SUCCESSFUL
     fetch (= the cache entry's logical timestamp — success-only caching,
@@ -623,8 +700,12 @@ def _cache_ledger(store: CrawlStore, prev: int):
         # and on again, or a legacy tail) — bounded by the gap, not by age
         for b in committed:
             if b > b0 and (store.batch_dir(b) / "visited").exists():
-                ledger = _merge_ledger(ledger, _ledger_delta(store.read("visited", b)))
-        return ledger
+                ledger = _merge_ledger(
+                    ledger,
+                    _ledger_delta(store.read("visited", b), base_ttl=base_ttl),
+                    adaptive=adaptive, base_ttl=base_ttl, max_ttl=max_ttl,
+                )
+        return _with_adaptive_cols(ledger)
     if not any((store.batch_dir(b) / "visited").exists() for b in committed):
         return None
     vis = store.read_all("visited", prev, merge_schema=True)
@@ -642,37 +723,54 @@ def _cache_ledger(store: CrawlStore, prev: int):
             F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast("long"),
         ),
     )
-    return vis.groupBy("seed_url", "url").agg(
-        F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
-        F.max("batch_id").alias("last_visit_batch"),
-        F.min("priority").alias("priority"),
-        F.min("depth").alias("depth"),
-        F.min("discovered_seq").alias("discovered_seq"),
+    # full-history fallback: adaptive doubling state is NOT replayable
+    # from a single aggregate (it is a per-batch fold); legacy stores
+    # restart every URL at the base interval, which only means earlier-
+    # than-necessary refreshes, never stale ones
+    return _with_adaptive_cols(
+        vis.groupBy("seed_url", "url").agg(
+            F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
+            F.max("batch_id").alias("last_visit_batch"),
+            F.min("priority").alias("priority"),
+            F.min("depth").alias("depth"),
+            F.min("discovered_seq").alias("discovered_seq"),
+        )
     )
 
 
-def _url_cache_state(ledger: DataFrame) -> DataFrame:
+def _url_cache_state(ledger: DataFrame, default_ttl: int | None = None) -> DataFrame:
     """URL-level cache timestamps: the cache is keyed by the URL alone
     (reference cache.py:17 md5(url)), while the ledger is per (seed, url)
     — a URL two seeds share is ONE cache entry, refreshed by whichever
-    visit fetched it last."""
-    return ledger.groupBy("url").agg(
+    visit fetched it last. url_ttl is the entry's CURRENT recrawl
+    interval (adaptive mode; the max across seeds tracks the interval of
+    the latest fetch), coalesced to the configured base for rows without
+    adaptive history."""
+    ledger = _with_adaptive_cols(ledger)
+    out = ledger.groupBy("url").agg(
         F.max("last_fetch_batch").alias("url_fetch_batch"),
         F.max("last_visit_batch").alias("url_visit_batch"),
+        F.max("ttl_batches").alias("url_ttl"),
     )
+    if default_ttl is not None:
+        out = out.withColumn(
+            "url_ttl", F.coalesce(F.col("url_ttl"), F.lit(default_ttl).cast("int"))
+        )
+    return out
 
 
 def _recrawl_due(ledger: DataFrame, batch_id: int, ttl_batches: int) -> DataFrame:
     """Cache entries whose TTL lapsed and whose refresh is due this batch:
-    expired (last successful fetch >= ttl batches ago, URL-level) and not
-    attempted within the TTL window (so a refresh that misses — page
-    since deleted — retries every ttl_batches, not every batch, like the
+    expired (last successful fetch >= url_ttl batches ago, URL-level) and
+    not attempted within the TTL window (so a refresh that misses — page
+    since deleted — retries every url_ttl, not every batch, like the
     reference re-fetching an uncacheable URL on each access). Every seed
-    that visited the URL gets a refresh row."""
-    due_urls = _url_cache_state(ledger).where(
+    that visited the URL gets a refresh row. url_ttl is the per-URL
+    adaptive interval, == ttl_batches everywhere in fixed-TTL mode."""
+    due_urls = _url_cache_state(ledger, default_ttl=ttl_batches).where(
         F.col("url_fetch_batch").isNotNull()
-        & (F.col("url_fetch_batch") <= F.lit(batch_id - ttl_batches))
-        & (F.col("url_visit_batch") <= F.lit(batch_id - ttl_batches))
+        & (F.col("url_fetch_batch") <= F.lit(batch_id) - F.col("url_ttl"))
+        & (F.col("url_visit_batch") <= F.lit(batch_id) - F.col("url_ttl"))
     )
     return ledger.join(F.broadcast(due_urls.select("url")), "url", "left_semi")
 
@@ -702,6 +800,8 @@ def _restore_cache_blobs(
     prev: int,
     ttl_batches: int,
     capacity_per_bucket: int,
+    adaptive: bool = False,
+    max_ttl: int | None = None,
 ) -> DataFrame:
     """Deterministically restore the SHARDED cache filter (operators/
     cachefilter.py — per-bucket cuckoo blobs, built and updated on
@@ -728,12 +828,14 @@ def _restore_cache_blobs(
         )
         if not stale:
             return blobs
-    ledger = _cache_ledger(store, prev)
+    ledger = _cache_ledger(
+        store, prev, adaptive=adaptive, base_ttl=ttl_batches, max_ttl=max_ttl
+    )
     if ledger is None:
         return CF.empty_blobs(spark)
-    live = _url_cache_state(ledger).where(
+    live = _url_cache_state(ledger, default_ttl=ttl_batches).where(
         F.col("url_fetch_batch").isNotNull()
-        & (F.col("url_fetch_batch") > F.lit(prev - ttl_batches))
+        & (F.col("url_fetch_batch") + F.col("url_ttl") > F.lit(prev))
     )
     return CF.build_cuckoo_blobs(
         live.select(url_hash(F.col("url")).alias("url_hash")),
@@ -963,7 +1065,8 @@ def run_crawl(
             1, math.ceil(cfg.recrawl_ttl_seconds / cfg.batch_interval_seconds)
         )
         cache_blobs = _restore_cache_blobs(
-            spark, store, start - 1, ttl_batches, cfg.cache_keys_per_bucket
+            spark, store, start - 1, ttl_batches, cfg.cache_keys_per_bucket,
+            adaptive=cfg.adaptive_recrawl, max_ttl=cfg.recrawl_ttl_max_batches,
         )
 
     total_scheduled = 0
@@ -975,7 +1078,14 @@ def run_crawl(
         if "is_recrawl" not in frontier.columns:  # pre-TTL store resume
             frontier = frontier.withColumn("is_recrawl", F.lit(False))
 
-        ledger = _cache_ledger(store, prev) if ttl_batches is not None else None
+        ledger = (
+            _cache_ledger(
+                store, prev, adaptive=cfg.adaptive_recrawl,
+                base_ttl=ttl_batches, max_ttl=cfg.recrawl_ttl_max_batches,
+            )
+            if ttl_batches is not None
+            else None
+        )
         blob_stage_cache = None
         if ledger is not None:
             # S5 — TTL expiry: entries fetched exactly ttl_batches ago lapse
@@ -986,8 +1096,12 @@ def run_crawl(
             # locally on executors (cogroup over bucket blobs); the only
             # driver-side value is the scalar eviction count.
             expiring = (
-                _url_cache_state(ledger)
-                .where(F.col("url_fetch_batch") == F.lit(batch_id - ttl_batches))
+                _url_cache_state(ledger, default_ttl=ttl_batches)
+                # equality fires exactly once per cache entry: the ttl
+                # only changes when a NEW fetch also advances
+                # url_fetch_batch, so (fetch, ttl) pairs are stable
+                # between fetch and expiry — adaptive or fixed
+                .where(F.col("url_fetch_batch") + F.col("url_ttl") == F.lit(batch_id))
                 .select(url_hash(F.col("url")).alias("url_hash"))
             )
             n_expiring = expiring.count()
@@ -1029,7 +1143,21 @@ def run_crawl(
             frontier = frontier.unionByName(recrawl_rows.select(*FRONTIER_COLS))
 
         if frontier.limit(1).count() == 0:
-            break
+            # with recrawl enabled, an empty batch is a GAP, not the end:
+            # a fetched entry always refreshes eventually (adaptive
+            # intervals make gaps routine; even fixed ttl>1 has them once
+            # discovery ends), and each batch is one tick of the logical
+            # clock — so idle through the batch instead of exiting while
+            # refreshes pend. Bounded by max_batches like everything else.
+            pending_refresh = (
+                ttl_batches is not None
+                and ledger is not None
+                and ledger.where(
+                    F.col("last_fetch_batch").isNotNull()
+                ).limit(1).count() > 0
+            )
+            if not pending_refresh:
+                break
         cooling = None
         if breaker_state is not None:
             # circuit breaker: rows of cooling hosts skip this batch's
@@ -1094,6 +1222,9 @@ def run_crawl(
             F.col("parse.title").alias("title"),
             "attempt", "status", "fetch_error", "fetch_error_class",
             "is_recrawl", F.lit(batch_id).cast("long").alias("batch_id"),
+            # content fingerprint of the fetched bytes — the adaptive-
+            # recrawl change detector (and a useful archive invariant)
+            F.when(F.col("fetched"), F.xxhash64(F.col("html"))).alias("content_hash"),
         )
         store.write(batch_id, "visited", visited)
 
@@ -1137,8 +1268,15 @@ def run_crawl(
             # incremental ledger snapshot: fold THIS batch's visited into
             # the carried per-(seed,url) state so the next batch reads one
             # table instead of re-aggregating all visited history
-            delta = _ledger_delta(visited)
-            new_ledger = _merge_ledger(ledger, delta) if ledger is not None else delta
+            delta = _ledger_delta(visited, base_ttl=ttl_batches)
+            new_ledger = (
+                _merge_ledger(
+                    ledger, delta, adaptive=cfg.adaptive_recrawl,
+                    base_ttl=ttl_batches, max_ttl=cfg.recrawl_ttl_max_batches,
+                )
+                if ledger is not None
+                else delta
+            )
             store.write(batch_id, "cache_ledger", new_ledger)
             # cache store-on-success (cache.py:26-33): every successful
             # fetch this batch (fresh page or refresh) re-enters the filter

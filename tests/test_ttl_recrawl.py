@@ -136,6 +136,12 @@ def test_incremental_ledger_equals_full_history(runs):
             F.min("priority").alias("priority"),
             F.min("depth").alias("depth"),
             F.min("discovered_seq").alias("discovered_seq"),
+            # adaptive-recrawl columns: the hash of the LATEST fetch (the
+            # fixture corpus is static, so max == latest), and in fixed-TTL
+            # mode every fetched entry sits at the base interval
+            # (7200 s ttl / 3600 s batch = 2 here)
+            F.max(F.when(F.col("fetched"), F.col("content_hash"))).alias("content_hash"),
+            F.max(F.when(F.col("fetched"), F.lit(2).cast("int"))).alias("ttl_batches"),
         )
     )
     cols = sorted(stored.columns)

@@ -52,6 +52,12 @@ def main() -> None:
                          "expired pages re-enter the frontier as refresh "
                          "rows; state lives in the sharded cuckoo cache "
                          "filter + incremental ledger tables")
+    ap.add_argument("--adaptive-recrawl", action="store_true",
+                    help="with --recrawl-ttl: double a URL's refresh "
+                         "interval when its content hash is unchanged "
+                         "(capped at --recrawl-ttl-max), reset on change")
+    ap.add_argument("--recrawl-ttl-max", type=int, default=64,
+                    help="adaptive interval cap, in batches")
     ap.add_argument("--live", action="store_true",
                     help="LIVE fetch mode over real sockets "
                          "(UrllibTransport; needs egress) instead of the "
@@ -175,6 +181,8 @@ def main() -> None:
             bloom_keys_per_bucket=args.bloom_keys,
             max_fetch_attempts=args.max_attempts,
             recrawl_ttl_seconds=args.recrawl_ttl,
+            adaptive_recrawl=args.adaptive_recrawl,
+            recrawl_ttl_max_batches=args.recrawl_ttl_max,
             live_transport=live_transport,
             live_delay_ms=args.live_delay_ms,
             live_robots=args.live_robots,
