@@ -53,6 +53,7 @@ BENCH_QUERY_NAMES = [
     "corpus_training_manifest",  # capstone: gates→dedup→scrub→shuffle→pack
     "live_fetch_stage",       # S1 live-fetch stage (host-partitioned Arrow fetch)
     "media_decode_features",  # real PNG pixel decode (stdlib codec, mapInPandas)
+    "host_rank",              # iterative host-graph PageRank (3 power steps)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
