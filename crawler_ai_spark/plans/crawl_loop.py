@@ -131,6 +131,13 @@ class CrawlConfig:
     # None disables (default: loop byte-identical).
     host_failure_threshold: int | None = None
     host_cooldown_batches: int = 2
+    # Spider-trap gate (functions/traps.py): drop harvested links whose
+    # URL structure marks an infinitely-generated subspace (segment
+    # loops, calendar pagers, session-id echoes, query cross-products,
+    # depth/length caps) BEFORE sequence assignment and the seen-set
+    # shuffle — row-local JVM expressions, so the kill is map-side free.
+    # False (default) keeps the loop byte-identical to the golden sim.
+    trap_filter: bool = False
 
 
 FRONTIER_COLS = [
@@ -480,6 +487,7 @@ def next_frontier(
     use_bloom: bool = False,
     cache_registry: list | None = None,
     blooms: DataFrame | None = None,
+    trap_filter: bool = False,
 ) -> DataFrame:
     """Links of yield-allowed pages → scheduled child frontier rows.
 
@@ -493,6 +501,12 @@ def next_frontier(
         "seed_url", "seed_host", "url", "depth", "page_order", "parse"
     )
     links = FR.harvest_links(yielding)
+    if trap_filter:
+        from crawler_ai_spark.functions import traps as TR
+
+        # before sequence assignment: a trap URL never consumes queue
+        # order (mirrors the reference's enqueue-time should_exclude_url)
+        links = links.where(~TR.is_trap_expr(F.col("child_url")))
     seq_offsets = seed_state.select("seed_url", F.col("seq_offset"))
     candidates = FR.assign_sequence(links, seq_offsets)
     candidates = FR.with_url_hash(candidates, "child_url")
@@ -1343,6 +1357,7 @@ def run_crawl(
         fresh, candidates = next_frontier(
             gated, seen, seed_state, cfg.use_bloom,
             cache_registry=batch_caches, blooms=blooms,
+            trap_filter=cfg.trap_filter,
         )
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))

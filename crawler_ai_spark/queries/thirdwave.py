@@ -73,6 +73,163 @@ def synth_redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# synthesized trap-shaped URLs: (path, query) per doc_id % 12 —
+# cases 0-5 exercise one trap signal each, 6-11 are clean (8 and 10 are
+# deliberate near-misses: a date-like path with a non-numeric day and a
+# single repeated segment).
+# ---------------------------------------------------------------------------
+
+_TRAP_CASES = [
+    ("'/a/b/a/b/a/b/item-' || doc_id", "''"),                       # loop_segments
+    ("'/archive/2021/' || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)", "''"),  # calendar
+    ("'/products/item-' || doc_id", "'jsessionid=' || doc_id"),     # session_id
+    ("'/search'", "'a=1&b=2&c=3&d=4&e=5&f=' || doc_id"),            # query_explosion
+    ("'/c1/c2/c3/c4/c5/c6/c7/c8/c9/c10/c11/c12/p-' || doc_id", "''"),  # too_deep
+    ("'/long/' || repeat('z', 300) || '-' || doc_id", "''"),        # too_long
+    ("'/careers'", "''"),
+    ("'/blog/post-' || doc_id", "''"),
+    ("'/news/2024/01/story-' || doc_id", "''"),                     # near-miss calendar
+    ("'/'", "''"),
+    ("'/a/b/a/item-' || doc_id", "''"),                             # near-miss loop
+    ("'/docs'", "'page=' || (doc_id % 100)"),
+]
+
+
+def _case12(exprs, spark_side: bool) -> str:
+    body = " ".join(
+        f"WHEN {i} THEN {e.replace('doc_id', 'CAST(doc_id AS STRING)') if spark_side else e}"
+        for i, e in enumerate(exprs)
+    )
+    key = "CAST(doc_id % 12 AS INT)" if spark_side else "(doc_id % 12)"
+    return f"CASE {key} {body} END"
+
+
+def _trap_urls_cte() -> str:
+    p = _case12([c[0] for c in _TRAP_CASES], spark_side=False)
+    q = _case12([c[1] for c in _TRAP_CASES], spark_side=False)
+    return f"""
+synth_trap_urls AS (
+  SELECT doc_id,
+         'host' || (doc_id % 23) || '.example.com' AS host,
+         {p} AS path,
+         {q} AS query,
+         'https://host' || (doc_id % 23) || '.example.com' || {p}
+           || CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END AS url
+  FROM documents
+)"""
+
+
+def synth_trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _case12([c[0] for c in _TRAP_CASES], spark_side=True)
+    q = _case12([c[1] for c in _TRAP_CASES], spark_side=True)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("'host' || CAST(doc_id % 23 AS STRING) || '.example.com'").alias("host"),
+        F.expr(
+            f"'https://host' || CAST(doc_id % 23 AS STRING) || '.example.com' || {p} "
+            f"|| CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+        ).alias("url"),
+    )
+
+
+# the oracle re-derives every signal over the CTE's path/query columns in
+# DuckDB SQL (the Spark side parses them back out of the URL with
+# try_parse_url — an intentional difference: it checks the parser too).
+_TRAP_REASON_SQL = """
+  CASE
+    WHEN len(segs) - len(list_distinct(segs)) >= 2 THEN 'loop_segments'
+    WHEN regexp_matches(path, '/(19|20)\\d{2}/\\d{1,2}/\\d{1,2}(/|$)') THEN 'calendar'
+    WHEN lower(query) LIKE '%jsessionid%' OR lower(query) LIKE '%phpsessid%'
+         OR lower(query) LIKE '%sessionid%' OR lower(query) LIKE '%sid=%'
+      THEN 'session_id'
+    WHEN (CASE WHEN query = '' THEN 0
+               ELSE length(query) - length(replace(query, '&', '')) + 1 END) >= 6
+      THEN 'query_explosion'
+    WHEN len(segs) > 12 THEN 'too_deep'
+    WHEN length(url) > 300 THEN 'too_long'
+  END
+"""
+
+_TRAP_FLAGS_CTE = f"""
+trap_flags AS (
+  SELECT doc_id, host, url, {_TRAP_REASON_SQL} AS trap_reason
+  FROM (
+    SELECT *,
+           regexp_split_to_array(
+             regexp_replace(path, '^/+|/+$', '', 'g'), '/+') AS segs
+    FROM synth_trap_urls
+  )
+)"""
+
+
+@_register(
+    "url_trap_detect",
+    oracle=f"""
+WITH {_trap_urls_cte()},
+{_TRAP_FLAGS_CTE}
+SELECT doc_id, host, url, trap_reason, trap_reason IS NOT NULL AS is_trap
+FROM trap_flags ORDER BY doc_id
+""",
+)
+def q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap classifier (functions/traps.py): row-local URL-structure
+    signals — segment loops, calendar pagers, session-id echoes, query
+    cross-products, depth, length — evaluated JVM-side so the frontier can
+    kill infinite URL subspaces map-side, before the seen-set shuffle."""
+    from crawler_ai_spark.functions import traps as TR
+
+    urls = synth_trap_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        "host",
+        "url",
+        TR.trap_reason_expr(F.col("url")).alias("trap_reason"),
+        TR.is_trap_expr(F.col("url")).alias("is_trap"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "trap_host_quarantine",
+    oracle=f"""
+WITH {_trap_urls_cte()},
+{_TRAP_FLAGS_CTE}
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(*) FILTER (WHERE trap_reason IS NOT NULL) AS BIGINT) AS n_traps,
+       round(count(*) FILTER (WHERE trap_reason IS NOT NULL) * 1.0 / count(*), 6)
+         AS trap_share,
+       count(*) FILTER (WHERE trap_reason IS NOT NULL) * 2 >= count(*) AS quarantined
+FROM trap_flags GROUP BY host ORDER BY host
+""",
+)
+def q_trap_host_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level trap rollup: hosts whose candidate mix is >= 50% trap
+    URLs get quarantined (budget-dampened) — the aggregate is one
+    map-side-combined groupBy on host, so the signal is nearly free next
+    to the frontier's own politeness shuffle."""
+    from crawler_ai_spark.functions import traps as TR
+
+    urls = synth_trap_urls(spark, sf_dir)
+    flagged = urls.select("host", TR.is_trap_expr(F.col("url")).alias("is_trap"))
+    n_traps = F.sum(F.when(F.col("is_trap"), 1).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            n_traps.alias("n_traps"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_traps",
+            F.round(F.col("n_traps") * 1.0 / F.col("n_urls"), 6).alias("trap_share"),
+            (F.col("n_traps") * 2 >= F.col("n_urls")).alias("quarantined"),
+        )
+        .orderBy("host")
+    )
+
+
 @_register(
     "redirect_resolve",
     # Independent re-derivation: a step-at-a-time recursive walk with
