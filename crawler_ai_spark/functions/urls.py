@@ -42,3 +42,41 @@ def url_hash(url: Column) -> Column:
 
 def host_expr(url: Column) -> Column:
     return F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
+
+
+def surt_host(host: Column) -> Column:
+    """Host → SURT form: lowercase, one leading ``www.`` stripped, dot
+    labels reversed and comma-joined (``www.News.Example.com`` →
+    ``com,example,news``). Pure JVM string/array ops."""
+    h = F.regexp_replace(F.lower(host), r"^www\.", "")
+    return F.array_join(F.reverse(F.split(h, r"\.")), ",")
+
+
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key (the web-archive CDX
+    convention Common Crawl indexes by): ``com,example)/path?query``,
+    all-lowercase. Sorting/range-partitioning the frontier or seen-set by
+    this key makes every URL of a registered domain — including all its
+    subdomains — CONTIGUOUS on disk: per-domain scans become partition-
+    range prunes instead of full-table hash probes, and per-host frontier
+    work co-locates without a shuffle when the store is SURT-bucketed.
+    scheme and a single leading www are dropped (they don't affect crawl
+    identity); path+query are kept verbatim apart from lowercasing."""
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        surt_host(host_expr(url)),
+        F.lit(")"),
+        F.lower(path),
+        F.when(
+            query.isNotNull() & (query != ""), F.concat(F.lit("?"), F.lower(query))
+        ).otherwise(F.lit("")),
+    )
+
+
+def surt_domain_prefix(key: Column, labels: int = 2) -> Column:
+    """First ``labels`` comma-separated labels of a SURT key — the
+    registered-domain range prefix (``com,example``) that groups every
+    subdomain of a domain into one contiguous key range."""
+    host_part = F.split(key, r"\)", 2).getItem(0)
+    return F.array_join(F.slice(F.split(host_part, ","), 1, labels), ",")

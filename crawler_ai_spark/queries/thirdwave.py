@@ -230,6 +230,274 @@ def q_trap_host_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# synthesized mirror corpus: host_id = doc_id % 40, item = doc_id // 40.
+#   host_id % 8 in (0,1): fp = item            → a 10-host mirror family
+#   host_id % 8 in (2,3): fp = item (even) or unique (odd)
+#   else                : unique fp
+#   item % 97 == 0      : fp = -1 on EVERY host — universal boilerplate,
+#                          dropped by the stop-word gate (40 > 16 hosts)
+# Post-gate shape (sf0.01): even-item fps are shared by 20 hosts (family
+# + partial) → also stop-worded, so the family's surviving sets are the
+# odd items (+ the tail item carried only by low host_ids). That splits
+# the family into two perfect cliques (j=1.0) whose cross pairs land at
+# 6/7 ≈ 0.857 — a genuine sub-threshold near-miss — while partial hosts'
+# shared fps are all gated away (no pairs at all). Every branch of the
+# operator (gate, threshold, clique, near-miss) is exercised.
+# ---------------------------------------------------------------------------
+
+_MIRROR_PAGES_CTE = """
+mirror_pages AS (
+  SELECT doc_id,
+         'm' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.mirror.test'
+           AS host,
+         CASE WHEN (doc_id // 40) % 97 = 0 THEN CAST(-1 AS BIGINT)
+              WHEN (doc_id % 40) % 8 IN (0, 1) THEN doc_id // 40
+              WHEN (doc_id % 40) % 8 IN (2, 3) AND (doc_id // 40) % 2 = 0
+                THEN doc_id // 40
+              ELSE (doc_id % 40) * 1000000 + doc_id // 40
+         END AS fp
+  FROM documents
+)"""
+
+_MIRROR_IDX_CTE = """
+fps AS (SELECT DISTINCT host, fp FROM mirror_pages),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 16),
+idx AS (SELECT f.host, f.fp FROM fps f SEMI JOIN rare r ON f.fp = r.fp),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS size FROM idx GROUP BY host),
+mpairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host
+),
+scored AS (
+  SELECT p.host_a, p.host_b, p.shared, sa.size AS size_a, sb.size AS size_b,
+         round(p.shared * 1.0 / (sa.size + sb.size - p.shared), 6) AS jaccard
+  FROM mpairs p
+  JOIN sizes sa ON sa.host = p.host_a
+  JOIN sizes sb ON sb.host = p.host_b
+  WHERE p.shared * 1.0 / (sa.size + sb.size - p.shared) >= 0.9
+)"""
+
+
+def synth_mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    h = d % 40
+    item = F.floor(d / 40).cast("long")
+    fp = (
+        F.when(item % 97 == 0, F.lit(-1).cast("long"))
+        .when((h % 8).isin(0, 1), item)
+        .when((h % 8).isin(2, 3) & (item % 2 == 0), item)
+        .otherwise(h * 1000000 + item)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), F.lpad(h.cast("string"), 2, "0"), F.lit(".mirror.test")
+        ).alias("host"),
+        fp.alias("fingerprint"),
+    )
+
+
+@_register(
+    "mirror_host_pairs",
+    oracle=f"""
+WITH {_MIRROR_PAGES_CTE},
+{_MIRROR_IDX_CTE}
+SELECT host_a, host_b, shared, size_a, size_b, jaccard
+FROM scored ORDER BY host_a, host_b
+""",
+)
+def q_mirror_host_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host pairs (operators/mirrors.py): content-fingerprint
+    inverted-index join — pairs exist only where a fingerprint is shared
+    (LSH-banding shape, never all-pairs over hosts), universal
+    boilerplate fps stop-worded at >16 hosts, Jaccard >= 0.9 over the
+    surviving sets. The frontier collapses a mirror family to one host
+    before spending fetch budget."""
+    from crawler_ai_spark.operators import mirrors as MI
+
+    pairs = MI.mirror_pairs(synth_mirror_pages(spark, sf_dir))
+    return pairs.select(
+        "host_a", "host_b", "shared", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("host_a", "host_b")
+
+
+@_register(
+    "mirror_canonical_hosts",
+    oracle=f"""
+WITH {_MIRROR_PAGES_CTE},
+{_MIRROR_IDX_CTE},
+edges AS (
+  SELECT host_a AS host, host_b AS peer FROM scored
+  UNION ALL
+  SELECT host_b AS host, host_a AS peer FROM scored
+)
+SELECT host, least(host, min(peer)) AS canonical_host
+FROM edges GROUP BY host ORDER BY host
+""",
+)
+def q_mirror_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical representative per mirrored host: lexicographic min over
+    the host's direct mirror partners (exact for cliques — what true
+    mirrors form). One groupBy over the pair edges."""
+    from crawler_ai_spark.operators import mirrors as MI
+
+    pairs = MI.mirror_pairs(synth_mirror_pages(spark, sf_dir))
+    return MI.mirror_canonical(pairs).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# synthesized SURT inputs: mixed-case hosts, www prefixes, subdomains —
+# 9 registered domains × several host shapes, so the locality rollup sees
+# multiple hosts collapsing into one registered-domain key range. Case 7
+# ("wwwsite…", no dot) is the near-miss: the www-strip must not fire.
+# ---------------------------------------------------------------------------
+
+_SURT_HOST_CASES = [
+    "'www.Site' || k || '.example.com'",
+    "'site' || k || '.example.com'",
+    "'news.site' || k || '.example.com'",
+    "'Jobs.Site' || k || '.EXAMPLE.COM'",
+    "'www.site' || k || '.example.org'",
+    "'cdn' || k || '.Mirror-Host.net'",
+    "'static.img.site' || k || '.example.com'",
+    "'wwwsite' || k || '.example.com'",
+]
+
+_SURT_PATH_CASES = [
+    ("'/Careers/Item-' || doc_id", "''"),
+    ("'/a/b'", "'Ref=HomePage&x=' || doc_id"),
+    ("'/'", "''"),
+    ("'/ARCHIVE/doc-' || doc_id", "'Q=Spark'"),
+]
+
+
+def _surt_case(exprs, spark_side: bool, mod: int) -> str:
+    body = " ".join(
+        f"WHEN {i} THEN {e.replace('doc_id', 'CAST(doc_id AS STRING)').replace(' k ', ' CAST(k AS STRING) ') if spark_side else e}"
+        for i, e in enumerate(exprs)
+    )
+    key = f"CAST(doc_id % {mod} AS INT)" if spark_side else f"(doc_id % {mod})"
+    return f"CASE {key} {body} END"
+
+
+def _surt_urls_cte() -> str:
+    h = _surt_case(_SURT_HOST_CASES, spark_side=False, mod=8)
+    p = _surt_case([c[0] for c in _SURT_PATH_CASES], spark_side=False, mod=4)
+    q = _surt_case([c[1] for c in _SURT_PATH_CASES], spark_side=False, mod=4)
+    return f"""
+surt_urls AS (
+  SELECT doc_id, host, path, query,
+         'https://' || host || path
+           || CASE WHEN query = '' THEN '' ELSE '?' || query END AS url
+  FROM (
+    SELECT doc_id, {h} AS host, {p} AS path, {q} AS query
+    FROM (SELECT doc_id, doc_id % 9 AS k FROM documents)
+  )
+)"""
+
+
+def synth_surt_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _surt_case(_SURT_HOST_CASES, spark_side=True, mod=8)
+    p = _surt_case([c[0] for c in _SURT_PATH_CASES], spark_side=True, mod=4)
+    q = _surt_case([c[1] for c in _SURT_PATH_CASES], spark_side=True, mod=4)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("doc_id % 9").alias("k"))
+        .select(
+            "doc_id",
+            F.expr(h).alias("host"),
+            F.expr(p).alias("path"),
+            F.expr(q).alias("query"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "'https://' || host || path "
+                "|| CASE WHEN query = '' THEN '' ELSE '?' || query END"
+            ).alias("url"),
+        )
+    )
+
+
+# oracle re-derives the SURT from the pre-parse components (the Spark side
+# parses host/path/query back OUT of the url with try_parse_url — checking
+# the parser too, same convention as the trap oracle)
+_SURT_KEY_SQL = """
+  array_to_string(
+    list_reverse(string_split(regexp_replace(lower(host), '^www\\.', ''), '.')),
+    ',')
+  || ')' || lower(path)
+  || CASE WHEN query = '' THEN '' ELSE '?' || lower(query) END
+"""
+
+
+@_register(
+    "surt_keys",
+    oracle=f"""
+WITH {_surt_urls_cte()}
+SELECT doc_id, url, {_SURT_KEY_SQL} AS surt
+FROM surt_urls ORDER BY doc_id
+""",
+)
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT key (functions/urls.py:surt_key) — the CDX sort-friendly URL
+    transform Common Crawl indexes by: ``com,example)/path``. Range-
+    partitioning the frontier/seen store on this key makes every URL of a
+    registered domain (all subdomains included) one contiguous key range,
+    so per-domain operations prune partitions instead of hashing the
+    whole table. Pure JVM expressions; reference crawls one site per
+    request so never needs a global order (routes.py keyed by site URL)."""
+    from crawler_ai_spark.functions import urls as U
+
+    return (
+        synth_surt_urls(spark, sf_dir)
+        .select("doc_id", "url", U.surt_key(F.col("url")).alias("surt"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "surt_locality",
+    oracle=f"""
+WITH {_surt_urls_cte()},
+keyed AS (SELECT {_SURT_KEY_SQL} AS surt, host FROM surt_urls)
+SELECT array_to_string((string_split(string_split(surt, ')')[1], ','))[1:2], ',')
+         AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT lower(host)) AS BIGINT) AS n_hosts,
+       min(surt) AS range_lo,
+       max(surt) AS range_hi
+FROM keyed GROUP BY domain ORDER BY domain
+""",
+)
+def q_surt_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain locality rollup over SURT keys: each domain's
+    URLs — across every subdomain and www variant — fall in ONE
+    [range_lo, range_hi] key interval, the property that lets a
+    SURT-sorted store answer per-domain scans with a range prune. One
+    map-side-combined groupBy."""
+    from crawler_ai_spark.functions import urls as U
+
+    keyed = synth_surt_urls(spark, sf_dir).select(
+        U.surt_key(F.col("url")).alias("surt"),
+        F.lower(U.host_expr(F.col("url"))).alias("host"),
+    )
+    return (
+        keyed.groupBy(U.surt_domain_prefix(F.col("surt"), 2).alias("domain"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("surt").alias("range_lo"),
+            F.max("surt").alias("range_hi"),
+        )
+        .orderBy("domain")
+    )
+
+
 @_register(
     "redirect_resolve",
     # Independent re-derivation: a step-at-a-time recursive walk with
