@@ -138,6 +138,14 @@ class CrawlConfig:
     # shuffle — row-local JVM expressions, so the kill is map-side free.
     # False (default) keeps the loop byte-identical to the golden sim.
     trap_filter: bool = False
+    # Host-level quarantine on top of the per-URL gate: if, within a
+    # batch's harvested links, >= this share of a host's candidates are
+    # traps, the WHOLE host is dropped for the batch — the "clean-
+    # looking" remainder of a trap-dominated host is usually generated
+    # too. The signal is one host-grain map-side-combined aggregate
+    # whose result is broadcast-joinable (O(hosts), not O(urls)).
+    # Implies the per-URL gate. None (default) disables.
+    trap_quarantine_share: float | None = None
 
 
 FRONTIER_COLS = [
@@ -488,6 +496,7 @@ def next_frontier(
     cache_registry: list | None = None,
     blooms: DataFrame | None = None,
     trap_filter: bool = False,
+    trap_quarantine_share: float | None = None,
 ) -> DataFrame:
     """Links of yield-allowed pages → scheduled child frontier rows.
 
@@ -501,12 +510,27 @@ def next_frontier(
         "seed_url", "seed_host", "url", "depth", "page_order", "parse"
     )
     links = FR.harvest_links(yielding)
-    if trap_filter:
+    if trap_filter or trap_quarantine_share is not None:
         from crawler_ai_spark.functions import traps as TR
 
         # before sequence assignment: a trap URL never consumes queue
         # order (mirrors the reference's enqueue-time should_exclude_url)
-        links = links.where(~TR.is_trap_expr(F.col("child_url")))
+        links = links.withColumn("_trap", TR.is_trap_expr(F.col("child_url")))
+        if trap_quarantine_share is not None:
+            # batch-local host signal: share of trap candidates per host;
+            # hosts at/over the threshold lose ALL their links this batch.
+            # links derives from the persisted gated batch, so the
+            # aggregate branch recomputes only the cheap harvest; its
+            # result is host-grain (broadcast anti-join under AQE).
+            links = links.withColumn("_lhost", host_expr(F.col("child_url")))
+            bad_hosts = (
+                links.groupBy("_lhost")
+                .agg(F.avg(F.col("_trap").cast("double")).alias("_share"))
+                .where(F.col("_share") >= float(trap_quarantine_share))
+                .select("_lhost")
+            )
+            links = links.join(bad_hosts, "_lhost", "left_anti").drop("_lhost")
+        links = links.where(~F.col("_trap")).drop("_trap")
     seq_offsets = seed_state.select("seed_url", F.col("seq_offset"))
     candidates = FR.assign_sequence(links, seq_offsets)
     candidates = FR.with_url_hash(candidates, "child_url")
@@ -1358,6 +1382,7 @@ def run_crawl(
             gated, seen, seed_state, cfg.use_bloom,
             cache_registry=batch_caches, blooms=blooms,
             trap_filter=cfg.trap_filter,
+            trap_quarantine_share=cfg.trap_quarantine_share,
         )
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))

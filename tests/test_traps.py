@@ -109,3 +109,33 @@ def test_loop_gate_drops_traps_keeps_siblings(spark, trapped_corpus, tmp_path_fa
     # refilled (or at worst left empty) — never fewer clean pages
     off_clean = {u for u in off if "/a/b/a/b/a/b/" not in u}
     assert len(on) >= len(off_clean)
+
+
+def test_host_quarantine_in_loop(spark, trapped_corpus, tmp_path_factory):
+    pages, seeds = trapped_corpus
+    seed_urls = {r.seed_url for r in seeds.collect()}
+
+    # threshold ~0: one trap link on the homepage quarantines the whole
+    # seed host for the batch — the crawl visits ONLY the homepages
+    root_q = tmp_path_factory.mktemp("trap_q0")
+    res_q = run_crawl(
+        spark, pages, seeds, root_q,
+        CrawlConfig(max_batches=4, parallelism=8, trap_quarantine_share=0.001),
+    )
+    assert _frontier_urls(spark, root_q, res_q["last_batch"]) == seed_urls
+
+    # threshold ~1 never quarantines; quarantine implies the per-URL
+    # gate, so the visited set equals trap_filter=True exactly
+    root_q99 = tmp_path_factory.mktemp("trap_q99")
+    root_on = tmp_path_factory.mktemp("trap_gate_only")
+    res_q99 = run_crawl(
+        spark, pages, seeds, root_q99,
+        CrawlConfig(max_batches=4, parallelism=8, trap_quarantine_share=0.99),
+    )
+    res_on = run_crawl(
+        spark, pages, seeds, root_on,
+        CrawlConfig(max_batches=4, parallelism=8, trap_filter=True),
+    )
+    assert _frontier_urls(spark, root_q99, res_q99["last_batch"]) == _frontier_urls(
+        spark, root_on, res_on["last_batch"]
+    )

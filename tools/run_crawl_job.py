@@ -90,6 +90,14 @@ def main() -> None:
                          "(defer-not-drop; state table host_breaker)")
     ap.add_argument("--fail-cooldown", type=int, default=2,
                     help="batches a tripped host cools before a probe")
+    ap.add_argument("--trap-filter", action="store_true",
+                    help="drop spider-trap URLs (segment loops, calendar "
+                         "pagers, session ids, query cross-products, depth/"
+                         "length caps) map-side before scheduling")
+    ap.add_argument("--trap-quarantine", type=float, default=None,
+                    help="quarantine whole hosts whose per-batch candidate "
+                         "mix is >= this trap share (implies --trap-filter "
+                         "semantics)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="after the run, rewrite the seen-delta appends into "
@@ -188,6 +196,8 @@ def main() -> None:
             live_robots=args.live_robots,
             host_failure_threshold=args.fail_threshold,
             host_cooldown_batches=args.fail_cooldown,
+            trap_filter=args.trap_filter,
+            trap_quarantine_share=args.trap_quarantine,
         )
         cfg.warc_dir = args.warc_dir
         summary = run_crawl(
