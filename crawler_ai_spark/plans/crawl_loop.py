@@ -146,6 +146,12 @@ class CrawlConfig:
     # whose result is broadcast-joinable (O(hosts), not O(urls)).
     # Implies the per-URL gate. None (default) disables.
     trap_quarantine_share: float | None = None
+    # Live-robots cache TTL in batches: a cached /robots.txt older than
+    # this is dropped, so the host's next frontier appearance refetches
+    # it (lazy revalidation — RFC 9309 caps robots caching at ~24h;
+    # hosts not being crawled are never proactively refetched). None
+    # (default): cache for the life of the crawl, the prior behavior.
+    robots_ttl_batches: int | None = None
 
 
 FRONTIER_COLS = [
@@ -921,7 +927,7 @@ def _merge_host_budgets(
 _ROBOTS_CACHE_SCHEMA = (
     "host string, disallow_prefixes array<string>, "
     "allow_prefixes array<string>, crawl_delay_s double, "
-    "sitemap_urls array<string>"
+    "sitemap_urls array<string>, fetched_batch long"
 )
 
 
@@ -986,7 +992,10 @@ def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> 
     /robots.txt), or an empty table for a fresh crawl."""
     state = _read_latest_state(store, "robots_cache", prev)
     if state is not None:
-        return state[0]
+        cache = state[0]
+        if "fetched_batch" not in cache.columns:  # pre-TTL store resume
+            cache = cache.withColumn("fetched_batch", F.lit(None).cast("long"))
+        return cache
     return spark.createDataFrame([], _ROBOTS_CACHE_SCHEMA)
 
 
@@ -1221,6 +1230,17 @@ def run_crawl(
             # back — no refetch on restart).
             from crawler_ai_spark.sources.robots import fetch_robots, parse_robots
 
+            if cfg.robots_ttl_batches is not None:
+                # lazy revalidation: entries older than the TTL drop out
+                # of the cache, so a host re-entering the frontier gets a
+                # fresh /robots.txt (RFC 9309 §2.4 caps caching at ~24h;
+                # here measured in batches). Hosts not being crawled cost
+                # nothing — no proactive refetch. Pre-TTL rows (null
+                # fetched_batch) count as ancient.
+                robots_state = robots_state.where(
+                    F.coalesce(F.col("fetched_batch"), F.lit(-(1 << 60)))
+                    > F.lit(batch_id - cfg.robots_ttl_batches)
+                )
             unseen = frontier.join(robots_state.select("host"), "host", "left_anti")
             new_rules = parse_robots(
                 fetch_robots(
@@ -1231,7 +1251,7 @@ def run_crawl(
                 with_allow=True,
                 with_crawl_delay=True,
                 with_sitemaps=True,
-            )
+            ).withColumn("fetched_batch", F.lit(batch_id).cast("long"))
             robots_state = robots_state.unionByName(new_rules)
             store.write(batch_id, "robots_cache", robots_state)
             robots_state = store.read("robots_cache", batch_id)  # lineage reset

@@ -203,6 +203,108 @@ def test_live_robots_gate_budget_and_cache(spark, base_url, tmp_path_factory):
     assert locs == {base_url + "/careers", base_url + "/jobs/1"}
 
 
+class _MutableRobotsHandler(http.server.BaseHTTPRequestHandler):
+    """robots.txt tightens after its first fetch (hit 1: Disallow /jobs/2;
+    later hits also Disallow /jobs/3) — only a crawl that REVALIDATES its
+    robots cache ever sees the new rule."""
+
+    def do_GET(self):  # noqa: N802 - stdlib API name
+        base = self.server.base_url  # type: ignore[attr-defined]
+        if self.path == "/robots.txt":
+            self.server.robots_hits += 1  # type: ignore[attr-defined]
+            body = "User-agent: *\nDisallow: /jobs/2\n"
+            if self.server.robots_hits > 1:  # type: ignore[attr-defined]
+                body += "Disallow: /jobs/3\n"
+        else:
+            site = _site(base)
+            site["/careers"] = (
+                "<html><head><title>Careers - Acme Corp</title></head><body>"
+                "We are hiring! Open positions and vacancies — join our team. "
+                f'<a href="{base}/jobs/1">Senior Engineer</a> '
+                f'<a href="{base}/jobs/2">Data Analyst</a> '
+                f'<a href="{base}/jobs/3">Platform Engineer</a>'
+                "</body></html>"
+            )
+            site["/jobs/3"] = (
+                "<html><head><title>Platform Engineer - Acme Corp</title></head>"
+                "<body>Job description: run clusters. Requirements: linux. "
+                "Apply now.</body></html>"
+            )
+            page = site.get(self.path)
+            if page is None:
+                self.send_error(404)
+                return
+            body = page
+        raw = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain" if self.path == "/robots.txt" else "text/html")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture()
+def mutable_robots_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MutableRobotsHandler)
+    srv.base_url = f"http://127.0.0.1:{srv.server_address[1]}"  # type: ignore[attr-defined]
+    srv.robots_hits = 0  # type: ignore[attr-defined]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+
+
+def _live_robots_crawl(spark, base, root, **cfg_kw):
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(base + "/", 20, 5)], ["seed_url", "max_pages", "max_career_pages"]
+    )
+    return run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(
+            max_batches=6,
+            parallelism=4,
+            live_transport=UrllibTransport(timeout_s=10, allow_network=True),
+            live_robots=True,
+            **cfg_kw,
+        ),
+    )
+
+
+def test_robots_ttl_revalidates_and_obeys_new_rules(
+    spark, mutable_robots_server, tmp_path_factory
+):
+    base = mutable_robots_server.base_url
+    root = tmp_path_factory.mktemp("robots_ttl")
+    summary = _live_robots_crawl(
+        spark, base, root, robots_ttl_batches=1
+    )
+    assert mutable_robots_server.robots_hits > 1  # actually revalidated
+    vis = CrawlStore(spark, root).read_all("visited", summary["last_batch"])
+    urls = {r.url for r in vis.collect()}
+    assert base + "/jobs/1" in urls
+    # the rule that only EXISTS in the revalidated robots.txt is obeyed
+    assert base + "/jobs/3" not in urls
+    assert base + "/jobs/2" not in urls
+
+
+def test_robots_default_caches_for_crawl_lifetime(
+    spark, mutable_robots_server, tmp_path_factory
+):
+    base = mutable_robots_server.base_url
+    root = tmp_path_factory.mktemp("robots_nottl")
+    summary = _live_robots_crawl(spark, base, root)
+    # one robots fetch per host per crawl — and the tightened rule is
+    # consequently never seen, so /jobs/3 is crawled
+    assert mutable_robots_server.robots_hits == 1
+    vis = CrawlStore(spark, root).read_all("visited", summary["last_batch"])
+    urls = {r.url for r in vis.collect()}
+    assert base + "/jobs/3" in urls
+    assert base + "/jobs/2" not in urls
+
+
 def test_live_crawl_is_deterministic(spark, base_url, tmp_path_factory):
     """Two socket crawls of the same site commit bit-identical state —
     real HTTP adds no nondeterminism to the loop."""

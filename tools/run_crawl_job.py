@@ -90,6 +90,11 @@ def main() -> None:
                          "(defer-not-drop; state table host_breaker)")
     ap.add_argument("--fail-cooldown", type=int, default=2,
                     help="batches a tripped host cools before a probe")
+    ap.add_argument("--robots-ttl", type=int, default=None,
+                    help="live-robots cache TTL in batches: stale entries "
+                         "are dropped and the host's next frontier "
+                         "appearance refetches /robots.txt (lazy "
+                         "revalidation; default caches for the crawl)")
     ap.add_argument("--trap-filter", action="store_true",
                     help="drop spider-trap URLs (segment loops, calendar "
                          "pagers, session ids, query cross-products, depth/"
@@ -198,6 +203,7 @@ def main() -> None:
             host_cooldown_batches=args.fail_cooldown,
             trap_filter=args.trap_filter,
             trap_quarantine_share=args.trap_quarantine,
+            robots_ttl_batches=args.robots_ttl,
         )
         cfg.warc_dir = args.warc_dir
         summary = run_crawl(
