@@ -8,7 +8,7 @@ integer arithmetic (same convention as SYNTH_URLS_CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_ai_spark.queries._shared import _register, _t
@@ -529,3 +529,144 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = synth_redirect_edges(spark, sf_dir)
     return resolve_redirects(edges, max_hops=_REDIRECT_HOPS).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# sitemap <lastmod>/<changefreq>/<priority> scheduling (sitemaps.org
+# protocol): the existing S6 source reads <loc> only; a recrawl scheduler
+# additionally wants the freshness metadata. Synthesized XML: one <url>
+# entry per document, lastmod dates spread over Jan-Feb 2024 (absent when
+# doc_id % 7 == 0), changefreq cycling daily/weekly/monthly/yearly,
+# priority 0.0-0.9. "now" is pinned to 2024-03-01 so both engines compute
+# identical ages.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_NOW = "2024-03-01"
+
+_SM_XML_SQL = """
+  '<url><loc>https://sm' || (doc_id % 15) || '.example.com/page/' || doc_id
+  || '</loc>'
+  || CASE WHEN doc_id % 7 = 0 THEN ''
+          ELSE '<lastmod>2024-0' || (1 + doc_id % 2) || '-'
+               || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '</lastmod>'
+     END
+  || '<changefreq>'
+  || CASE (doc_id % 4) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       WHEN 2 THEN 'monthly' ELSE 'yearly' END
+  || '</changefreq>'
+  || '<priority>0.' || (doc_id % 10) || '</priority></url>'
+"""
+
+# same construction, Spark SQL dialect (explicit string casts)
+_SM_XML_SPARK = """
+  '<url><loc>https://sm' || CAST(doc_id % 15 AS STRING) || '.example.com/page/'
+  || CAST(doc_id AS STRING) || '</loc>'
+  || CASE WHEN doc_id % 7 = 0 THEN ''
+          ELSE '<lastmod>2024-0' || CAST(1 + doc_id % 2 AS STRING) || '-'
+               || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0') || '</lastmod>'
+     END
+  || '<changefreq>'
+  || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                                  WHEN 2 THEN 'monthly' ELSE 'yearly' END
+  || '</changefreq>'
+  || '<priority>0.' || CAST(doc_id % 10 AS STRING) || '</priority></url>'
+"""
+
+
+_SM_FREQ_DAYS = (
+    "CASE changefreq WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7 "
+    "WHEN 'monthly' THEN 30 ELSE 365 END"
+)
+
+
+@_register(
+    "sitemap_lastmod_schedule",
+    oracle=f"""
+WITH sitemaps AS (
+  SELECT (doc_id % 15) AS host_id, {_SM_XML_SQL} AS xml FROM documents
+),
+entries AS (
+  SELECT 'sm' || host_id || '.example.com' AS host,
+         regexp_extract(xml, '<loc>([^<]+)</loc>', 1) AS loc,
+         regexp_extract(xml, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod,
+         regexp_extract(xml, '<changefreq>([^<]+)</changefreq>', 1) AS changefreq,
+         CAST(regexp_extract(xml, '<priority>([^<]+)</priority>', 1) AS DOUBLE)
+           AS priority
+  FROM sitemaps
+),
+aged AS (
+  SELECT host, loc, lastmod, changefreq, priority,
+         CASE WHEN lastmod = '' THEN NULL
+              ELSE date_diff('day', CAST(lastmod AS DATE), DATE '{_SITEMAP_NOW}')
+         END AS age_days
+  FROM entries
+),
+scheduled AS (
+  SELECT host, loc, changefreq, priority,
+         CAST(age_days AS INT) AS age_days,
+         age_days IS NULL OR age_days >= {_SM_FREQ_DAYS} AS due,
+         round(priority / (1.0 + coalesce(age_days, 365) / 7.0), 6) AS score
+  FROM aged
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY score DESC, loc) AS rank
+  FROM scheduled WHERE due
+)
+SELECT host, loc, changefreq, priority, age_days, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY host, rank
+""",
+)
+def q_sitemap_lastmod_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-aware sitemap scheduling (sitemaps.org <lastmod>/
+    <changefreq>/<priority>): an entry is DUE when its advertised change
+    interval has elapsed since lastmod (or lastmod is absent), scored
+    priority/(1+age/7) and ranked per host — the top-k due URLs feed the
+    frontier first. One regex parse pass (map-only) + one per-host window,
+    the same shuffle grain as the politeness scheduler, so at 100 TB this
+    rides the frontier's existing host partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    xml = F.expr(_SM_XML_SPARK)
+    entries = docs.select(
+        F.concat(
+            F.lit("sm"), F.expr("CAST(doc_id % 15 AS STRING)"), F.lit(".example.com")
+        ).alias("host"),
+        F.regexp_extract(xml, "<loc>([^<]+)</loc>", 1).alias("loc"),
+        F.regexp_extract(xml, "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
+        F.regexp_extract(xml, "<changefreq>([^<]+)</changefreq>", 1).alias(
+            "changefreq"
+        ),
+        F.regexp_extract(xml, "<priority>([^<]+)</priority>", 1)
+        .cast("double")
+        .alias("priority"),
+    )
+    aged = entries.withColumn(
+        "age_days",
+        F.when(F.col("lastmod") == "", F.lit(None).cast("int")).otherwise(
+            F.datediff(F.lit(_SITEMAP_NOW).cast("date"), F.col("lastmod").cast("date"))
+        ),
+    )
+    scheduled = aged.select(
+        "host",
+        "loc",
+        "changefreq",
+        "priority",
+        F.col("age_days").cast("int").alias("age_days"),
+        (
+            F.col("age_days").isNull()
+            | (F.col("age_days") >= F.expr(_SM_FREQ_DAYS))
+        ).alias("due"),
+        F.round(
+            F.col("priority")
+            / (F.lit(1.0) + F.coalesce(F.col("age_days"), F.lit(365)) / F.lit(7.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("loc"))
+    return (
+        scheduled.where("due")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("host", "loc", "changefreq", "priority", "age_days", "score", "rank")
+        .orderBy("host", "rank")
+    )
