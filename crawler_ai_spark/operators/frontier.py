@@ -288,3 +288,46 @@ def apply_host_budget(
         lost1 = lost1.drop("host_budget")
         lost2 = lost2.drop("host_budget")
     return scheduled, lost1.unionByName(lost2)
+
+
+def apply_ip_budget(
+    frontier: DataFrame,
+    ip_map: DataFrame | None,
+    per_ip_per_batch: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """W2 at the SERVER grain: at most N URLs per resolved IP per batch.
+    Host-grain politeness under-throttles when many vhosts share one
+    server (a shared-hosting box with 200 domains takes 200× the
+    intended rate) — production crawlers (Heritrix, Nutch) therefore
+    group politeness queues by IP. ``ip_map`` is (host, ip) from a
+    resolver stage; it is HOST-grain (small next to the frontier) and
+    broadcast. Hosts with no mapping fall back to their own host as the
+    group key — unknown-IP hosts keep host-grain politeness rather than
+    sharing one giant NULL group.
+
+    Same two-phase salted windows as apply_host_budget (phase-1 losers
+    are provably over-budget in their salt alone), same total order, so
+    composing after apply_host_budget preserves the deterministic
+    scheduled/deferred split. Returns (scheduled, deferred)."""
+    if ip_map is None or per_ip_per_batch is None:
+        return frontier, frontier.limit(0)
+    tagged = frontier.join(
+        F.broadcast(ip_map.select("host", "ip")), "host", "left"
+    ).withColumn("_ipg", F.coalesce(F.col("ip"), F.col("host")))
+    order = [
+        F.col("priority").desc(),
+        F.col("discovered_seq").asc(),
+        F.col("url").asc(),
+        F.col("seed_url").asc(),
+    ]
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
+    w1 = Window.partitionBy("_ipg", salt).orderBy(*order)
+    r1 = tagged.withColumn("_ir1", F.row_number().over(w1))
+    survivors = r1.where(F.col("_ir1") <= per_ip_per_batch).drop("_ir1")
+    lost1 = r1.where(F.col("_ir1") > per_ip_per_batch).drop("_ir1")
+    w2 = Window.partitionBy("_ipg").orderBy(*order)
+    r2 = survivors.withColumn("_ir2", F.row_number().over(w2))
+    scheduled = r2.where(F.col("_ir2") <= per_ip_per_batch).drop("_ir2")
+    lost2 = r2.where(F.col("_ir2") > per_ip_per_batch).drop("_ir2")
+    drop = lambda d: d.drop("ip", "_ipg")  # noqa: E731
+    return drop(scheduled), drop(lost1.unionByName(lost2))

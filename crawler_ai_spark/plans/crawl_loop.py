@@ -152,6 +152,12 @@ class CrawlConfig:
     # hosts not being crawled are never proactively refetched). None
     # (default): cache for the life of the crawl, the prior behavior.
     robots_ttl_batches: int | None = None
+    # Server-grain politeness: at most N URLs per RESOLVED IP per batch
+    # (vhosts sharing a server share one budget; Heritrix/Nutch group
+    # politeness queues this way). Requires run_crawl(ip_map=(host, ip));
+    # hosts absent from the map keep host-grain politeness. None
+    # (default) disables — loop byte-identical.
+    ip_budget_per_batch: int | None = None
 
 
 FRONTIER_COLS = [
@@ -1038,6 +1044,7 @@ def run_crawl(
     host_rules: DataFrame | None = None,
     resume: bool = False,
     host_budgets: DataFrame | None = None,
+    ip_map: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) the crawl to completion; returns summary counters.
 
@@ -1266,6 +1273,14 @@ def run_crawl(
         frontier, deferred = FR.apply_host_budget(
             frontier, cfg.host_budget_per_batch, host_budgets=budgets_now
         )
+        if ip_map is not None and cfg.ip_budget_per_batch is not None:
+            # server-grain politeness on top of the host grain: vhosts
+            # sharing a resolved IP share one budget (defer-not-drop,
+            # same contract as the host budget)
+            frontier, ip_deferred = FR.apply_ip_budget(
+                frontier, ip_map, cfg.ip_budget_per_batch
+            )
+            deferred = deferred.unionByName(ip_deferred.select(*deferred.columns))
         if cooling is not None:
             deferred = deferred.select(*FRONTIER_COLS).unionByName(
                 cooling.select(*FRONTIER_COLS)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import SYNTH_URLS_CTE, _register, _t, synth_urls
 
 # ---------------------------------------------------------------------------
 # synthesized redirect edges: one edge per document.
@@ -669,4 +669,72 @@ def q_sitemap_lastmod_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("host", "loc", "changefreq", "priority", "age_days", "score", "rank")
         .orderBy("host", "rank")
+    )
+
+
+@_register(
+    "ip_politeness_budget",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+ipmap AS (
+  SELECT DISTINCT host, '10.0.0.' || ((doc_id % 37) % 7) AS ip
+  FROM synth_urls WHERE (doc_id % 37) % 5 <> 0
+),
+fr AS (
+  SELECT url, host, doc_id AS discovered_seq, (doc_id % 3) AS priority,
+         'https://' || host || '/' AS seed_url
+  FROM synth_urls
+),
+grouped AS (
+  SELECT f.*, coalesce(m.ip, f.host) AS ipg
+  FROM fr f LEFT JOIN ipmap m ON f.host = m.host
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ipg ORDER BY priority DESC, discovered_seq, url, seed_url
+  ) AS rn
+  FROM grouped
+)
+SELECT host,
+       CAST(count(*) FILTER (WHERE rn <= 3) AS BIGINT) AS scheduled,
+       CAST(count(*) FILTER (WHERE rn > 3) AS BIGINT) AS deferred
+FROM ranked GROUP BY host ORDER BY host
+""",
+)
+def q_ip_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-grain politeness (operators/frontier.py:apply_ip_budget):
+    vhosts sharing a resolved IP share one ≤3/batch budget (Heritrix/
+    Nutch-style IP politeness queues); unmapped hosts fall back to
+    host-grain. Same two-phase salted windows as the host budget, so the
+    hot-server key parallelizes across salts."""
+    from crawler_ai_spark.operators import frontier as FR
+
+    urls = synth_urls(spark, sf_dir)
+    hid = F.col("doc_id") % 37
+    ip_map = (
+        urls.where((hid % 5) != 0)
+        .select(
+            "host",
+            F.concat(F.lit("10.0.0."), (hid % 7).cast("string")).alias("ip"),
+        )
+        .distinct()
+    )
+    fr = urls.select(
+        "url",
+        "host",
+        F.col("doc_id").alias("discovered_seq"),
+        (F.col("doc_id") % 3).alias("priority"),
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("seed_url"),
+    )
+    scheduled, deferred = FR.apply_ip_budget(fr, ip_map, 3)
+    tagged = scheduled.select("host", F.lit(True).alias("_s")).unionByName(
+        deferred.select("host", F.lit(False).alias("_s"))
+    )
+    return (
+        tagged.groupBy("host")
+        .agg(
+            F.sum(F.col("_s").cast("long")).alias("scheduled"),
+            F.sum((~F.col("_s")).cast("long")).alias("deferred"),
+        )
+        .orderBy("host")
     )

@@ -84,6 +84,13 @@ def main() -> None:
                          "host graph of the PAGES table's links and give "
                          "each host floor(RANK_BUDGET x rank) fetch slots "
                          "per batch (clamped to [1, --host-budget or 64])")
+    ap.add_argument("--ip-map", default=None,
+                    help="parquet of (host, ip) from a resolver stage: "
+                         "enables server-grain politeness with --ip-budget "
+                         "(vhosts sharing an IP share one budget)")
+    ap.add_argument("--ip-budget", type=int, default=None,
+                    help="max URLs per resolved IP per batch (requires "
+                         "--ip-map; unmapped hosts stay host-grain)")
     ap.add_argument("--fail-threshold", type=int, default=None,
                     help="host circuit breaker: consecutive all-failure "
                          "batches before a host is cooled down "
@@ -204,11 +211,15 @@ def main() -> None:
             trap_filter=args.trap_filter,
             trap_quarantine_share=args.trap_quarantine,
             robots_ttl_batches=args.robots_ttl,
+            ip_budget_per_batch=args.ip_budget,
         )
         cfg.warc_dir = args.warc_dir
+        ip_map = spark.read.parquet(args.ip_map) if args.ip_map else None
+        if args.ip_budget and ip_map is None:
+            ap.error("--ip-budget requires --ip-map")
         summary = run_crawl(
             spark, pages, seeds, args.state, cfg,
-            resume=args.resume, host_budgets=host_budgets,
+            resume=args.resume, host_budgets=host_budgets, ip_map=ip_map,
         )
         if args.compact or args.vacuum or args.compact_state:
             from crawler_ai_spark.plans.crawl_loop import CrawlStore
