@@ -80,3 +80,46 @@ def surt_domain_prefix(key: Column, labels: int = 2) -> Column:
     subdomain of a domain into one contiguous key range."""
     host_part = F.split(key, r"\)", 2).getItem(0)
     return F.array_join(F.slice(F.split(host_part, ","), 1, labels), ",")
+
+
+# tracking params that never change the resource a URL names (the usual
+# analytics suspects); stripped from the dedup key
+TRACKING_PARAM_RX = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+
+
+def dedup_key(url: Column) -> Column:
+    """Aggressive-canonical URL key for the SEEN SET (stronger than the
+    byte-parity P1 canonicalize, which must match the reference): two
+    URLs naming the same resource through analytics noise collapse to
+    one key, so the frontier fetches it once. Normalizations — each safe
+    (never merges distinct resources): lowercase scheme + authority,
+    strip the scheme's default port (:80 http / :443 https; other ports
+    KEPT), drop tracking query params (utm_*, gclid, fbclid, …), sort
+    the surviving params (order never matters to a server), empty path →
+    '/'. Pure JVM expressions + higher-order array functions — no
+    Python, no shuffle; the key feeds url_hash for the bloom/anti-join."""
+    scheme = F.lower(
+        F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("https"))
+    )
+    auth = F.lower(
+        F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+    )
+    auth = F.regexp_replace(auth, r"^[^@/]*@", "")  # userinfo never keys
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RX),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), auth, path, qpart)

@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.queries._shared import SYNTH_URLS_CTE, _register, _t, synth_urls
+from crawler_ai_spark.queries._shared import QUERIES, SYNTH_URLS_CTE, _register, _t, synth_urls
+from crawler_ai_spark.queries.secondwave import _doc_quality_oracle
 
 # ---------------------------------------------------------------------------
 # synthesized redirect edges: one edge per document.
@@ -735,6 +736,194 @@ def q_ip_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("_s").cast("long")).alias("scheduled"),
             F.sum((~F.col("_s")).cast("long")).alias("deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggressive-canonical dedup key (functions/urls.py:dedup_key): alias
+# groups built per resource r = doc_id // 10, case c = doc_id % 10:
+#   {0 mixed-case host, 1 +tracking-only query} and
+#   {2 'b=2&a=1', 3 'a=1&b=2', 7 'a=1&utm_campaign=z&b=2'}
+# collapse to one key each; 4 (:80 http) / 5 (:443 https) strip their
+# default port, 6 (:8080) keeps it, 8 (empty path) keys as '/', 9 drops
+# 'ref=' but keeps 'a=1'. The oracle derives the expected key from the
+# construction rules, never from a URL parser — the Spark side's
+# try_parse_url round-trip is part of what's under test.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_parts_sql(cast) -> str:
+    k, r = cast("k"), cast("res")
+    return f"""
+  SELECT doc_id, res, c, k,
+    CASE WHEN c = 4 THEN 'http' ELSE 'https' END AS scheme,
+    CASE c
+      WHEN 0 THEN 'Site' || {k} || '.Example.com'
+      WHEN 4 THEN 'site' || {k} || '.example.com:80'
+      WHEN 5 THEN 'site' || {k} || '.example.com:443'
+      WHEN 6 THEN 'site' || {k} || '.example.com:8080'
+      ELSE 'site' || {k} || '.example.com' END AS auth,
+    CASE WHEN c = 8 THEN ''
+         WHEN c IN (4, 5, 6) THEN '/p/' || {r}
+         ELSE '/page/' || {r} END AS path,
+    CASE c WHEN 1 THEN 'utm_source=x&utm_medium=y'
+           WHEN 2 THEN 'b=2&a=1' WHEN 3 THEN 'a=1&b=2'
+           WHEN 7 THEN 'a=1&utm_campaign=z&b=2'
+           WHEN 9 THEN 'ref=home&a=1' ELSE '' END AS query
+"""
+
+
+def _dedup_urls_cte(cast, int_case) -> str:
+    return f"""
+dk_ids AS (
+  SELECT doc_id, doc_id / 10 AS res, {int_case} AS c, (doc_id / 10) % 9 AS k
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+),
+dk_parts AS ({_dedup_parts_sql(cast)} FROM dk_ids),
+dk_urls AS (
+  SELECT doc_id, res, c, k, scheme, auth, path, query,
+         scheme || '://' || auth || path
+           || CASE WHEN query = '' THEN '' ELSE '?' || query END AS url
+  FROM dk_parts
+)"""
+
+
+_DK_CTE_SQL = _dedup_urls_cte(lambda e: e, "(doc_id % 10)").replace(
+    "doc_id / 10", "doc_id // 10"
+)
+
+_DK_EXPECTED_SQL = """
+  CASE WHEN c = 4 THEN 'http' ELSE 'https' END || '://'
+  || CASE WHEN c = 6 THEN 'site' || k || '.example.com:8080'
+          ELSE 'site' || k || '.example.com' END
+  || CASE WHEN c = 8 THEN '/' ELSE path END
+  || CASE WHEN c IN (2, 3, 7) THEN '?a=1&b=2'
+          WHEN c = 9 THEN '?a=1' ELSE '' END
+"""
+
+
+@_register(
+    "url_dedup_key",
+    oracle=f"""
+WITH {_DK_CTE_SQL}
+SELECT doc_id, url, {_DK_EXPECTED_SQL} AS canon
+FROM dk_urls ORDER BY doc_id
+""",
+)
+def q_url_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive-canonical seen-set key: lowercase scheme/authority,
+    default-port strip, tracking-param (utm_*/gclid/…) removal,
+    query-param sort, empty path → '/'. All JVM column expressions —
+    at 100 TB the key is computed map-side and hashed straight into
+    the bloom/anti-join, zero extra shuffle."""
+    from crawler_ai_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    parts = base.selectExpr(
+        "doc_id",
+        "CAST(doc_id / 10 AS BIGINT) AS res",
+        "CAST(doc_id % 10 AS INT) AS c",
+        "CAST(doc_id / 10 AS BIGINT) % 9 AS k",
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN c = 4 THEN 'http' ELSE 'https' END AS scheme",
+        """CASE c
+             WHEN 0 THEN 'Site' || CAST(k AS STRING) || '.Example.com'
+             WHEN 4 THEN 'site' || CAST(k AS STRING) || '.example.com:80'
+             WHEN 5 THEN 'site' || CAST(k AS STRING) || '.example.com:443'
+             WHEN 6 THEN 'site' || CAST(k AS STRING) || '.example.com:8080'
+             ELSE 'site' || CAST(k AS STRING) || '.example.com' END AS auth""",
+        """CASE WHEN c = 8 THEN ''
+                WHEN c IN (4, 5, 6) THEN '/p/' || CAST(res AS STRING)
+                ELSE '/page/' || CAST(res AS STRING) END AS path""",
+        """CASE c WHEN 1 THEN 'utm_source=x&utm_medium=y'
+                  WHEN 2 THEN 'b=2&a=1' WHEN 3 THEN 'a=1&b=2'
+                  WHEN 7 THEN 'a=1&utm_campaign=z&b=2'
+                  WHEN 9 THEN 'ref=home&a=1' ELSE '' END AS query""",
+    )
+    urls = parts.selectExpr(
+        "doc_id",
+        "scheme || '://' || auth || path "
+        "|| CASE WHEN query = '' THEN '' ELSE '?' || query END AS url",
+    )
+    return urls.select(
+        "doc_id", "url", U.dedup_key(F.col("url")).alias("canon")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "url_dedup_collapse",
+    oracle=f"""
+WITH {_DK_CTE_SQL},
+keyed AS (SELECT {_DK_EXPECTED_SQL} AS canon FROM dk_urls)
+SELECT canon, CAST(count(*) AS BIGINT) AS n_aliases
+FROM keyed GROUP BY canon ORDER BY canon
+""",
+)
+def q_url_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-group rollup over the dedup key: the tracking-noise and
+    param-order alias families collapse to n_aliases 2 and 3 — the fetch
+    savings the stronger key buys the frontier."""
+    per_url = QUERIES["url_dedup_key"](spark, sf_dir)
+    return (
+        per_url.groupBy("canon")
+        .agg(F.count("*").alias("n_aliases"))
+        .orderBy("canon")
+    )
+
+
+@_register(
+    "quality_host_budgets",
+    oracle=f"""
+WITH dq AS (
+  SELECT doc_id, quality FROM ({{Q}})
+),
+hosted AS (
+  SELECT 'site' || (doc_id % 37) || '.example.com' AS host,
+         CAST(round(quality * 1000000) AS BIGINT) AS q_micro
+  FROM dq
+),
+mass AS (SELECT host, sum(q_micro) AS m FROM hosted GROUP BY host),
+tot AS (SELECT sum(m) AS t FROM mass)
+SELECT host,
+       CAST(least(32, greatest(1, (256 * m) // t)) AS INT) AS host_budget
+FROM mass, tot ORDER BY host
+""".replace("{Q}", _doc_quality_oracle()),
+)
+def q_quality_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feedback crawl budgets: hosts whose fetched documents
+    score higher on the curation quality metric earn a larger share of
+    the batch's 256 fetch slots (clamped to [1, 32] — the tail stays
+    crawlable, no host hogs the batch). The (host, host_budget) output
+    feeds apply_host_budget like the PageRank budgets; quality mass is
+    summed in integer micro-units so the allocation is bit-identical
+    across engines and partitionings. One map-side-combined groupBy on
+    host + a broadcast one-row total."""
+    from crawler_ai_spark.pipeline import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    hosted = docs.select(
+        F.expr(
+            "'site' || CAST(doc_id % 37 AS STRING) || '.example.com'"
+        ).alias("host"),
+        F.round(TS.quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    mass = hosted.groupBy("host").agg(F.sum("q_micro").alias("m"))
+    tot = mass.agg(F.sum("m").alias("t"))
+    return (
+        mass.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            F.least(
+                F.lit(32), F.greatest(F.lit(1), F.expr("256 * m div t"))
+            )
+            .cast("int")
+            .alias("host_budget"),
         )
         .orderBy("host")
     )
