@@ -239,7 +239,7 @@ class CrawlStore:
             return None
         return self.log.data_paths(table, through_batch=through_batch)
 
-    def compact(self, table: str, files: int = 8) -> int:
+    def compact(self, table: str, files: int = 8, cluster: str = "hash") -> int:
         """Rewrite every committed append of ``table`` into one
         range-clustered replace snapshot at the current tip (Iceberg's
         rewrite_data_files): at crawl scale the seen set otherwise
@@ -248,13 +248,35 @@ class CrawlStore:
         crawl's ``read_all``) see the identical row set; time travel to
         pre-compaction batches keeps working until :meth:`SnapshotLog.
         vacuum` expires the shadowed snapshots. Call between runs, not
-        while a batch is mid-write. Returns the new snapshot id."""
+        while a batch is mid-write. Returns the new snapshot id.
+
+        ``cluster`` picks the range key: ``"hash"`` (default) clusters by
+        url_hash — uniform file sizes, point-lookup pruning. ``"surt"``
+        (tables with a url column) materializes the SURT key
+        (functions/urls.py) as an extra ``surt`` column, range-clusters
+        and sorts by it, so every registered domain — subdomains included
+        — is CONTIGUOUS within/across files and the manifest's footer
+        bounds on ``surt`` let :meth:`SnapshotLog.prune` answer
+        per-domain scans (exports, targeted recrawls, takedowns) from a
+        handful of files instead of the whole seen set. The extra column
+        is nullable metadata: later plain appends simply lack it, and the
+        crawl's own consumers key on url_hash and never read it."""
         tip = max(self.committed_batches())
         df = self.read_all(table, tip)
         sid = (self.log.current_snapshot_id(table) or 0) + 1
         out = self.root / "compacted" / table / f"through={tip}-snap={sid}"
-        key = "url_hash" if "url_hash" in df.columns else df.columns[0]
-        df.repartitionByRange(files, key).write.mode("overwrite").parquet(str(out))
+        if cluster == "surt" and "url" in df.columns:
+            from crawler_ai_spark.functions.urls import surt_key
+
+            df = (
+                df.withColumn("surt", surt_key(F.col("url")))
+                .repartitionByRange(files, "surt")
+                .sortWithinPartitions("surt")
+            )
+        else:
+            key = "url_hash" if "url_hash" in df.columns else df.columns[0]
+            df = df.repartitionByRange(files, key)
+        df.write.mode("overwrite").parquet(str(out))
         return self.log.commit(
             table, tip, out, operation="replace", replaces_through_batch=tip
         )

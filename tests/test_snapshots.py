@@ -252,3 +252,57 @@ def test_manifest_bounds_prune_point_lookup(spark, crawled):
         .collect()
     }
     assert via_pruned == full and full
+
+
+def test_surt_clustered_compaction_prunes_by_domain(spark, tmp_path):
+    """compact(cluster='surt'): identical row set, files range-clustered by
+    the SURT key so one registered domain (all subdomains) resolves to a
+    subset of files via manifest footer-bound pruning."""
+    store = CrawlStore(spark, tmp_path / "store")
+    # the target domain is a small slice of the keyspace so the surt
+    # range clustering isolates it to a strict file subset
+    hosts = (
+        ["alpha.com"] * 10
+        + ["beta.com"] * 10
+        + ["example.com", "www.example.com", "jobs.example.com"] * 2
+        + ["phi.org"] * 10
+        + ["zeta.org"] * 10
+    )
+    rows = [
+        (b * 1000 + i, f"https://{h}/p/{b}/{i}", "s")
+        for b in range(2)
+        for i, h in enumerate(hosts)
+    ]
+    half = len(rows) // 2
+    for b, chunk in enumerate((rows[:half], rows[half:])):
+        df = spark.createDataFrame(
+            chunk, "url_hash long, url string, seed_url string"
+        )
+        store.write(b, "seen_delta", df)
+        store.commit(b)
+    before = _rows(store.read_all("seen_delta", 1).select("url_hash", "url", "seed_url"))
+
+    store.compact("seen_delta", files=3, cluster="surt")
+    after = store.read_all("seen_delta", 1)
+    assert "surt" in after.columns  # materialized pruning key
+    assert _rows(after.select("url_hash", "url", "seed_url")) == before
+
+    all_files = store.log.data_paths("seen_delta", through_batch=1)
+    assert len(all_files) == 3
+    pruned = store.log.prune("seen_delta", "surt", "com,example", "com,example~")
+    assert len(pruned) < len(all_files)
+    # completeness: every example.com URL (any subdomain) is in the kept files
+    kept = spark.read.parquet(*pruned)
+    want = {u for (_, u, _) in before if "example.com" in u}
+    got = {r.url for r in kept.collect() if "example.com" in r.url}
+    assert got == want
+
+    # appends after a surt compaction keep working (plain schema, no surt)
+    df = spark.createDataFrame(
+        [(9999, "https://new.example/", "s")],
+        "url_hash long, url string, seed_url string",
+    )
+    store.write(2, "seen_delta", df)
+    store.commit(2)
+    merged = store.read_all("seen_delta", 2, merge_schema=True)
+    assert _rows(merged.select("url_hash", "url", "seed_url")) == before | _rows(df)

@@ -126,6 +126,12 @@ def main() -> None:
                          "latest snapshot only and vacuum the superseded "
                          "copies — state storage O(state), not "
                          "O(batches x state)")
+    ap.add_argument("--compact-cluster", choices=("hash", "surt"),
+                    default="hash",
+                    help="range key for --compact: url_hash (uniform "
+                         "files, point lookups) or the SURT key (every "
+                         "registered domain contiguous; manifest bounds "
+                         "answer per-domain scans from few files)")
     ap.add_argument("--compact-files", type=int, default=64,
                     help="target file count for --compact (size for ~total "
                          "seen keys / file at the crawl scale)")
@@ -226,7 +232,11 @@ def main() -> None:
 
             store = CrawlStore(spark, args.state)
             if args.compact:
-                store.compact("seen_delta", files=args.compact_files)
+                store.compact(
+                    "seen_delta",
+                    files=args.compact_files,
+                    cluster=args.compact_cluster,
+                )
             if args.vacuum:
                 summary["vacuumed_files"] = len(store.log.vacuum("seen_delta"))
             if args.compact_state:
