@@ -927,3 +927,103 @@ def q_quality_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@_register(
+    "token_bucket_schedule",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+arr AS (
+  SELECT host, url, (doc_id % 20) AS arrival_s FROM synth_urls
+),
+ranked AS (
+  SELECT host, url, arrival_s,
+         row_number() OVER (PARTITION BY host ORDER BY arrival_s, url) AS k
+  FROM arr
+),
+disp AS (
+  SELECT host, url, arrival_s,
+         greatest(arrival_s, 2 * (k - 3), 0) AS dispatch_s
+  FROM ranked
+)
+SELECT host, url, CAST(arrival_s AS INT) AS arrival_s,
+       CAST(dispatch_s AS INT) AS dispatch_s,
+       dispatch_s > arrival_s AS delayed
+FROM disp ORDER BY host, dispatch_s, url
+""",
+)
+def q_token_bucket_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket fetch pacing, the continuous-time analogue of the
+    batch host budget: burst 3, refill 1 token / 2 s. The bucket's
+    virtual-scheduling property makes it window-expressible — the k-th
+    request of a host can dispatch at max(arrival, 2·(k−3)) — so pacing
+    is one per-host window + integer arithmetic, no sequential state, no
+    Python. (The live fetch stage enforces the same wall-clock gaps
+    imperatively inside its mapInPandas partition; this is the plan-side
+    twin a scheduler uses to PRE-compute dispatch times.)"""
+    urls = synth_urls(spark, sf_dir)
+    arr = urls.select(
+        "host", "url", (F.col("doc_id") % 20).cast("int").alias("arrival_s")
+    )
+    w = Window.partitionBy("host").orderBy("arrival_s", "url")
+    ranked = arr.withColumn("k", F.row_number().over(w))
+    return (
+        ranked.select(
+            "host",
+            "url",
+            "arrival_s",
+            F.greatest(
+                F.col("arrival_s"), (2 * (F.col("k") - 3)).cast("int"), F.lit(0)
+            ).alias("dispatch_s"),
+        )
+        .withColumn("delayed", F.col("dispatch_s") > F.col("arrival_s"))
+        .orderBy("host", "dispatch_s", "url")
+    )
+
+
+@_register(
+    "url_template_mine",
+    oracle=f"""
+WITH {SYNTH_URLS_CTE},
+templ AS (
+  -- synth 'path' embeds the query for one case; strip it first, matching
+  -- the Spark side's parse_url(url, 'PATH')
+  SELECT host,
+         regexp_replace(regexp_replace(path, '\\?.*$', ''), '[0-9]+', '#', 'g')
+           AS template
+  FROM synth_urls
+),
+counted AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n
+  FROM templ GROUP BY host, template
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY n DESC, template) AS rank
+  FROM counted
+)
+SELECT host, template, n, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY host, rank
+""",
+)
+def q_url_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: digit runs in paths generalize to '#', and
+    the per-host top templates surface the site's generated URL spaces —
+    the scheduler's coarse complement to the per-URL trap signals (a
+    template with a huge count and unbounded parameter is a crawl-space
+    to cap). One map-side regexp + a host-grain groupBy + per-host
+    window — frontier shuffle grain, no new exchange shape."""
+    urls = synth_urls(spark, sf_dir)
+    templ = urls.select(
+        "host",
+        F.regexp_replace(
+            F.expr("parse_url(url, 'PATH')"), "[0-9]+", "#"
+        ).alias("template"),
+    )
+    counted = templ.groupBy("host", "template").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), "template")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("host", "rank")
+    )
