@@ -181,3 +181,16 @@ def host_budget_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def trap_gate_stream(stream: DataFrame) -> DataFrame:
+    """Stateless spider-trap gate for the streaming intake: the same
+    pure-JVM URL-structure signals as the batch loop's
+    ``CrawlConfig.trap_filter`` (functions/traps.py), applied BEFORE the
+    dedup state store so a trap storm (calendar pager, session-id echo)
+    never occupies streaming state. Stateless map-side filter — valid
+    under any trigger/watermark combination, and composable in the same
+    query as one stateful stage."""
+    from crawler_ai_spark.functions.traps import is_trap_expr
+
+    return stream.where(~is_trap_expr(F.col("url")))

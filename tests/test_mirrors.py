@@ -100,3 +100,66 @@ def test_surt_domain_prefix_groups_subdomains(spark):
         ).collect()
     }
     assert prefixes == {"com,example"}
+
+
+def _product_urls():
+    """Deterministic sweep over url shape combinations."""
+    urls = []
+    for scheme in ("http", "https"):
+        for host in ("Ex.COM", "www.ex.com", "a.b.ex.com", "ex.com:8080"):
+            for path in ("", "/", "/A/b-1"):
+                for q in ("", "a=1", "b=2&a=1", "utm_source=x&a=1", "utm_only=1"):
+                    u = f"{scheme}://{host}{path}"
+                    if q:
+                        u += "?" + q
+                    urls.append(u)
+    return urls
+
+
+def test_dedup_key_idempotent_over_shape_sweep(spark):
+    # the canonical key is itself a URL: canonicalizing it again must be
+    # a fixed point (else two passes over a pipeline disagree)
+    df = spark.createDataFrame([(u,) for u in _product_urls()], "url string")
+    out = df.select(
+        U.dedup_key(F.col("url")).alias("k1"),
+        U.dedup_key(U.dedup_key(F.col("url"))).alias("k2"),
+    ).collect()
+    for r in out:
+        assert r.k1 == r.k2, r.k1
+
+
+def test_dedup_key_invariant_to_param_order_and_tracking(spark):
+    base = "https://ex.com/p"
+    variants = [
+        f"{base}?a=1&b=2",
+        f"{base}?b=2&a=1",
+        f"{base}?utm_source=x&a=1&b=2",
+        f"{base}?a=1&utm_campaign=z&b=2&gclid=abc",
+        f"{base}?b=2&fbclid=f&a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r[0] for r in df.select(U.dedup_key(F.col("url"))).collect()}
+    assert keys == {"https://ex.com/p?a=1&b=2"}
+
+
+def test_dedup_key_never_merges_distinct_resources(spark):
+    # distinct paths/params/ports/schemes must stay distinct
+    distinct = [
+        "https://ex.com/p?a=1",
+        "https://ex.com/p?a=2",
+        "https://ex.com/q?a=1",
+        "https://ex.com:8080/p?a=1",
+        "http://ex.com/p?a=1",
+        "https://other.com/p?a=1",
+        "https://ex.com/P?a=1",  # path case is significant
+    ]
+    df = spark.createDataFrame([(u,) for u in distinct], "url string")
+    keys = [r[0] for r in df.select(U.dedup_key(F.col("url"))).collect()]
+    assert len(set(keys)) == len(distinct)
+
+
+def test_surt_key_stable_across_www_and_case(spark):
+    aliases = ["https://WWW.Ex.Com/p", "https://ex.com/p", "http://www.ex.com/p"]
+    df = spark.createDataFrame([(u,) for u in aliases], "url string")
+    keys = {r[0] for r in df.select(U.surt_key(F.col("url"))).collect()}
+    assert keys == {"com,ex)/p"}

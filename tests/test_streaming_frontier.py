@@ -175,3 +175,43 @@ def test_budget_out_of_order_arrivals_never_exceed_cap():
     assert by_url["9"].accepted is False           # beyond retention → deferred
     # defer-not-drop: every input row came out
     assert len(rows) == 9
+
+
+def test_trap_gate_stream_equals_batch(spark, tmp_path):
+    """Stateless trap gate: streaming output == the batch trap filter on
+    the same files, and it composes before the stateful dedup."""
+    root = tmp_path / "trap_in"
+    rows = []
+    for i in range(30):
+        host = f"h{i % 3}"
+        if i % 5 == 0:
+            url = f"https://{host}.example/a/b/a/b/a/b/item-{i}"  # loop trap
+        elif i % 5 == 1:
+            url = f"https://{host}.example/page-{i}?jsessionid={i}"  # session
+        else:
+            url = f"https://{host}.example/p{i}"
+        rows.append(
+            (url, "https://seed.example/", 50, T0 + datetime.timedelta(seconds=i))
+        )
+    df = spark.createDataFrame(
+        rows, "url string, seed_url string, priority int, ts timestamp"
+    )
+    df.coalesce(1).write.parquet(str(root))
+
+    stream = SFR.stream_candidates(spark, str(root), max_files=1)
+    out, ck = str(tmp_path / "tout"), str(tmp_path / "tck")
+    SE.run_to_parquet(
+        SFR.dedup_candidates(SFR.trap_gate_stream(stream)), out, ck
+    )
+    got = {r.url for r in spark.read.parquet(out).collect()}
+
+    from crawler_ai_spark.functions.traps import is_trap_expr
+
+    want = {
+        r.url
+        for r in spark.read.parquet(str(root))
+        .where(~is_trap_expr(F.col("url")))
+        .collect()
+    }
+    assert got == want
+    assert len(want) == 18  # the 12 trap rows (2 of every 5) are gone
