@@ -281,6 +281,57 @@ class CrawlStore:
             table, tip, out, operation="replace", replaces_through_batch=tip
         )
 
+    def delete_domain(self, table: str, domain: str) -> dict | None:
+        """Surgical takedown: remove every row of ``domain`` (apex and
+        all subdomains) from ``table`` by rewriting ONLY the data files
+        that contain matching rows (snapshots.py operation="rewrite" —
+        Iceberg's delete-with-rewrite). On a SURT-clustered store
+        (compact(cluster="surt")) the manifest's footer bounds pre-prune
+        candidates to the domain's contiguous key range; files without
+        bounds (plain appends) stay candidates, so the walk is correct on
+        any store. Untouched files are never copied — what makes a
+        takedown affordable on a 10^10-row seen set. Time travel to
+        pre-delete snapshots still sees the rows until compact+vacuum.
+        Returns {snapshot_id, rows_deleted, files_rewritten}, or None
+        when no row matches."""
+        tip = max(self.committed_batches())
+        prefix = ",".join(reversed(domain.lower().split(".")))
+        cand = self.log.prune(table, "surt", prefix, prefix + "~", through_batch=tip)
+        if not cand:
+            return None
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*cand)
+            .withColumn("_file", F.input_file_name())
+        )
+        host = host_expr(F.col("url"))
+        is_match = (host == domain.lower()) | host.endswith("." + domain.lower())
+        matched_uris = [
+            r["_file"]
+            for r in df.where(is_match).select("_file").distinct().collect()
+        ]
+        if not matched_uris:
+            return None
+
+        def _plain(u: str) -> str:
+            return u[7:] if u.startswith("file://") else u.removeprefix("file:")
+
+        matched_plain = {_plain(u) for u in matched_uris}
+        affected = [p for p in cand if p in matched_plain]
+        n_deleted = df.where(is_match).count()
+        kept = df.where(F.col("_file").isin(matched_uris) & ~is_match).drop("_file")
+        sid_next = (self.log.current_snapshot_id(table) or 0) + 1
+        out = self.root / "rewrites" / table / f"snap={sid_next}"
+        kept.write.mode("overwrite").parquet(str(out))
+        sid = self.log.commit(
+            table, tip, out, operation="rewrite", removed_paths=affected
+        )
+        return {
+            "snapshot_id": sid,
+            "rows_deleted": n_deleted,
+            "files_rewritten": len(affected),
+        }
+
     # tables that write a FULL state snapshot every batch (only the
     # latest is ever read; older copies are replay history, not a log)
     STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker")

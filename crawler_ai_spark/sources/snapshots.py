@@ -143,6 +143,7 @@ class SnapshotLog:
         data_dir: str | pathlib.Path,
         operation: str = "append",
         replaces_through_batch: int | None = None,
+        removed_paths: list[str] | None = None,
     ) -> int:
         """Append one snapshot for ``table`` covering the parquet files in
         ``data_dir`` (one batch's worth). Returns the new snapshot id.
@@ -156,7 +157,15 @@ class SnapshotLog:
         manifest entry with ``batch_id <= B`` and see these files instead
         (Iceberg's rewrite_data_files); time travel to a batch before B
         still resolves through the retained older snapshots until
-        :meth:`vacuum` expires them."""
+        :meth:`vacuum` expires them.
+
+        ``operation="rewrite"`` with ``removed_paths`` commits a SURGICAL
+        rewrite (Iceberg's delete-with-rewrite): readers drop exactly the
+        listed data files and see this snapshot's files instead — every
+        untouched file stays live without being copied, which is what
+        makes a takedown affordable on a 10^10-row table. Time travel to
+        a pre-rewrite snapshot still sees the removed files; their bytes
+        stay on disk until a later compact+vacuum cycle reclaims them."""
         tdir = self._table_dir(table)
         tdir.mkdir(parents=True, exist_ok=True)
         files = sorted(pathlib.Path(data_dir).glob("*.parquet"))
@@ -179,6 +188,7 @@ class SnapshotLog:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "replaces_through_batch": replaces_through_batch,
+            "removed_paths": sorted(removed_paths) if removed_paths else None,
             "summary": {
                 "added_files": len(manifest),
                 "added_rows": sum(e["row_count"] for e in manifest),
@@ -266,6 +276,9 @@ class SnapshotLog:
             if snap["operation"] == "replace":
                 rt = snap["replaces_through_batch"]
                 out = [e for e in out if e["batch_id"] > rt]
+            elif snap["operation"] == "rewrite":
+                gone = set(snap.get("removed_paths") or ())
+                out = [e for e in out if e["path"] not in gone]
             out.extend(snap["manifest"])
         return out
 

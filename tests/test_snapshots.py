@@ -306,3 +306,79 @@ def test_surt_clustered_compaction_prunes_by_domain(spark, tmp_path):
     store.commit(2)
     merged = store.read_all("seen_delta", 2, merge_schema=True)
     assert _rows(merged.select("url_hash", "url", "seed_url")) == before | _rows(df)
+
+
+def _takedown_store(spark, root, compact_surt: bool):
+    store = CrawlStore(spark, root)
+    hosts = (
+        ["alpha.com"] * 10
+        + ["beta.com"] * 10
+        + ["example.com", "www.example.com", "jobs.example.com"] * 2
+        + ["phi.org"] * 10
+        + ["zeta.org"] * 10
+    )
+    rows = [
+        (b * 1000 + i, f"https://{h}/p/{b}/{i}", "s")
+        for b in range(2)
+        for i, h in enumerate(hosts)
+    ]
+    half = len(rows) // 2
+    for b, chunk in enumerate((rows[:half], rows[half:])):
+        store.write(
+            b,
+            "seen_delta",
+            spark.createDataFrame(chunk, "url_hash long, url string, seed_url string"),
+        )
+        store.commit(b)
+    if compact_surt:
+        store.compact("seen_delta", files=3, cluster="surt")
+    return store, rows
+
+
+def test_domain_takedown_rewrites_only_affected_files(spark, tmp_path):
+    store, rows = _takedown_store(spark, tmp_path / "s1", compact_surt=True)
+    before_paths = set(store.log.data_paths("seen_delta", through_batch=1))
+    pre_sid = store.log.current_snapshot_id("seen_delta")
+
+    res = store.delete_domain("seen_delta", "example.com")
+    assert res["rows_deleted"] == 12  # apex + 2 subdomains, 2 copies, 2 batches
+    after = store.read_all("seen_delta", 1, merge_schema=True)
+    urls = {r.url for r in after.collect()}
+    assert not any("example.com" in u for u in urls)
+    assert len(urls) == len(rows) - 12  # everything else intact
+
+    # surgical: the files outside the domain's surt range were NOT copied
+    after_paths = set(store.log.data_paths("seen_delta", through_batch=1))
+    untouched = before_paths & after_paths
+    assert res["files_rewritten"] < len(before_paths)
+    assert len(untouched) == len(before_paths) - res["files_rewritten"]
+
+    # time travel to the pre-delete snapshot still sees the domain
+    pre = spark.read.parquet(
+        *store.log.data_paths("seen_delta", snapshot_id=pre_sid)
+    )
+    assert pre.where(pre.url.contains("example.com")).count() == 12
+
+    # absent domain is a no-op; appends after a takedown keep working
+    assert store.delete_domain("seen_delta", "nosuch.net") is None
+    store.write(
+        2,
+        "seen_delta",
+        spark.createDataFrame(
+            [(7, "https://new.example2.net/", "s")],
+            "url_hash long, url string, seed_url string",
+        ),
+    )
+    store.commit(2)
+    assert store.read_all("seen_delta", 2, merge_schema=True).count() == len(rows) - 12 + 1
+
+
+def test_domain_takedown_on_uncompacted_store(spark, tmp_path):
+    # no surt bounds anywhere: every file is a candidate (prune keeps
+    # bound-less files), and the delete is still exact
+    store, rows = _takedown_store(spark, tmp_path / "s2", compact_surt=False)
+    res = store.delete_domain("seen_delta", "example.com")
+    assert res["rows_deleted"] == 12
+    urls = {r.url for r in store.read_all("seen_delta", 1).collect()}
+    assert not any("example.com" in u for u in urls)
+    assert len(urls) == len(rows) - 12
