@@ -1,0 +1,132 @@
+"""Round-4 fourth wave: persistent incremental MinHash-LSH dedup index
+(build → probe → survivors → append), the cross-run generalization of
+the in-corpus dedup operators for a continuous crawl.
+
+See catalog.py for the registry contract and parity rules. The corpus /
+batch split is derived deterministically from documents.doc_id so both
+engines see identical halves. The Spark side goes through the persisted
+index (parquet buckets + hashed-shingle table, pipeline/dedup_index.py);
+the DuckDB oracle recomputes the semantics as brute-force cross-half
+Jaccard — equality holds because LSH candidates are exact-verified
+(precision exact) and band-miss recall at 32×2 bands is the same
+≥ 1-1e-4 bar the long-green ``doc_minhash_dups`` query already clears
+on this fixture's pair population.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.pipeline import dedup_index as DI
+from crawler_ai_spark.queries._shared import _register, _t
+
+# deterministic split: residue 0 = probe batch B, 4 = first batch A,
+# 1-3 = the pre-indexed corpus (documents has 500 rows at sf0.01)
+_CORPUS = "doc_id % 5 IN (1, 2, 3)"
+_BATCH_A = "doc_id % 5 = 4"
+_BATCH_B = "doc_id % 5 = 0"
+
+# brute cross-half Jaccard in DuckDB: pairs (idx side, new side) at the
+# same tokenize → distinct-3-gram-shingle semantics as dedup.py
+_XHALF_CORE = """
+toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toksed
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM ex GROUP BY doc_id)
+"""
+
+
+def _xhalf_pairs(idx_pred: str, new_pred: str, alias: str) -> str:
+    """CTE: near-dup pairs (new_id, idx_id, jaccard ≥ 0.5) between an
+    index-side predicate and a batch-side predicate over documents."""
+    return f"""
+{alias} AS (
+  SELECT i.new_id, i.idx_id,
+         round(CAST(i.n_common AS DOUBLE) /
+               (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
+  FROM (
+    SELECT b.doc_id AS new_id, a.doc_id AS idx_id, count(*) AS n_common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle
+    WHERE (a.{idx_pred}) AND (b.{new_pred})
+    GROUP BY b.doc_id, a.doc_id
+  ) i
+  JOIN sizes sa ON sa.doc_id = i.idx_id
+  JOIN sizes sb ON sb.doc_id = i.new_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / (sa.set_size + sb.set_size - i.n_common) >= 0.5
+)
+"""
+
+
+_PROBE_ORACLE = f"""
+WITH {_XHALF_CORE},
+{_xhalf_pairs(_CORPUS, _BATCH_B, "pairs")}
+SELECT new_id, idx_id, jaccard FROM pairs ORDER BY new_id, idx_id
+"""
+
+
+@_register("lsh_index_probe", oracle=_PROBE_ORACLE)
+def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted LSH index over the corpus split, then probe a
+    new batch against it — the incremental-crawl dedup primitive. The
+    probe plan touches only the batch's (band_id, band_hash) buckets
+    plus candidate shingle rows, never the corpus text."""
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lsh_index_probe_")
+    try:
+        DI.build_lsh_index(docs.where(_CORPUS), path)
+        out = DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5)
+        # materialize before the index dir goes away
+        rows = out.orderBy("new_id", "idx_id").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_INCR_ORACLE = f"""
+WITH {_XHALF_CORE},
+{_xhalf_pairs(_CORPUS, _BATCH_A, "pairs_a")},
+survivors_a AS (
+  SELECT doc_id FROM documents
+  WHERE {_BATCH_A} AND doc_id NOT IN (SELECT new_id FROM pairs_a)
+),
+{_xhalf_pairs(f"doc_id IN (SELECT doc_id FROM documents WHERE {_CORPUS} "
+              "UNION ALL SELECT doc_id FROM survivors_a)", _BATCH_B, "pairs_b")}
+SELECT new_id, idx_id, jaccard FROM pairs_b ORDER BY new_id, idx_id
+"""
+
+
+@_register("lsh_index_incremental", oracle=_INCR_ORACLE)
+def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental round: index the corpus, dedup batch A
+    against it, APPEND A's survivors (O(batch) new files, no index
+    rewrite), then probe batch B — whose matches now include near-dups
+    of A's survivors, proving the appended state is live."""
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lsh_index_incr_")
+    try:
+        DI.build_lsh_index(docs.where(_CORPUS), path)
+        survivors_a = DI.dedup_against_index(
+            docs.where(_BATCH_A), path, threshold=0.5
+        )
+        DI.append_to_index(survivors_a, path)
+        out = DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5)
+        rows = out.orderBy("new_id", "idx_id").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
