@@ -21,6 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_ai_spark.functions import charset as CS
 from crawler_ai_spark.pipeline import dedup_index as DI
 from crawler_ai_spark.queries._shared import _register, _t
 
@@ -130,3 +131,89 @@ def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (functions/charset.py) — synthesized HTTP responses:
+# body bytes as their lossless latin-1 string view (byte 0xNN ≡ codepoint
+# U+00NN), built with chr() arithmetic so both engines construct
+# IDENTICAL codepoint sequences. Six cases cover each precedence rung
+# and one alias canonicalization:
+#   0: UTF-8 BOM + CONFLICTING header        → utf-8      (BOM wins)
+#   1: invalid-UTF-8 body + charset=latin1   → iso-8859-1 (header wins, alias)
+#   2: <meta charset="Shift_JIS">, no header → shift_jis
+#   3: valid non-ASCII UTF-8, NULL header    → utf-8      (heuristic)
+#   4: invalid UTF-8 byte, empty header      → windows-1252 (fallback)
+#   5: UTF-16LE BOM                          → utf-16le
+# ---------------------------------------------------------------------------
+
+_RESP_BODY_SQL = """CASE doc_id % 6
+  WHEN 0 THEN chr(239) || chr(187) || chr(191) || '<html>bom page'
+  WHEN 1 THEN 'caf' || chr(233) || ' declared latin one'
+  WHEN 2 THEN '<html><head><meta charset="Shift_JIS"></head><body>jp'
+  WHEN 3 THEN 'caf' || chr(195) || chr(169) || ' looks like utf eight'
+  WHEN 4 THEN 'caf' || chr(233)
+  ELSE chr(255) || chr(254) || 'le'
+END"""
+
+_RESP_CT_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'text/html; charset=windows-1252'
+  WHEN 1 THEN 'text/html; charset=latin1'
+  WHEN 2 THEN 'text/html'
+  WHEN 3 THEN NULL
+  WHEN 4 THEN ''
+  ELSE 'application/octet-stream'
+END"""
+
+_CANON_SQL = """CASE
+  WHEN {c} IN ('utf8', 'unicode-1-1-utf-8') THEN 'utf-8'
+  WHEN {c} IN ('latin1', 'latin-1', 'iso8859-1', 'iso_8859-1', 'l1', 'cp819')
+    THEN 'iso-8859-1'
+  WHEN {c} IN ('cp1252', 'x-cp1252', 'ansi_x3.4-1968', 'ascii', 'us-ascii')
+    THEN 'windows-1252'
+  WHEN {c} IN ('shift-jis', 'sjis', 'x-sjis') THEN 'shift_jis'
+  ELSE {c}
+END"""
+
+_CHARSET_ORACLE = f"""
+WITH resp AS (
+  SELECT doc_id, {_RESP_BODY_SQL} AS body, {_RESP_CT_SQL} AS content_type
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, body, content_type,
+    nullif(regexp_extract(coalesce(content_type, ''),
+                          '{CS.HDR_CHARSET_RE}', 1), '') AS hdr_label,
+    nullif(regexp_extract(substr(body, 1, {CS.SNIFF_BYTES}),
+                          '{CS.META_CHARSET_RE}', 1), '') AS meta_label
+  FROM resp
+)
+SELECT doc_id,
+  coalesce(
+    CASE WHEN body LIKE chr(239) || chr(187) || chr(191) || '%' THEN 'utf-8'
+         WHEN body LIKE chr(255) || chr(254) || '%' THEN 'utf-16le'
+         WHEN body LIKE chr(254) || chr(255) || '%' THEN 'utf-16be' END,
+    {_CANON_SQL.format(c="lower(hdr_label)")},
+    {_CANON_SQL.format(c="lower(meta_label)")},
+    CASE WHEN regexp_full_match(body, '{CS.UTF8_GRAMMAR}')
+         THEN 'utf-8' ELSE 'windows-1252' END
+  ) AS charset
+FROM extracted ORDER BY doc_id
+"""
+
+
+@_register("charset_sniff", oracle=_CHARSET_ORACLE)
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-order charset sniffing (BOM → header → <meta> → UTF-8
+    grammar heuristic) as pure codegen expressions over the latin-1
+    byte view; see functions/charset.py."""
+    docs = _t(spark, sf_dir, "documents")
+    resp = docs.select(
+        "doc_id",
+        F.expr(_RESP_BODY_SQL).alias("body"),
+        F.expr(_RESP_CT_SQL).alias("content_type"),
+    )
+    return resp.select(
+        "doc_id",
+        CS.sniff_charset(F.col("body"), F.col("content_type")).alias("charset"),
+    ).orderBy("doc_id")
