@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_ai_spark.functions import charset as CS
+from crawler_ai_spark.operators import anchortext as AT
 from crawler_ai_spark.pipeline import dedup_index as DI
 from crawler_ai_spark.queries._shared import _register, _t
 
@@ -217,3 +218,83 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         CS.sniff_charset(F.col("body"), F.col("content_type")).alias("charset"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# anchor-text rollup (operators/anchortext.py) — synthesized link edges:
+# each document emits 3 out-links (j = 0..2) to a 120-page target space
+# with engine-portable integer arithmetic; the anchor is a 3-token slice
+# of the SOURCE doc's text, so anchor vocabulary correlates with real
+# fixture text (stopwords, ties, empty anchors all occur naturally).
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in AT.STOPWORDS_EN)
+
+_EDGES_SQL_DUCK = """
+edges AS (
+  SELECT 'h' || CAST(d.doc_id % 50 AS VARCHAR) || '.test' AS src_host,
+         'http://site' || CAST(((d.doc_id * (j.j * 2 + 3)) % 120) % 20 AS VARCHAR)
+           || '.test/page/' || CAST((d.doc_id * (j.j * 2 + 3)) % 120 AS VARCHAR)
+           AS dst_url,
+         array_to_string(
+           (string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' '))
+             [(1 + (d.doc_id + j.j) % 5):(3 + (d.doc_id + j.j) % 5)], ' ') AS anchor
+  FROM documents d, (SELECT unnest(range(0, 3)) AS j) j
+)
+"""
+
+_ANCHOR_ORACLE = f"""
+WITH {_EDGES_SQL_DUCK},
+terms AS (
+  SELECT dst_url,
+         unnest(list_filter(
+           list_distinct(string_split(
+             lower(trim(regexp_replace(anchor, '\\s+', ' ', 'g'))), ' ')),
+           t -> t != '' AND NOT list_contains([{_STOP_SQL}], t))) AS term
+  FROM edges
+),
+tc AS (SELECT dst_url, term, count(*) AS cnt FROM terms GROUP BY dst_url, term),
+ranked AS (
+  SELECT dst_url, term,
+         row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, term ASC) AS rk
+  FROM tc
+),
+top AS (
+  SELECT dst_url, array_to_string(list(term ORDER BY rk), '|') AS top_terms
+  FROM ranked WHERE rk <= 3 GROUP BY dst_url
+),
+deg AS (
+  SELECT dst_url, count(*) AS in_degree,
+         count(DISTINCT src_host) AS n_src_hosts
+  FROM edges GROUP BY dst_url
+)
+SELECT d.dst_url, d.in_degree, d.n_src_hosts,
+       coalesce(t.top_terms, '') AS top_terms
+FROM deg d LEFT JOIN top t USING (dst_url)
+ORDER BY dst_url
+"""
+
+
+def _synth_anchor_edges(docs: DataFrame) -> DataFrame:
+    toks = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+    return docs.select(
+        "doc_id", "text", F.explode(F.expr("sequence(0, 2)")).alias("j")
+    ).select(
+        F.expr("concat('h', CAST(doc_id % 50 AS STRING), '.test')").alias("src_host"),
+        F.expr(
+            "concat('http://site', CAST(((doc_id * (j * 2 + 3)) % 120) % 20 AS STRING),"
+            " '.test/page/', CAST((doc_id * (j * 2 + 3)) % 120 AS STRING))"
+        ).alias("dst_url"),
+        F.expr(
+            f"array_join(slice({toks}, CAST(1 + (doc_id + j) % 5 AS INT), 3), ' ')"
+        ).alias("anchor"),
+    )
+
+
+@_register("anchor_text_rollup", oracle=_ANCHOR_ORACLE)
+def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per link target: in-degree, distinct linking hosts, top-3 anchor
+    terms — the web-graph relevance signal; see operators/anchortext.py
+    for the 100 TB shuffle shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return AT.anchor_text_rollup(_synth_anchor_edges(docs)).orderBy("dst_url")
