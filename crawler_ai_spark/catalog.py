@@ -50,6 +50,7 @@ from crawler_ai_spark.queries import scoring as _scoring  # noqa: E402,F401
 from crawler_ai_spark.queries import extended as _extended  # noqa: E402,F401
 from crawler_ai_spark.queries import thirdwave as _thirdwave  # noqa: E402,F401
 from crawler_ai_spark.queries import fourthwave as _fourthwave  # noqa: E402,F401
+from crawler_ai_spark.queries import fifthwave as _fifthwave  # noqa: E402,F401
 
 # test_container_parity drives the template fixtures directly
 from crawler_ai_spark.queries.extended import _CONTAINER_TEMPLATES  # noqa: E402,F401

@@ -135,6 +135,76 @@ def quality_score(text: Column) -> Column:
     return F.round(F.greatest(len_ok + stop_part + F.lit(0.3) - rep_penalty, F.lit(0.0)), 6)
 
 
+# the Gopher rules' stop-word set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A —
+# MassiveWeb quality filtering); a document must contain ≥ 2 of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_columns(text: Column) -> dict[str, Column]:
+    """The published Gopher/MassiveWeb document-quality rules (Rae et al.
+    2021, App. A1.1) as pure-JVM columns. Every PASS predicate compares
+    INTEGER counts cross-multiplied by the rule's threshold (n_alpha*10 >=
+    n_words*8, not a float ratio >= 0.8), so the verdict is bit-identical
+    across engines; the float ratios are round(…, 6) display columns.
+
+    Rules: 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; symbol-to-word
+    ratio (#, … or ...) ≤ 0.1; ≤ 90% of lines start with a bullet; ≤ 30%
+    of lines end with an ellipsis; ≥ 80% of words contain an alphabetic
+    character; ≥ 2 distinct Gopher stop words present."""
+    collapsed = F.trim(F.regexp_replace(text, r"\s+", " "))
+    toks = F.split(F.lower(collapsed), " ")
+    n_words = F.when(F.length(collapsed) == 0, F.lit(0)).otherwise(F.size(toks)).cast(
+        "long"
+    )
+    # Σ len(word) == len(collapsed) − (n_words − 1) separator spaces
+    n_word_chars = (
+        F.length(collapsed) - F.greatest(n_words - 1, F.lit(0))
+    ).cast("long")
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_symbols = F.size(
+        F.regexp_extract_all(collapsed, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).rlike("^[-*•]"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_types = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    ).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (n_word_chars >= 3 * n_words)
+        & (n_word_chars <= 10 * n_words)
+        & (n_symbols * 10 <= n_words)
+        & (n_bullet * 10 <= n_lines * 9)
+        & (n_ellipsis * 10 <= n_lines * 3)
+        & (n_alpha_words * 10 >= n_words * 8)
+        & (n_stop_types >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(n_word_chars / safe_words, 6),
+        "symbol_ratio": F.round(n_symbols / safe_words, 6),
+        "bullet_line_ratio": F.round(n_bullet / safe_lines, 6),
+        "ellipsis_line_ratio": F.round(n_ellipsis / safe_lines, 6),
+        "alpha_word_ratio": F.round(n_alpha_words / safe_words, 6),
+        "n_stop_types": n_stop_types,
+        "gopher_pass": gopher_pass,
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit content fingerprint of the normalized text (md5 hex) — the
     exact-dedup / lineage key."""

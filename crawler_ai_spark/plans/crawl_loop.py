@@ -158,6 +158,15 @@ class CrawlConfig:
     # hosts absent from the map keep host-grain politeness. None
     # (default) disables — loop byte-identical.
     ip_budget_per_batch: int | None = None
+    # W2 ADAPTIVE — AutoThrottle (operators/autothrottle.py): each batch
+    # folds the measured per-host fetch_ms through the Scrapy update
+    # (target = latency/concurrency, averaged with the previous delay,
+    # never lowered off an error batch, clamped), persists the delays in
+    # an at_delays state table, and derives next batch's per-host budget
+    # from them (tightest-wins with Crawl-delay / caller budgets).
+    # Requires live_transport — the fetch stage is what measures
+    # latency. None (default) disables — loop byte-identical.
+    autothrottle: object | None = None  # AutoThrottleConfig
 
 
 FRONTIER_COLS = [
@@ -173,7 +182,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -334,7 +343,7 @@ class CrawlStore:
 
     # tables that write a FULL state snapshot every batch (only the
     # latest is ever read; older copies are replay history, not a log)
-    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker")
+    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays")
 
     def compact_state(self, table: str) -> int | None:
         """Rewrite a state table's LATEST snapshot as a replace at the
@@ -457,7 +466,10 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
                 host_partitions=cfg.parallelism,
             ),
             passthrough=passthrough,
-        ).drop("body_bytes", "planned_offset_ms", "fetch_ms", "ua_idx")
+            # fetch_ms rides through for the AutoThrottle update (W2
+            # adaptive); every store write selects explicit columns, so
+            # the extra column never reaches persisted state
+        ).drop("body_bytes", "planned_offset_ms", "ua_idx")
         fetched = (
             # the loop's page schema is BINARY: use the stage's RAW body
             # bytes, not a re-encode of the decoded text — the utf-8→
@@ -1065,6 +1077,19 @@ def _advance_breaker(
     )
 
 
+_AT_DELAYS_SCHEMA = "host string, delay_ms long, n_ok long, n_err long"
+
+
+def _restore_at_delays(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
+    """Latest committed AutoThrottle delay snapshot (one row per host ever
+    attempted), or an empty table for a fresh crawl — resume reads the
+    learned delays back instead of resetting every host to start_delay."""
+    state = _read_latest_state(store, "at_delays", prev)
+    if state is not None:
+        return state[0]
+    return spark.createDataFrame([], _AT_DELAYS_SCHEMA)
+
+
 def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
     """Latest committed robots_cache snapshot (live-robots mode state:
     one row per host ever seen, rules parsed from its fetched
@@ -1182,6 +1207,15 @@ def run_crawl(
     breaker_state = None
     if cfg.host_failure_threshold is not None:
         breaker_state = _restore_breaker(spark, store, start - 1)
+
+    at_state = None
+    if cfg.autothrottle is not None:
+        if cfg.live_transport is None:
+            raise ValueError(
+                "autothrottle requires a live_transport — the fetch stage "
+                "is what measures per-request latency"
+            )
+        at_state = _restore_at_delays(spark, store, start - 1)
 
     ttl_batches = None
     cache_blobs = None
@@ -1342,6 +1376,16 @@ def run_crawl(
             )
         else:
             rules_now, budgets_now = host_rules, crawl_delay_budgets
+        if at_state is not None:
+            # W2 adaptive: last batch's learned per-host delays tighten
+            # this batch's budgets (a host Crawl-delay already throttles
+            # harder keeps its robots cap — tightest wins)
+            from crawler_ai_spark.operators import autothrottle as AT
+
+            budgets_now = _merge_host_budgets(
+                budgets_now,
+                AT.budget_from_delay(at_state, cfg.batch_interval_seconds),
+            )
         frontier = FR.apply_robots(frontier, rules_now)
         frontier, deferred = FR.apply_host_budget(
             frontier, cfg.host_budget_per_batch, host_budgets=budgets_now
@@ -1384,6 +1428,20 @@ def run_crawl(
             )
             store.write(batch_id, "host_breaker", breaker_state)
             breaker_state = store.read("host_breaker", batch_id)  # lineage reset
+
+        if at_state is not None:
+            # fold this batch's measured latencies through the
+            # AutoThrottle update; persist so resume keeps learned delays
+            from crawler_ai_spark.operators import autothrottle as AT
+
+            responses = gated.select(
+                "host",
+                F.coalesce(F.col("fetch_ms"), F.lit(0)).cast("long").alias("fetch_ms"),
+                F.col("fetched").alias("ok"),
+            )
+            at_state = AT.autothrottle_delays(responses, at_state, cfg.autothrottle)
+            store.write(batch_id, "at_delays", at_state)
+            at_state = store.read("at_delays", batch_id)  # lineage reset
 
         if cfg.warc_dir is not None:
             # S8 side-sink: archive this batch's fetched pages as
