@@ -146,6 +146,13 @@ class CrawlConfig:
     # whose result is broadcast-joinable (O(hosts), not O(urls)).
     # Implies the per-URL gate. None (default) disables.
     trap_quarantine_share: float | None = None
+    # W3 strict availability (RFC 9309 §2.3.1.4): a host whose live
+    # robots fetch was UNREACHABLE (5xx / transport failure) is treated
+    # as completely disallowed until a later fetch answers — compose
+    # with robots_ttl_batches so the failed entry expires and refetches.
+    # False (default): unreachable = unrestricted, the permissive
+    # reading, prior behavior. Only meaningful with live_robots.
+    robots_unreachable_disallow: bool = False
     # Live-robots cache TTL in batches: a cached /robots.txt older than
     # this is dropped, so the host's next frontier appearance refetches
     # it (lazy revalidation — RFC 9309 caps robots caching at ~24h;
@@ -167,6 +174,16 @@ class CrawlConfig:
     # Requires live_transport — the fetch stage is what measures
     # latency. None (default) disables — loop byte-identical.
     autothrottle: object | None = None  # AutoThrottleConfig
+    # S5+ CONDITIONAL revalidation (RFC 9110 §13.1): TTL refresh rows
+    # carry the ledger's stored ETag / Last-Modified as If-None-Match /
+    # If-Modified-Since; an unchanged page answers 304 with no body —
+    # the refresh still advances the cache clock (and, in adaptive mode,
+    # doubles the interval: a 304 IS proof of unchanged content) but
+    # transfers nothing. At a 10^10-URL frontier, where most refreshes
+    # hit unchanged pages, this removes most refresh bandwidth.
+    # Requires live_transport + recrawl_ttl_seconds. False (default):
+    # refreshes re-download, the prior behavior.
+    conditional_revalidation: bool = False
 
 
 FRONTIER_COLS = [
@@ -480,9 +497,19 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             .withColumn("warc_ts", F.lit(None).cast("timestamp"))
             .withColumn("lang", F.lit(None).cast("string"))
             .withColumn("fetched", F.col("html").isNotNull())
+            # a 304 on a refresh row is a SUCCESSFUL bodyless revalidation
+            # (conditional_revalidation), not a fetch failure
+            .withColumn(
+                "revalidated",
+                F.coalesce(F.col("is_recrawl"), F.lit(False))
+                & (F.col("status") == 304),
+            )
             .withColumn(
                 "fetch_error",
-                F.when(F.col("fetched"), F.lit(None).cast("string")).otherwise(
+                F.when(
+                    F.col("fetched") | F.col("revalidated"),
+                    F.lit(None).cast("string"),
+                ).otherwise(
                     F.coalesce(F.col("fetch_error"), F.lit("fetch miss: no response"))
                 ),
             )
@@ -511,6 +538,11 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
                 ),
             )
             .withColumn("fetch_error_class", fetch_error_class_expr(F.col("fetch_error")))
+            # table mode has no response headers and no conditional path;
+            # the columns exist so visited has ONE schema across modes
+            .withColumn("etag", F.lit(None).cast("string"))
+            .withColumn("last_modified", F.lit(None).cast("string"))
+            .withColumn("revalidated", F.lit(False))
         )
     fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
     parsed = with_parse(fetched)
@@ -665,13 +697,19 @@ def batch_metrics(gated: DataFrame, batch_id: int) -> DataFrame:
         .agg(
             F.count("*").alias("scheduled"),
             F.sum(F.col("fetched").cast("long")).alias("fetched"),
-            F.sum((~F.col("fetched")).cast("long")).alias("fetch_errors"),
+            # a 304 revalidation is a SUCCESSFUL bodyless refresh, not an
+            # error (conditional_revalidation); counted on its own
+            F.sum(F.col("revalidated").cast("long")).alias("revalidated"),
+            F.sum(
+                (~F.col("fetched") & ~F.col("revalidated")).cast("long")
+            ).alias("fetch_errors"),
             # S1 taxonomy breakdown: permanent (never retried) vs transient
             F.sum(
                 (F.col("fetch_error_class") == "not_found").cast("long")
             ).alias("permanent_errors"),
             F.sum(
-                (~F.col("fetched") & (F.coalesce(F.col("fetch_error_class"), F.lit("")) != "not_found")).cast("long")
+                (~F.col("fetched") & ~F.col("revalidated")
+                 & (F.coalesce(F.col("fetch_error_class"), F.lit("")) != "not_found")).cast("long")
             ).alias("transient_errors"),
             F.sum(F.col("is_career_page").cast("long")).alias("career_pages"),
             F.sum("page_bytes").alias("bytes"),
@@ -708,11 +746,16 @@ def _read_latest_state(
 
 
 def _with_adaptive_cols(ledger: DataFrame) -> DataFrame:
-    """Backfill the adaptive-recrawl ledger columns on snapshots written
-    before they existed (same pattern as the frontier's is_recrawl
-    backfill): NULLs mean 'no adaptive history' and every consumer
+    """Backfill the adaptive-recrawl / validator ledger columns on
+    snapshots written before they existed (same pattern as the frontier's
+    is_recrawl backfill): NULLs mean 'no history' and every consumer
     coalesces ttl_batches to the configured base."""
-    for c, t in (("content_hash", "long"), ("ttl_batches", "int")):
+    for c, t in (
+        ("content_hash", "long"),
+        ("ttl_batches", "int"),
+        ("etag", "string"),
+        ("last_modified", "string"),
+    ):
         if c not in ledger.columns:
             ledger = ledger.withColumn(c, F.lit(None).cast(t))
     return ledger
@@ -722,19 +765,32 @@ def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
     """One batch's visited rows folded to the ledger shape. content_hash
     rides along for the adaptive-recrawl change detector; a fresh fetch
     starts at the base interval (the doubling happens in _merge_ledger
-    where the previous hash is visible)."""
-    if "content_hash" not in visited.columns:  # pre-upgrade visited files
-        visited = visited.withColumn("content_hash", F.lit(None).cast("long"))
+    where the previous hash is visible). A 304 revalidation advances the
+    fetch clock like a download but carries no body: its content_hash /
+    validators stay NULL and _merge_ledger keeps the previous ones."""
+    for c, t in (  # pre-upgrade visited files
+        ("content_hash", "long"),
+        ("etag", "string"),
+        ("last_modified", "string"),
+        ("revalidated", "boolean"),
+    ):
+        if c not in visited.columns:
+            visited = visited.withColumn(c, F.lit(None).cast(t))
+    reval = F.coalesce(F.col("revalidated"), F.lit(False))
+    refreshed = F.col("fetched") | reval
     return visited.groupBy("seed_url", "url").agg(
-        F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("last_fetch_batch"),
+        F.max(F.when(refreshed, F.col("batch_id"))).alias("last_fetch_batch"),
         F.max("batch_id").alias("last_visit_batch"),
         F.min("priority").alias("priority"),
         F.min("depth").alias("depth"),
         F.min("discovered_seq").alias("discovered_seq"),
         F.max(F.when(F.col("fetched"), F.col("content_hash"))).alias("content_hash"),
         F.max(
-            F.when(F.col("fetched"), F.lit(base_ttl).cast("int"))
+            F.when(refreshed, F.lit(base_ttl).cast("int"))
         ).alias("ttl_batches"),
+        F.max(F.when(F.col("fetched"), F.col("etag"))).alias("etag"),
+        F.max(F.when(F.col("fetched"), F.col("last_modified"))).alias("last_modified"),
+        F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("_real_fetch_batch"),
     )
 
 
@@ -760,20 +816,31 @@ def _merge_ledger(
     keys = ("seed_url", "url")
     vals = (
         "last_fetch_batch", "last_visit_batch", "priority", "depth",
-        "discovered_seq", "content_hash", "ttl_batches",
+        "discovered_seq", "content_hash", "ttl_batches", "etag",
+        "last_modified",
     )
     prev_ledger = _with_adaptive_cols(prev_ledger)
     delta = _with_adaptive_cols(delta)
+    if "_real_fetch_batch" not in delta.columns:  # delta from legacy replay
+        delta = delta.withColumn("_real_fetch_batch", F.col("last_fetch_batch"))
     p = prev_ledger.select(*keys, *[F.col(c).alias(f"p_{c}") for c in vals])
-    d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in vals])
+    d = delta.select(
+        *keys,
+        *[F.col(c).alias(f"d_{c}") for c in vals],
+        F.col("_real_fetch_batch").alias("d_real_fetch"),
+    )
     j = p.join(d, list(keys), "full_outer")
     fetched_now = F.col("d_last_fetch_batch").isNotNull() & (
         F.coalesce(F.col("p_last_fetch_batch"), F.lit(-1))
         < F.col("d_last_fetch_batch")
     )
+    # did the advance come from a real 200 download (new body, new
+    # validators) or a bodyless 304 revalidation (keep the previous ones)?
+    real_now = fetched_now & F.col("d_real_fetch").isNotNull()
+    reval_now = fetched_now & F.col("d_real_fetch").isNull()
     prev_ttl = F.coalesce(F.col("p_ttl_batches"), F.lit(base_ttl).cast("int"))
     if adaptive:
-        unchanged = (
+        unchanged = reval_now | (
             F.col("p_content_hash").isNotNull()
             & (F.col("d_content_hash") == F.col("p_content_hash"))
         )
@@ -796,9 +863,13 @@ def _merge_ledger(
         F.least("p_priority", "d_priority").alias("priority"),
         F.least("p_depth", "d_depth").alias("depth"),
         F.least("p_discovered_seq", "d_discovered_seq").alias("discovered_seq"),
-        F.when(fetched_now, F.col("d_content_hash"))
+        F.when(real_now, F.col("d_content_hash"))
             .otherwise(F.col("p_content_hash")).alias("content_hash"),
         new_ttl.cast("int").alias("ttl_batches"),
+        F.when(real_now, F.col("d_etag"))
+            .otherwise(F.col("p_etag")).alias("etag"),
+        F.when(real_now, F.col("d_last_modified"))
+            .otherwise(F.col("p_last_modified")).alias("last_modified"),
     )
 
 
@@ -1046,9 +1117,14 @@ def _advance_breaker(
     simply absent from the batch) carry their state. Rows that are fully
     idle (no streak, cooldown elapsed) are pruned so the state stays
     proportional to the failing-host set, not the host universe."""
+    # a 304 revalidation is a live server answering — a success for the
+    # breaker (column-guarded: unit tests feed minimal gated shapes)
+    ok = F.col("fetched")
+    if "revalidated" in gated.columns:
+        ok = ok | F.col("revalidated")
     stats = gated.groupBy("host").agg(
-        F.sum(F.col("fetched").cast("int")).alias("_succ"),
-        F.sum((~F.col("fetched")).cast("int")).alias("_fail"),
+        F.sum(ok.cast("int")).alias("_succ"),
+        F.sum((~ok).cast("int")).alias("_fail"),
     )
     merged = breaker.join(stats, "host", "full_outer")
     attempted = F.col("_succ").isNotNull()
@@ -1208,6 +1284,18 @@ def run_crawl(
     if cfg.host_failure_threshold is not None:
         breaker_state = _restore_breaker(spark, store, start - 1)
 
+    if cfg.conditional_revalidation:
+        if cfg.live_transport is None:
+            raise ValueError(
+                "conditional_revalidation requires a live_transport — the "
+                "fetch stage is what sends If-None-Match / If-Modified-Since"
+            )
+        if cfg.recrawl_ttl_seconds is None:
+            raise ValueError(
+                "conditional_revalidation only applies to TTL refresh rows "
+                "— set recrawl_ttl_seconds"
+            )
+
     at_state = None
     if cfg.autothrottle is not None:
         if cfg.live_transport is None:
@@ -1361,6 +1449,7 @@ def run_crawl(
                     unseen.select("url", "host"),
                     cfg.live_transport,
                     host_partitions=cfg.parallelism,
+                    unreachable_disallow_all=cfg.robots_unreachable_disallow,
                 ),
                 with_allow=True,
                 with_crawl_delay=True,
@@ -1403,6 +1492,22 @@ def run_crawl(
                 cooling.select(*FRONTIER_COLS)
             )
 
+        if cfg.conditional_revalidation and ledger is not None:
+            # refresh rows carry the ledger's stored validators into the
+            # fetch stage as conditional request headers; the join is
+            # confined to the (tiny) is_recrawl slice of the frontier
+            vmap = _with_adaptive_cols(ledger).groupBy("url").agg(
+                F.max("etag").alias("cond_etag"),
+                F.max("last_modified").alias("cond_last_modified"),
+            )
+            recr = frontier.where(F.col("is_recrawl")).join(vmap, "url", "left")
+            rest = (
+                frontier.where(~F.col("is_recrawl"))
+                .withColumn("cond_etag", F.lit(None).cast("string"))
+                .withColumn("cond_last_modified", F.lit(None).cast("string"))
+            )
+            frontier = rest.unionByName(recr)
+
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()
 
@@ -1415,6 +1520,9 @@ def run_crawl(
             # content fingerprint of the fetched bytes — the adaptive-
             # recrawl change detector (and a useful archive invariant)
             F.when(F.col("fetched"), F.xxhash64(F.col("html"))).alias("content_hash"),
+            # RFC 9110 validators + the 304 refresh outcome — the ledger
+            # stores them for conditional_revalidation's request headers
+            "etag", "last_modified", "revalidated",
         )
         store.write(batch_id, "visited", visited)
 
@@ -1437,7 +1545,7 @@ def run_crawl(
             responses = gated.select(
                 "host",
                 F.coalesce(F.col("fetch_ms"), F.lit(0)).cast("long").alias("fetch_ms"),
-                F.col("fetched").alias("ok"),
+                (F.col("fetched") | F.col("revalidated")).alias("ok"),
             )
             at_state = AT.autothrottle_delays(responses, at_state, cfg.autothrottle)
             store.write(batch_id, "at_delays", at_state)
@@ -1479,7 +1587,7 @@ def run_crawl(
                     base_ttl=ttl_batches, max_ttl=cfg.recrawl_ttl_max_batches,
                 )
                 if ledger is not None
-                else delta
+                else delta.drop("_real_fetch_batch")
             )
             store.write(batch_id, "cache_ledger", new_ledger)
             # cache store-on-success (cache.py:26-33): every successful
@@ -1491,7 +1599,10 @@ def run_crawl(
             # chain — and therefore resume — bit-identical.
             cache_blobs = CF.update_cuckoo_blobs(
                 cache_blobs,
-                gated.where(F.col("fetched")).select("url_hash").distinct(),
+                # a 304 revalidation refreshes the cache entry exactly
+                # like a re-download — both re-enter the filter
+                gated.where(F.col("fetched") | F.col("revalidated"))
+                .select("url_hash").distinct(),
                 op="insert_if_absent",
                 capacity_per_bucket=cfg.cache_keys_per_bucket,
             )
@@ -1564,6 +1675,7 @@ def run_crawl(
             retries = (
                 gated.where(
                     ~F.col("fetched")
+                    & ~F.col("revalidated")  # a 304 refresh succeeded
                     & (F.col("attempt") + 1 < F.lit(cfg.max_fetch_attempts))
                     & ~is_permanent_error_expr(F.col("fetch_error_class"))
                 )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_ai_spark.functions import mimesniff as MS
 from crawler_ai_spark.operators import autothrottle as AT
 from crawler_ai_spark.pipeline import textstats as TS
 from crawler_ai_spark.queries._shared import _register, _t
@@ -103,6 +104,84 @@ def q_autothrottle_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "delay_ms", "n_ok", "n_err", "host_budget")
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional fetch (RFC 9110 §13.1) through the REAL fetch stage: per
+# URL, one of {matching ETag → 304, stale ETag → 200 re-download, no
+# validator → 200}. DuckDB re-derives every cell from md5(url) exactly
+# like live_fetch_stage, plus the validator arithmetic.
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+WITH f AS (
+  SELECT d.doc_id,
+         'https://chost' || (d.doc_id % 11) || '.example/cf/' || d.doc_id AS url,
+         'chost' || (d.doc_id % 11) || '.example' AS host
+  FROM documents d
+),
+k AS (
+  SELECT *, CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) AS key,
+         '"' || substr(md5(url), 1, 16) || '"' AS true_etag
+  FROM f
+),
+o AS (
+  SELECT *, key % 100 AS r, doc_id % 3 AS mode FROM k
+),
+o2 AS (
+  SELECT *,
+         CASE WHEN r < 85 AND NOT (mode = 0)
+              THEN '<html><head><title>Page ' || (key % 1000)
+              || '</title></head><body>' || repeat('x', CAST(100 + key % 400 AS INT))
+              || '</body></html>' END AS html
+  FROM o
+)
+SELECT url,
+       CAST(CASE WHEN r < 85 AND mode = 0 THEN 304
+                 WHEN r < 85 THEN 200
+                 WHEN r < 90 THEN 404 WHEN r < 93 THEN 403
+                 WHEN r < 95 THEN 429 WHEN r < 97 THEN 503 END AS INT) AS status,
+       CAST(coalesce(length(html), 0) AS BIGINT) AS body_bytes,
+       CASE WHEN r < 85 THEN true_etag END AS etag,
+       CASE WHEN r < 85
+            THEN 'Thu, 01 Jan 1970 00:00:' || lpad(CAST(key % 60 AS VARCHAR), 2, '0')
+                 || ' GMT' END AS last_modified
+FROM o2 ORDER BY url
+"""
+
+
+@_register("conditional_fetch_stage", oracle=_COND_ORACLE)
+def q_conditional_fetch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+ conditional revalidation through the real mapInPandas fetch
+    stage (sources/fetch.py): rows with a matching If-None-Match answer
+    bodyless 304s, stale validators re-download, and response validators
+    (ETag / Last-Modified) surface for the TTL ledger either way."""
+    from crawler_ai_spark.sources.fetch import FetchConfig, fetch_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    true_etag = F.concat(
+        F.lit('"'), F.substring(F.md5(F.col("url")), 1, 16), F.lit('"')
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://chost"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example/cf/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("chost"), (F.col("doc_id") % 11).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.lit(1).alias("priority"),
+        F.col("doc_id").alias("discovered_seq"),
+        (F.col("doc_id") % 3).alias("mode"),
+    ).withColumn(
+        "cond_etag",
+        F.when(F.col("mode") == 0, true_etag)
+        .when(F.col("mode") == 1, F.lit('"stale"')),
+    )
+    fetched = fetch_pages(frontier, FetchConfig(per_host_delay_ms=0))
+    return fetched.select(
+        "url", "status", "body_bytes", "etag", "last_modified"
+    ).orderBy("url")
 
 
 # ---------------------------------------------------------------------------
@@ -212,4 +291,74 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["alpha_word_ratio"].alias("alpha_word_ratio"),
         g["n_stop_types"].alias("n_stop_types"),
         g["gopher_pass"].alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MIME sniffing + routing (functions/mimesniff.py): 14 synthesized body
+# classes — each pattern family in the WHATWG table plus the two
+# fallbacks — in the latin-1 byte view, built from the SAME codepoint
+# arithmetic in both engines. The oracle is a prediction oracle
+# (media_meta / robots_crawl_delay style): each class's sniffed type and
+# route are pure functions of doc_id % 14.
+# ---------------------------------------------------------------------------
+
+# (python-chr pieces, duckdb-chr SQL) per class, index = doc_id % 14
+_MIME_CASES = [
+    ("<html><body>page", "'<html><body>page'"),
+    ("   <!DOCTYPE HTML><html>", "'   <!DOCTYPE HTML><html>'"),
+    ('<?xml version="1.0"?><urlset/>', "'<?xml version=\"1.0\"?><urlset/>'"),
+    ("%PDF-1.4 obj", "'%PDF-1.4 obj'"),
+    (
+        chr(137) + "PNG\r\n" + chr(26) + "\nIHDR",
+        "chr(137) || 'PNG' || chr(13) || chr(10) || chr(26) || chr(10) || 'IHDR'",
+    ),
+    ("GIF89adata", "'GIF89adata'"),
+    (chr(255) + chr(216) + chr(255) + chr(224) + "JFIF",
+     "chr(255) || chr(216) || chr(255) || chr(224) || 'JFIF'"),
+    ("BMbmpdata", "'BMbmpdata'"),
+    ("RIFF1234WAVEfmt ", "'RIFF1234WAVEfmt '"),
+    (chr(0) * 3 + chr(24) + "ftypisom",
+     "chr(0) || chr(0) || chr(0) || chr(24) || 'ftypisom'"),
+    (chr(31) + chr(139) + chr(8) + "gz", "chr(31) || chr(139) || chr(8) || 'gz'"),
+    ("PK" + chr(3) + chr(4) + "zip", "'PK' || chr(3) || chr(4) || 'zip'"),
+    (chr(1) + "mystery bytes", "chr(1) || 'mystery bytes'"),
+    ("plain text body", "'plain text body'"),
+]
+
+_MIME_EXPECT = [
+    ("text/html", "parse"), ("text/html", "parse"), ("text/xml", "parse"),
+    ("application/pdf", "skip"), ("image/png", "image"), ("image/gif", "image"),
+    ("image/jpeg", "image"), ("image/bmp", "image"), ("audio/wav", "audio"),
+    ("video/mp4", "video"), ("application/gzip", "skip"),
+    ("application/zip", "skip"), ("application/octet-stream", "skip"),
+    ("text/plain", "text"),
+]
+
+_MIME_ORACLE = (
+    "SELECT doc_id,\n"
+    + "  CASE doc_id % 14 "
+    + " ".join(f"WHEN {i} THEN '{m}'" for i, (m, _) in enumerate(_MIME_EXPECT))
+    + " END AS mime,\n"
+    + "  CASE doc_id % 14 "
+    + " ".join(f"WHEN {i} THEN '{r}'" for i, (_, r) in enumerate(_MIME_EXPECT))
+    + " END AS route\n"
+    + "FROM documents ORDER BY doc_id"
+)
+
+
+@_register("mime_sniff_route", oracle=_MIME_ORACLE)
+def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG MIME sniffing over raw body bytes + the pipeline router
+    (functions/mimesniff.py): servers lie about Content-Type at web
+    scale, so the route into parse / image / audio / video / skip keys
+    on the bytes. Pure codegen expressions over the latin-1 view."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.lit(None).cast("string")
+    for i, (py, _) in reversed(list(enumerate(_MIME_CASES))):
+        body = F.when(F.col("doc_id") % 14 == i, F.lit(py)).otherwise(body)
+    pages = docs.select("doc_id", body.alias("body"))
+    mime = MS.sniff_mime(F.col("body"))
+    return pages.select(
+        "doc_id", mime.alias("mime"), MS.route_for(mime).alias("route")
     ).orderBy("doc_id")

@@ -99,6 +99,14 @@ FETCH_SCHEMA = StructType(
         StructField("planned_offset_ms", LongType()),
         StructField("fetch_ms", LongType()),
         StructField("ua_idx", IntegerType()),
+        # response validators (RFC 9110 §8.8): stored by the crawl loop's
+        # TTL ledger and sent back as If-None-Match / If-Modified-Since on
+        # refresh rows, so an unchanged page revalidates with a bodyless
+        # 304 instead of a full transfer — at a 10^10-URL frontier most
+        # refresh bandwidth disappears. NULL when the transport doesn't
+        # surface headers (the 3-tuple contract remains valid).
+        StructField("etag", StringType()),
+        StructField("last_modified", StringType()),
     ]
 )
 
@@ -122,15 +130,27 @@ class SyntheticTransport:
     A 200 body is a title + 'x'·(100 + key%400) filler — body length is a
     pure function of the key, so DuckDB predicts byte counts too."""
 
-    def __call__(self, url: str, headers: dict[str, str]) -> tuple[int | None, bytes | None, str | None]:
+    def __call__(self, url: str, headers: dict[str, str]):
         key = _url_key(url)
         r = key % 100
         if r < 85:
+            # deterministic validators: the body is a pure function of the
+            # URL, so its ETag can be too — and a conditional request whose
+            # If-None-Match matches revalidates with a bodyless 304, which
+            # is what lets the TTL-refresh 304 path be tested (and oracle-
+            # predicted) without sockets
+            etag = f'"{hashlib.md5(url.encode()).hexdigest()[:16]}"'
+            resp_headers = {
+                "ETag": etag,
+                "Last-Modified": f"Thu, 01 Jan 1970 00:00:{key % 60:02d} GMT",
+            }
+            if headers.get("If-None-Match") == etag:
+                return 304, None, None, resp_headers
             body = (
                 f"<html><head><title>Page {key % 1000}</title></head>"
                 f"<body>{'x' * (100 + key % 400)}</body></html>"
             )
-            return 200, body.encode(), None
+            return 200, body.encode(), None, resp_headers
         if r < 90:
             return 404, None, "404 not found"
         if r < 93:
@@ -158,7 +178,7 @@ class UrllibTransport:
             )
         self.timeout_s = timeout_s
 
-    def __call__(self, url: str, headers: dict[str, str]) -> tuple[int | None, bytes | None, str | None]:
+    def __call__(self, url: str, headers: dict[str, str]):
         import socket
         import urllib.error
         import urllib.request
@@ -166,8 +186,11 @@ class UrllibTransport:
         req = urllib.request.Request(url, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                return resp.status, resp.read(), None
+                return resp.status, resp.read(), None, dict(resp.headers)
         except urllib.error.HTTPError as e:
+            if e.code == 304:
+                # Not Modified is a SUCCESSFUL revalidation, not an error
+                return 304, None, None, dict(e.headers)
             return e.code, None, f"{e.code} {e.reason}"
         except socket.timeout:
             return None, None, f"Connection timeout after {self.timeout_s:g}s"
@@ -261,6 +284,15 @@ def fetch_pages(
 
         for pdf in batches:
             extra = [pdf[c].tolist() for c in passthrough]
+            # conditional-request validators ride in as optional frontier
+            # columns (the crawl loop joins them from its TTL ledger onto
+            # refresh rows); absent columns mean unconditional fetches
+            cond_etag = pdf["cond_etag"].tolist() if "cond_etag" in pdf.columns else None
+            cond_lm = (
+                pdf["cond_last_modified"].tolist()
+                if "cond_last_modified" in pdf.columns
+                else None
+            )
             for i, (url, host) in enumerate(zip(pdf["url"], pdf["host"])):
                 key = _url_key(url)
                 ua_idx = key % len(USER_AGENTS)
@@ -279,13 +311,30 @@ def fetch_pages(
                         lag = prev_t + host_delays.get(host, delay_ms) / 1000.0 - time.perf_counter()
                         if lag > 0:
                             time.sleep(lag)
+                req_headers = _headers_for(url, USER_AGENTS[ua_idx])
+                if cond_etag is not None and isinstance(cond_etag[i], str):
+                    req_headers["If-None-Match"] = cond_etag[i]
+                if cond_lm is not None and isinstance(cond_lm[i], str):
+                    req_headers["If-Modified-Since"] = cond_lm[i]
                 t0 = time.perf_counter()
                 last_dispatch[host] = t0
                 try:
-                    status, body, err = transport(url, _headers_for(url, USER_AGENTS[ua_idx]))
+                    result = transport(url, req_headers)
+                    # transports MAY return (status, body, err, headers);
+                    # the legacy 3-tuple means "no headers surfaced"
+                    if len(result) == 4:
+                        status, body, err, resp_headers = result
+                    else:
+                        status, body, err = result
+                        resp_headers = None
                 except Exception as e:  # noqa: BLE001 - a 100 TB job survives one bad URL
-                    status, body, err = None, None, f"transport error: {e}"
+                    status, body, err, resp_headers = None, None, f"transport error: {e}", None
                 fetch_ms = int((time.perf_counter() - t0) * 1000)
+                etag = last_modified = None
+                if resp_headers:
+                    lowered = {k.lower(): v for k, v in resp_headers.items()}
+                    etag = lowered.get("etag")
+                    last_modified = lowered.get("last-modified")
                 if body is not None and len(body) > max_body:
                     body = body[:max_body]
                 if body is not None:
@@ -302,6 +351,7 @@ def fetch_pages(
                         html, err, body,
                         len(body) if body is not None else 0,
                         offset, fetch_ms, ua_idx,
+                        etag, last_modified,
                         *(col[i] for col in extra),
                     )
                 )
@@ -311,10 +361,17 @@ def fetch_pages(
                     yield from flush()
         yield from flush()
 
+    # conditional-request validators are stage INPUTS (header material)
+    # whether or not the caller passes them through to the output
+    cond_cols = tuple(
+        c
+        for c in ("cond_etag", "cond_last_modified")
+        if c in frontier.columns and c not in passthrough
+    )
     staged = (
         frontier.repartition(n_parts, F.col("host"))
         .sortWithinPartitions("host", "priority", "discovered_seq")
-        .select("url", "host", *passthrough)
+        .select("url", "host", *passthrough, *cond_cols)
     )
     return staged.mapInPandas(_fetch, out_schema)
 

@@ -94,19 +94,29 @@ def parse_robots(
     return robots.select(*cols)
 
 
-def fetch_robots(frontier: DataFrame, transport, host_partitions: int | None = None) -> DataFrame:
+def fetch_robots(
+    frontier: DataFrame,
+    transport,
+    host_partitions: int | None = None,
+    unreachable_disallow_all: bool = False,
+) -> DataFrame:
     """W3 LIVE mode — fetch each host's /robots.txt through the real
     fetch stage (host co-location, UA rotation, shared error taxonomy;
     sources/fetch.py) and return (host, body) ready for parse_robots.
 
     The robots URL derives from a deterministic exemplar frontier URL per
     host (min(url)), because the HOST component alone loses scheme and
-    port. Availability semantics follow RFC 9309 §2.3.1: an unavailable
-    robots file (4xx, transport failure) means unrestricted — empty body,
-    which parses to an empty rule set = allow-all. The stricter
-    assume-disallow-on-5xx variant is a caller policy, not baked in here
-    (the reference itself crawls with ROBOTSTXT_OBEY=False, so any
-    obedience at all is an extension).
+    port. Availability semantics follow RFC 9309 §2.3.1: an UNAVAILABLE
+    robots file (4xx) means unrestricted — empty body, which parses to an
+    empty rule set = allow-all. With ``unreachable_disallow_all`` the
+    RFC's §2.3.1.4 server-error rule applies too: an UNREACHABLE file
+    (5xx or transport failure) yields a synthetic complete-disallow body
+    ("User-agent: *\\nDisallow: /"), so the whole host defers until a
+    later fetch succeeds (compose with robots_ttl_batches for the RFC's
+    retry-within-a-reasonable-time). Off by default: the permissive
+    treat-unreachable-as-unavailable reading, the prior behavior (the
+    reference itself crawls with ROBOTSTXT_OBEY=False, so any obedience
+    at all is an extension).
 
     One fetch per host per crawl: the caller caches results in the
     robots_cache state table (plans/crawl_loop.py) and only newly-seen
@@ -128,14 +138,17 @@ def fetch_robots(frontier: DataFrame, transport, host_partitions: int | None = N
         robots_frontier,
         FetchConfig(transport=transport, per_host_delay_ms=0, host_partitions=host_partitions),
     )
-    return fetched.select(
-        "host",
-        F.when(
-            (F.col("status") == 200) & F.col("html").isNotNull(), F.col("html")
-        )
-        .otherwise(F.lit(""))
-        .alias("body"),
+    body = F.when(
+        (F.col("status") == 200) & F.col("html").isNotNull(), F.col("html")
     )
+    if unreachable_disallow_all:
+        # 5xx or no response at all = UNREACHABLE (RFC 9309 §2.3.1.4):
+        # assume complete disallow until a later fetch answers
+        body = body.when(
+            (F.col("status") >= 500) | F.col("status").isNull(),
+            F.lit("User-agent: *\nDisallow: /"),
+        )
+    return fetched.select("host", body.otherwise(F.lit("")).alias("body"))
 
 
 def expand_sitemaps(

@@ -1,0 +1,161 @@
+"""S5+ conditional revalidation (RFC 9110 §13.1): TTL refresh rows send
+If-None-Match / If-Modified-Since from the ledger's stored validators; an
+unchanged page answers a bodyless 304 that still advances the cache clock
+(and doubles the adaptive interval) while transferring nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+from crawler_ai_spark.sources import fetch as FS
+
+_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, lang string, "
+    "status int, fetch_error string"
+)
+
+
+def _ok_seed_urls(n):
+    """Deterministic seed URLs whose SyntheticTransport outcome is a 200."""
+    out, i = [], 0
+    while len(out) < n:
+        u = f"https://condsite{i}.example/"
+        if FS._url_key(u) % 100 < 85:
+            out.append(u)
+        i += 1
+    return out
+
+
+def test_synthetic_transport_revalidates():
+    t = FS.SyntheticTransport()
+    url = _ok_seed_urls(1)[0]
+    status, body, err, hdrs = t(url, {})
+    assert status == 200 and body and err is None
+    etag = hdrs["ETag"]
+    status2, body2, err2, hdrs2 = t(url, {"If-None-Match": etag})
+    assert status2 == 304 and body2 is None and err2 is None
+    assert hdrs2["ETag"] == etag
+    # a non-matching validator still downloads
+    status3, body3, _, _ = t(url, {"If-None-Match": '"nope"'})
+    assert status3 == 200 and body3 == body
+
+
+def test_fetch_stage_conditional_headers(spark):
+    urls = _ok_seed_urls(4)
+    t = FS.SyntheticTransport()
+    etags = {u: t(u, {})[3]["ETag"] for u in urls}
+    frontier = spark.createDataFrame(
+        [
+            # matching etag → 304; no validator → 200
+            (u, "h0.example", 1, i, etags[u] if i % 2 == 0 else None)
+            for i, u in enumerate(urls)
+        ],
+        "url string, host string, priority int, discovered_seq long, cond_etag string",
+    )
+    rows = {r.url: r for r in FS.fetch_pages(frontier, FS.FetchConfig()).collect()}
+    for i, u in enumerate(urls):
+        if i % 2 == 0:
+            assert rows[u].status == 304 and rows[u].html is None
+        else:
+            assert rows[u].status == 200 and rows[u].html
+        assert rows[u].etag == etags[u]  # validators surface either way
+
+
+def _cfg(conditional, **kw):
+    kw.setdefault("max_batches", 5)
+    return CrawlConfig(
+        parallelism=4,
+        live_transport=FS.SyntheticTransport(),
+        recrawl_ttl_seconds=3600,
+        batch_interval_seconds=3600,
+        adaptive_recrawl=True,
+        recrawl_ttl_max_batches=8,
+        conditional_revalidation=conditional,
+        **kw,
+    )
+
+
+def test_revalidation_in_loop(spark, tmp_path_factory):
+    """End to end vs the re-download control run: same refresh SCHEDULE
+    (a 304 is proof of unchanged content, so adaptive doubling matches),
+    zero refresh bytes, validators persisted in the ledger."""
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(u, 20, 5) for u in _ok_seed_urls(2)],
+        ["seed_url", "max_pages", "max_career_pages"],
+    )
+
+    roots = {}
+    for conditional in (False, True):
+        root = tmp_path_factory.mktemp(f"cond_{conditional}")
+        res = run_crawl(spark, pages, seeds, root, _cfg(conditional))
+        roots[conditional] = (root, res)
+
+    vis = {
+        c: CrawlStore(spark, root).read_all("visited", res["last_batch"])
+        for c, (root, res) in roots.items()
+    }
+    # identical refresh schedule: same (url, batch_id) refresh set
+    sched = {
+        c: sorted(
+            (r.url, r.batch_id)
+            for r in v.where(F.col("is_recrawl")).collect()
+        )
+        for c, v in vis.items()
+    }
+    assert sched[True] == sched[False] and sched[True]
+    # control run re-downloads every refresh; conditional run 304s them
+    off = vis[False].where(F.col("is_recrawl")).collect()
+    assert all(r.fetched and not r.revalidated and r.page_bytes > 0 for r in off)
+    on = vis[True].where(F.col("is_recrawl")).collect()
+    assert all(
+        (not r.fetched) and r.revalidated and r.status == 304
+        and r.page_bytes == 0 and r.fetch_error is None
+        for r in on
+    )
+    # adaptive doubling happened through the 304s: with base ttl 1 and 5
+    # batches, fetch batches per URL are 1, 2, 4 (gap at 3 and 5)
+    per_url = {}
+    for r in vis[True].where(F.col("fetched") | F.col("revalidated")).collect():
+        per_url.setdefault(r.url, []).append(r.batch_id)
+    assert per_url and all(sorted(b) == [1, 2, 4] for b in per_url.values())
+
+    # the ledger holds validators and the ORIGINAL content hash
+    root, res = roots[True]
+    ledger = CrawlStore(spark, root).read("cache_ledger", res["last_batch"])
+    lrows = ledger.collect()
+    assert lrows
+    assert all(r.etag and r.last_modified for r in lrows)
+    assert all(r.content_hash is not None for r in lrows)
+    assert all(r.ttl_batches == 4 for r in lrows)
+
+    # the career/job outputs are unaffected by the transfer mode
+    for table in ("career_pages", "job_urls", "seen_delta"):
+        sets = {
+            c: {
+                tuple(str(v) for v in r)
+                for r in CrawlStore(spark, root).read_all(table, res["last_batch"])
+                .collect()
+            }
+            for c, (root, res) in roots.items()
+        }
+        assert sets[True] == sets[False]
+
+
+def test_revalidation_survives_resume(spark, tmp_path_factory):
+    """Kill after batch 1, resume: the ledger's validators read back and
+    the batch-2 refresh still revalidates with a 304."""
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(u, 20, 5) for u in _ok_seed_urls(1)],
+        ["seed_url", "max_pages", "max_career_pages"],
+    )
+    root = tmp_path_factory.mktemp("cond_resume")
+    run_crawl(spark, pages, seeds, root, _cfg(True, max_batches=1))
+    res = run_crawl(
+        spark, pages, seeds, root, _cfg(True, max_batches=2), resume=True
+    )
+    vis = CrawlStore(spark, root).read_all("visited", res["last_batch"])
+    refresh = vis.where(F.col("is_recrawl")).collect()
+    assert refresh and all(r.revalidated and r.status == 304 for r in refresh)

@@ -142,6 +142,11 @@ def test_incremental_ledger_equals_full_history(runs):
             # (7200 s ttl / 3600 s batch = 2 here)
             F.max(F.when(F.col("fetched"), F.col("content_hash"))).alias("content_hash"),
             F.max(F.when(F.col("fetched"), F.lit(2).cast("int"))).alias("ttl_batches"),
+            # validator columns (conditional revalidation): the latest
+            # fetch's response validators — all NULL in table mode, but
+            # the aggregation shape must still match the merged state
+            F.max(F.when(F.col("fetched"), F.col("etag"))).alias("etag"),
+            F.max(F.when(F.col("fetched"), F.col("last_modified"))).alias("last_modified"),
         )
     )
     cols = sorted(stored.columns)
