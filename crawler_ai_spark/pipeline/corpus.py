@@ -769,3 +769,51 @@ def bigram_windows_from_toks(toks: Column) -> Column:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style per-language quality buckets (Wenzek et al. 2019 §4.3):
+    each language's documents split into head / middle / tail thirds by
+    LM score (lm_bigram_score — higher = more fluent), the split CCNet
+    feeds to downstream sampling (train on head+middle, drop tail).
+
+    Scale shape: the only windows run at (language, DISTINCT rounded
+    score) grain — bounded by score cardinality (round(4) over a ~[-30,0]
+    range), never by corpus size, so no per-language mega-partition
+    exists even when one language dominates a 100 TB corpus. Bucket
+    assignment is an integer rule on cumulative doc counts
+    (cum_incl·3 ≤ n → head, ≤ 2n → middle, else tail): a score group is
+    never split, matching CCNet's threshold-based cut, and the verdict is
+    bit-identical across engines. Docs too short to score (NULL lm_score)
+    sort last and land in tail."""
+    from pyspark.sql import Window as W
+
+    from crawler_ai_spark.pipeline.textstats import lang_id
+
+    t = F.col(text_col)
+    scored = lm_bigram_score(docs, text_col)
+    j = (
+        docs.select("doc_id", lang_id(t).alias("lang_pred"))
+        .join(scored, "doc_id")
+        .withColumn("_sk", F.coalesce(F.col("lm_score"), F.lit(-1e9)))
+    )
+    sc = j.groupBy("lang_pred", "_sk").agg(F.count("*").alias("_c"))
+    w_cum = (
+        W.partitionBy("lang_pred")
+        .orderBy(F.col("_sk").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang_pred")
+    cum = sc.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
+    )
+    bucket = (
+        F.when(F.col("_cum") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_cum") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        j.join(cum.select("lang_pred", "_sk", bucket.alias("lm_bucket")),
+               ["lang_pred", "_sk"])
+        .select("doc_id", "lang_pred", "lm_score", "n_bigrams", "lm_bucket")
+    )

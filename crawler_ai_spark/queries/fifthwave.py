@@ -362,3 +362,53 @@ def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "doc_id", mime.alias("mime"), MS.route_for(mime).alias("route")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets: the LM-score oracle (extended.py) and
+# the language-ID oracle (corpusdocs.py) compose as subqueries, then the
+# same integer cumulative-count rule splits each language into thirds at
+# (lang, distinct-score) grain — ties never split.
+# ---------------------------------------------------------------------------
+
+
+def _lm_buckets_oracle() -> str:
+    from crawler_ai_spark.queries.corpusdocs import _lang_oracle
+    from crawler_ai_spark.queries.extended import _lm_score_oracle
+
+    return f"""
+WITH lm AS ({_lm_score_oracle()}),
+lg AS ({_lang_oracle()}),
+j AS (
+  SELECT lm.doc_id, lg.lang_pred, lm.lm_score, lm.n_bigrams,
+         coalesce(lm.lm_score, -1e9) AS sk
+  FROM lm JOIN lg USING (doc_id)
+),
+sc AS (SELECT lang_pred, sk, count(*) AS c FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT lang_pred, sk,
+         sum(c) OVER (PARTITION BY lang_pred ORDER BY sk DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum_incl,
+         sum(c) OVER (PARTITION BY lang_pred) AS n
+  FROM sc
+)
+SELECT j.doc_id, j.lang_pred, j.lm_score, j.n_bigrams,
+       CASE WHEN cum.cum_incl * 3 <= cum.n THEN 'head'
+            WHEN cum.cum_incl * 3 <= cum.n * 2 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
+FROM j JOIN cum USING (lang_pred, sk)
+ORDER BY j.doc_id
+"""
+
+
+@_register("doc_lm_buckets", oracle=_lm_buckets_oracle())
+def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality buckets
+    (pipeline/corpus.lm_buckets): the corpus-trained bigram LM score cut
+    into thirds per language with an integer cumulative-count rule at
+    (language, distinct-score) grain — the standard curation split that
+    keeps head+middle and drops tail."""
+    from crawler_ai_spark.pipeline.corpus import lm_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_buckets(docs).orderBy("doc_id")

@@ -191,14 +191,14 @@ class UrllibTransport:
             if e.code == 304:
                 # Not Modified is a SUCCESSFUL revalidation, not an error
                 return 304, None, None, dict(e.headers)
-            return e.code, None, f"{e.code} {e.reason}"
+            return e.code, None, f"{e.code} {e.reason}", None
         except socket.timeout:
-            return None, None, f"Connection timeout after {self.timeout_s:g}s"
+            return None, None, f"Connection timeout after {self.timeout_s:g}s", None
         except urllib.error.URLError as e:
             reason = str(e.reason).lower()
             if "name or service not known" in reason or "nodename" in reason:
-                return None, None, "DNS name or service not known"
-            return None, None, f"connection refused or unreachable: {e.reason}"
+                return None, None, "DNS name or service not known", None
+            return None, None, f"connection refused or unreachable: {e.reason}", None
 
 
 @dataclass

@@ -27,6 +27,21 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path.startswith("/etag"):
+            # conditional GET: a matching If-None-Match revalidates 304
+            etag = f'"v1-{self.path}"'
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
+            body = f"versioned {self.path}".encode()
+            self.send_response(200)
+            self.send_header("ETag", etag)
+            self.send_header("Last-Modified", "Wed, 01 Jan 2025 00:00:00 GMT")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path.startswith("/slow"):
             time.sleep(2)
             self.send_response(200)
@@ -48,15 +63,16 @@ def server():
 
 def test_error_taxonomy_over_real_sockets(server):
     t = FS.UrllibTransport(timeout_s=0.5, allow_network=True)
-    status, body, err = t(f"{server}/ok/1", {"User-Agent": "x"})
+    status, body, err, hdrs = t(f"{server}/ok/1", {"User-Agent": "x"})
     assert (status, err) == (200, None) and body == f"caf\xe9 /ok/1".encode("latin-1")
-    status, body, err = t(f"{server}/missing", {})
+    assert hdrs and "Content-Length" in hdrs  # response headers surface
+    status, body, err, _ = t(f"{server}/missing", {})
     assert status == 404 and body is None and err == "404 Not Found"
-    status, body, err = t(f"{server}/slow", {})
+    status, body, err, _ = t(f"{server}/slow", {})
     assert status is None and err == "Connection timeout after 0.5s"
-    status, body, err = t("http://127.0.0.1:1/", {})
+    status, body, err, _ = t("http://127.0.0.1:1/", {})
     assert status is None and "connection refused or unreachable" in err
-    status, body, err = t("http://no-such-host-zz.invalid/", {})
+    status, body, err, _ = t("http://no-such-host-zz.invalid/", {})
     assert status is None and err == "DNS name or service not known"
 
 
@@ -91,3 +107,48 @@ def test_fetch_stage_end_to_end_over_loopback(spark, server):
         r = got[f"{server}/missing/{i}"]
         assert r.status == 404 and r.html is None
         assert r.cls == "not_found"
+
+
+def test_conditional_get_over_real_sockets(server):
+    """RFC 9110 revalidation against a real HTTP server: first GET
+    downloads and surfaces validators; a conditional GET with the stored
+    ETag answers a bodyless 304 through UrllibTransport's non-error
+    handling of HTTPError(304)."""
+    t = FS.UrllibTransport(timeout_s=5, allow_network=True)
+    status, body, err, hdrs = t(f"{server}/etag/a", {})
+    assert status == 200 and body == b"versioned /etag/a" and err is None
+    etag = hdrs["ETag"]
+    assert etag == '"v1-/etag/a"' and hdrs["Last-Modified"]
+    status, body, err, hdrs2 = t(f"{server}/etag/a", {"If-None-Match": etag})
+    assert status == 304 and body is None and err is None
+    assert hdrs2["ETag"] == etag
+    # stale validator → full download again
+    status, body, _, _ = t(f"{server}/etag/a", {"If-None-Match": '"old"'})
+    assert status == 200 and body == b"versioned /etag/a"
+
+
+def test_fetch_stage_conditional_over_loopback(spark, server):
+    """The mapInPandas fetch stage sends cond_etag as If-None-Match over
+    real sockets and surfaces the 304 + validators to the loop."""
+    frontier = spark.createDataFrame(
+        [
+            (f"{server}/etag/x", "127.0.0.1", 1, 0, '"v1-/etag/x"'),
+            (f"{server}/etag/y", "127.0.0.1", 1, 1, None),
+        ],
+        "url string, host string, priority int, discovered_seq long, cond_etag string",
+    )
+    rows = {
+        r.url.rsplit("/", 1)[-1]: r
+        for r in FS.fetch_pages(
+            frontier,
+            FS.FetchConfig(
+                transport=FS.UrllibTransport(timeout_s=5, allow_network=True),
+                per_host_delay_ms=0,
+                host_partitions=1,
+            ),
+        ).collect()
+    }
+    assert rows["x"].status == 304 and rows["x"].html is None
+    assert rows["x"].etag == '"v1-/etag/x"' and rows["x"].fetch_error is None
+    assert rows["y"].status == 200 and rows["y"].html == "versioned /etag/y"
+    assert rows["y"].etag == '"v1-/etag/y"'
