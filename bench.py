@@ -54,6 +54,10 @@ BENCH_QUERY_NAMES = [
     "live_fetch_stage",       # S1 live-fetch stage (host-partitioned Arrow fetch)
     "media_decode_features",  # real PNG pixel decode (stdlib codec, mapInPandas)
     "host_rank",              # iterative host-graph PageRank (3 power steps)
+    "doc_gopher_rules",       # Gopher quality rules (row-local JVM pass)
+    "mime_sniff_route",       # WHATWG MIME sniff + pipeline router
+    "conditional_fetch_stage",  # RFC 9110 revalidation through the fetch stage
+    "doc_lm_buckets",         # CCNet head/middle/tail (LM + score-grain windows)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
