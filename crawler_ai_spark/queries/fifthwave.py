@@ -412,3 +412,48 @@ def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return lm_buckets(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DNS resolution stage (operators/resolver.py): distinct hosts → (host,
+# ip) with shared-hosting cluster skew, oracle-predicted from md5(host)
+# — plus the derived server-grain budget shape (hosts per IP), which is
+# exactly the skew apply_ip_budget exists to throttle.
+# ---------------------------------------------------------------------------
+
+_DNS_ORACLE = """
+WITH hosts AS (
+  SELECT DISTINCT 'srv' || (doc_id % 61) || '.example.net' AS host
+  FROM documents
+),
+k AS (
+  SELECT host,
+         CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT) AS key
+  FROM hosts
+),
+r AS (
+  SELECT host, key % 100 AS outcome, key % 40 AS c FROM k
+)
+SELECT host,
+       CASE WHEN outcome < 97
+            THEN '10.' || (c % 250) || '.' || ((c * 7) % 250) || '.' || (c % 50 + 1)
+       END AS ip
+FROM r ORDER BY host
+"""
+
+
+@_register("dns_resolve_hosts", oracle=_DNS_ORACLE)
+def q_dns_resolve_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DNS stage feeding server-grain politeness: distinct hosts →
+    (host, ip) through the real mapInPandas resolver pass with the
+    deterministic resolver (unresolvable hosts NULL → host-grain
+    fallback). DuckDB re-derives outcome and cluster IP from md5."""
+    from crawler_ai_spark.operators.resolver import resolve_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(
+            F.lit("srv"), (F.col("doc_id") % 61).cast("string"), F.lit(".example.net")
+        ).alias("host")
+    )
+    return resolve_hosts(hosts).orderBy("host")

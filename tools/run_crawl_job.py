@@ -90,7 +90,16 @@ def main() -> None:
                          "(vhosts sharing an IP share one budget)")
     ap.add_argument("--ip-budget", type=int, default=None,
                     help="max URLs per resolved IP per batch (requires "
-                         "--ip-map; unmapped hosts stay host-grain)")
+                         "--ip-map or --resolve-ips; unmapped hosts stay "
+                         "host-grain)")
+    ap.add_argument("--resolve-ips", choices=["synthetic", "socket"],
+                    default=None,
+                    help="build the (host, ip) map by resolving the seed "
+                         "frontier's hosts through the mapInPandas DNS "
+                         "stage (operators/resolver.py): 'socket' = real "
+                         "getaddrinfo (deployment), 'synthetic' = the "
+                         "deterministic md5 resolver (tests/replay). "
+                         "Mutually exclusive with --ip-map")
     ap.add_argument("--fail-threshold", type=int, default=None,
                     help="host circuit breaker: consecutive all-failure "
                          "batches before a host is cooled down "
@@ -220,9 +229,30 @@ def main() -> None:
             ip_budget_per_batch=args.ip_budget,
         )
         cfg.warc_dir = args.warc_dir
-        ip_map = spark.read.parquet(args.ip_map) if args.ip_map else None
+        if args.ip_map and args.resolve_ips:
+            ap.error("--ip-map and --resolve-ips are mutually exclusive")
+        if args.resolve_ips:
+            from crawler_ai_spark.operators.resolver import (
+                SocketResolver,
+                SyntheticResolver,
+                resolve_hosts,
+            )
+
+            resolver = (
+                SocketResolver(allow_network=True)
+                if args.resolve_ips == "socket"
+                else SyntheticResolver()
+            )
+            from crawler_ai_spark.functions.urls import host_expr as _host_of
+
+            from pyspark.sql import functions as _F
+
+            seed_hosts = seeds.select(_host_of(_F.col("seed_url")).alias("host"))
+            ip_map = resolve_hosts(seed_hosts, resolver)
+        else:
+            ip_map = spark.read.parquet(args.ip_map) if args.ip_map else None
         if args.ip_budget and ip_map is None:
-            ap.error("--ip-budget requires --ip-map")
+            ap.error("--ip-budget requires --ip-map or --resolve-ips")
         summary = run_crawl(
             spark, pages, seeds, args.state, cfg,
             resume=args.resume, host_budgets=host_budgets, ip_map=ip_map,
