@@ -457,3 +457,64 @@ def q_dns_resolve_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host")
     )
     return resolve_hosts(hosts).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# WET derivation (sources/warc.warc_to_wet): WARC response records →
+# plain-text conversion records through the REAL canonical HTML→text
+# pipeline (P2). The synthesized html wraps documents.text in
+# <html><body>…</body></html>, so the canonical extraction reduces to
+# the reference's collapse-ws → len>50 gate → [:5000] truncation —
+# re-derivable in SQL.
+# ---------------------------------------------------------------------------
+
+_WET_HTML = "'<html><body>' || text || '</body></html>'"
+_WET_MICROS = "1704067200000000 + doc_id * 1000000"
+
+_WET_ORACLE = f"""
+WITH pages AS (
+  SELECT 'https://wet' || (doc_id % 17) || '.example.com/p/' || doc_id AS url,
+         make_timestamp({_WET_MICROS}) AS warc_ts,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed,
+         doc_id
+  FROM documents WHERE text IS NOT NULL AND doc_id % 19 != 0
+)
+SELECT url,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       CASE WHEN length(collapsed) > 50 THEN substr(collapsed, 1, 5000)
+            ELSE '' END AS text
+FROM pages ORDER BY url
+"""
+
+
+@_register("warc_wet_extract", oracle=_WET_ORACLE)
+def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WET product, end to end: synthesized pages → WARC
+    files (per-record gzip) → read back → canonical HTML→text conversion
+    (the P2 byte-parity pipeline) — 4xx records drop like CC's WET does.
+    The oracle re-derives the text from first principles, so framing,
+    decode and extraction must compose to an exact identity."""
+    import tempfile
+
+    from crawler_ai_spark.sources.warc import read_warc, warc_to_wet, write_warc
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    pages = docs.select(
+        F.expr(
+            "'https://wet' || CAST(doc_id % 17 AS STRING) || '.example.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.expr(f"timestamp_micros({_WET_MICROS})").alias("warc_ts"),
+        F.expr(f"CAST({_WET_HTML} AS BINARY)").alias("html"),
+        F.expr("CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT)").alias(
+            "status"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="warc_wet_")
+    write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
+    wet = warc_to_wet(read_warc(spark, out))
+    return wet.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "text",
+    ).orderBy("url")

@@ -189,3 +189,41 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "status"])
 
     return files.select("path", "content").mapInPandas(_read, schema=PAGE_SCHEMA)
+
+
+def warc_to_wet(records: DataFrame) -> DataFrame:
+    """WET derivation (the Common Crawl *.warc.wet.gz product): WARC
+    response records → plain-text conversion records (url, warc_ts,
+    text), where text is the engine's canonical HTML→text pipeline —
+    the SAME byte-parity extraction the crawl loop runs (P2,
+    functions/textnorm.canonical_text), so a WET export and a crawl
+    agree byte for byte.
+
+    One Arrow pass over the records; 4xx/5xx and bodyless records drop
+    (CC WET only converts successful responses)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.functions import textnorm
+
+    def _text(html: pd.Series) -> pd.Series:
+        out = []
+        for h in html:
+            if h is None:
+                out.append(None)
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                try:
+                    h = bytes(h).decode("utf-8")
+                except UnicodeDecodeError:
+                    h = bytes(h).decode("latin-1", errors="replace")
+            out.append(textnorm.canonical_text(h))
+        return pd.Series(out, dtype="object")
+
+    text_udf = pandas_udf(_text, "string")
+    ok = records.where(
+        (F.col("status") == 200) & F.col("html").isNotNull()
+    )
+    return ok.select(
+        "url", "warc_ts", text_udf(F.col("html")).alias("text")
+    )

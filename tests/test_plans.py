@@ -370,3 +370,14 @@ def test_rank_budget_schedule_broadcasts_budgets(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", sorted(C.QUERIES))
+def test_catalog_has_no_row_python_udf(spark, name):
+    """Catalog-wide guard on the 10-100× silent tax: NO query may plan a
+    row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
+    Arrow-batched (ArrowEvalPython / mapInPandas) — the fixed-list guard
+    above protects specific shapes; this sweep protects every query that
+    will ever be added."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
