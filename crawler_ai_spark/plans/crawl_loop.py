@@ -146,6 +146,11 @@ class CrawlConfig:
     # whose result is broadcast-joinable (O(hosts), not O(urls)).
     # Implies the per-URL gate. None (default) disables.
     trap_quarantine_share: float | None = None
+    # W3 group selection (RFC 9309 §2.2.1): the crawler's product token.
+    # When set, live-robots parsing obeys groups matching this token
+    # (exact value, case-insensitive) and ignores * groups on hosts that
+    # address this bot directly; None keeps the *-only reading.
+    robots_ua_token: str | None = None
     # W3 strict availability (RFC 9309 §2.3.1.4): a host whose live
     # robots fetch was UNREACHABLE (5xx / transport failure) is treated
     # as completely disallowed until a later fetch answers — compose
@@ -1454,6 +1459,7 @@ def run_crawl(
                 with_allow=True,
                 with_crawl_delay=True,
                 with_sitemaps=True,
+                ua_token=cfg.robots_ua_token,
             ).withColumn("fetched_batch", F.lit(batch_id).cast("long"))
             robots_state = robots_state.unionByName(new_rules)
             store.write(batch_id, "robots_cache", robots_state)

@@ -518,3 +518,77 @@ def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         "text",
     ).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.1 user-agent group selection: five robots classes cover
+# token-specific override, fallback to *, explicit empty (allow-all)
+# token group, shared headers, and case-insensitive token match. The
+# oracle predicts each class's outcome (robots_crawl_delay style).
+# ---------------------------------------------------------------------------
+
+_UA_TOKEN = "crawler-ai"
+
+_UA_BODIES = [
+    # 0: token group overrides star; its Crawl-delay wins too
+    "User-agent: *\nCrawl-delay: 10\nDisallow: /a\n"
+    "User-agent: crawler-ai\nCrawl-delay: 5\nDisallow: /bot",
+    # 1: only foreign specific groups → fall back to star
+    "User-agent: *\nDisallow: /a\nUser-agent: Googlebot\nDisallow: /g",
+    # 2: EMPTY token group (trailing, no rules) = explicit allow-all for
+    # this bot; a token line merely SHARING a header with * would instead
+    # inherit the shared rules (RFC group semantics)
+    "User-agent: *\nDisallow: /a\nUser-agent: crawler-ai\n",
+    # 3: shared header lists several tokens
+    "User-agent: Googlebot\nUser-agent: crawler-ai\nDisallow: /shared\n"
+    "User-agent: *\nDisallow: /a",
+    # 4: case-insensitive token match
+    "USER-AGENT: Crawler-AI\nDisallow: /case\nUser-agent: *\nDisallow: /a",
+]
+
+_UA_EXPECT = [("/bot", 5.0), ("/a", None), ("", None), ("/shared", None), ("/case", None)]
+
+
+@_register(
+    "robots_ua_groups",
+    oracle="SELECT host,\n"
+    + "  CASE n "
+    + " ".join(
+        f"WHEN {i} THEN '{d}'" for i, (d, _) in enumerate(_UA_EXPECT)
+    )
+    + " END AS disallow,\n"
+    + "  CASE n "
+    + " ".join(
+        f"WHEN {i} THEN {c if c is not None else 'NULL'}" for i, (_, c) in enumerate(_UA_EXPECT)
+    )
+    + " END AS crawl_delay_s\n"
+    + "FROM (SELECT DISTINCT 'ua' || (doc_id % 35) || '.example' AS host,"
+    + " (doc_id % 35) % 5 AS n FROM documents) ORDER BY host",
+)
+def q_robots_ua_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 — the crawler's own product token selects its
+    rule group: matching groups (exact value, case-insensitive, shared
+    headers included) override the * groups entirely, an explicitly
+    EMPTY matching group means allow-all, and hosts with only foreign
+    specific groups fall back to *. Runs the real parser
+    (sources/robots.parse_robots(ua_token=...))."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr("'ua' || CAST(doc_id % 35 AS STRING) || '.example'").alias("host"),
+        (F.col("doc_id") % 35 % 5).cast("int").alias("n"),
+    ).distinct()
+    body = F.lit(None).cast("string")
+    for i, b in reversed(list(enumerate(_UA_BODIES))):
+        body = F.when(F.col("n") == i, F.lit(b)).otherwise(body)
+    parsed = parse_robots(
+        hosts.select("host", body.alias("body")),
+        with_crawl_delay=True,
+        ua_token=_UA_TOKEN,
+    )
+    return parsed.select(
+        "host",
+        F.concat_ws("|", F.array_sort("disallow_prefixes")).alias("disallow"),
+        "crawl_delay_s",
+    ).orderBy("host")

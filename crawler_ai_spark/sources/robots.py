@@ -33,6 +33,20 @@ _STAR_GROUP_RX = (
     r"(?:[^\S\n]*user-agent:[^\n]*\n)*"
     r"(.*?)(?=user-agent:|\z)"
 )
+
+
+def _token_group_rx(token: str) -> str:
+    """Group-extraction regex for a specific product token (RFC 9309
+    §2.2.1: case-insensitive match of the crawler's product token against
+    a User-agent line's value; same consecutive-header handling as the
+    star regex). The token is \\Q…\\E-quoted — valid in Java regex and
+    RE2 alike."""
+    quoted = "\\Q" + token.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    return (
+        rf"(?is)user-agent:[^\S\n]*{quoted}[^\S\n]*\n"
+        r"(?:[^\S\n]*user-agent:[^\n]*\n)*"
+        r"(.*?)(?=user-agent:|\z)"
+    )
 # [^\S\n] (line-local whitespace), NOT \s: a greedy \s* after the colon
 # would cross the newline of an empty "Disallow:" line and capture the
 # NEXT line's text as the value (found by the hypothesis property test)
@@ -53,6 +67,7 @@ def parse_robots(
     with_crawl_delay: bool = False,
     with_allow: bool = False,
     with_sitemaps: bool = False,
+    ua_token: str | None = None,
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
     allow_prefixes ARRAY<STRING>][, crawl_delay_s DOUBLE][,
@@ -68,9 +83,25 @@ def parse_robots(
     these are GLOBAL lines (not group-scoped), ready to seed the S6
     sitemap source. Rule values may carry RFC 9309 ``*`` / trailing
     ``$`` special characters; the gate (operators/frontier.apply_robots)
-    interprets them."""
+    interprets them.
+
+    With ``ua_token``, RFC 9309 §2.2.1 group selection applies: if ANY
+    group's User-agent line matches the crawler's product token
+    (case-insensitive, exact value), the union of THOSE groups governs
+    and the ``*`` groups are ignored — even when the matching groups
+    allow everything (the presence of the group is what selects it, not
+    the presence of rules); hosts with no matching group fall back to
+    the ``*`` groups as before."""
     groups = F.regexp_extract_all(F.col(body_col), F.lit(_STAR_GROUP_RX), F.lit(1))
     star_text = F.concat_ws("\n", groups)
+    if ua_token is not None:
+        tok_rx = _token_group_rx(ua_token)
+        tok_groups = F.regexp_extract_all(F.col(body_col), F.lit(tok_rx), F.lit(1))
+        # presence of a MATCHING HEADER selects the token groups, even if
+        # their rule block is empty (an explicit allow-all for this bot)
+        star_text = F.when(F.size(tok_groups) > 0, F.concat_ws("\n", tok_groups)).otherwise(
+            star_text
+        )
     prefixes = F.regexp_extract_all(star_text, F.lit(_DISALLOW_RX), F.lit(1))
     cleaned = F.array_distinct(F.filter(prefixes, lambda p: p != ""))
     cols = [F.col(host_col).alias("host"), cleaned.alias("disallow_prefixes")]

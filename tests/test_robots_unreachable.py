@@ -102,3 +102,37 @@ def test_unreachable_robots_gates_host_in_loop(spark, tmp_path_factory):
     assert not any(u.startswith("https://err.") for u in strict_urls)
     loose_urls = run(False)
     assert "https://err.example/" in loose_urls
+
+
+def test_ua_token_group_selection(spark):
+    """RFC 9309 §2.2.1 — unit coverage of the parser's group selection
+    (the catalog row robots_ua_groups drives the same cases through the
+    driver gate)."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    bodies = [
+        ("override", "User-agent: *\nDisallow: /a\n"
+                     "User-agent: crawler-ai\nDisallow: /bot"),
+        ("fallback", "User-agent: *\nDisallow: /a\n"
+                     "User-agent: Googlebot\nDisallow: /g"),
+        ("empty_token", "User-agent: *\nDisallow: /a\nUser-agent: crawler-ai\n"),
+        ("shared", "User-agent: Googlebot\nUser-agent: crawler-ai\n"
+                   "Disallow: /shared\nUser-agent: *\nDisallow: /a"),
+        ("case", "USER-AGENT: Crawler-AI\nDisallow: /case\n"
+                 "User-agent: *\nDisallow: /a"),
+    ]
+    df = spark.createDataFrame(bodies, ["host", "body"])
+    got = {
+        r.host: r.disallow_prefixes
+        for r in parse_robots(df, ua_token="crawler-ai").collect()
+    }
+    assert got == {
+        "override": ["/bot"],
+        "fallback": ["/a"],
+        "empty_token": [],
+        "shared": ["/shared"],
+        "case": ["/case"],
+    }
+    # without a token the star reading is unchanged
+    star = {r.host: r.disallow_prefixes for r in parse_robots(df).collect()}
+    assert star["override"] == ["/a"] and star["case"] == ["/a"]
