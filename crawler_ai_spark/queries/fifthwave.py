@@ -592,3 +592,116 @@ def q_robots_ua_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.array_sort("disallow_prefixes")).alias("disallow"),
         "crawl_delay_s",
     ).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (pipeline/similarity.py): the memory-bounded 10^10-vector ANN
+# design — coarse IVF pruning + product-quantized codes + ADC scoring +
+# exact re-rank of a code-derived shortlist (the FAISS refine pattern).
+# ---------------------------------------------------------------------------
+
+_PQ_SAMPLE_MOD, _PQ_SAMPLE_KEEP = 5, 4  # same md5 gate as emb_ann_recall
+
+
+@_register("emb_ivfpq_topk")  # no oracle: PQ recall < 1 by design
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 with exact refine — the THIRD ANN scale path next to
+    hyperplane-LSH and IVF-Flat, and the only one whose index stores
+    bytes-per-vector codes instead of vectors (64 floats → 16 six-bit
+    codes here): the 10^10-vector memory story. Rows-only in the driver
+    gate; `emb_ivfpq_recall` is the quality row."""
+    import shutil
+    import tempfile
+
+    from crawler_ai_spark.pipeline import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="emb_ivfpq_")
+    try:
+        SIM.build_ivfpq_index(emb, path, n_centroids=16, m=16, pq_k=64)
+        out = SIM.ivfpq_topk_refined(
+            spark, path, queries, emb, k=10, n_probe=12, shortlist_mult=6
+        )
+        rows = out.orderBy("query_id", "rank").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH corpus AS (
+  SELECT * FROM embeddings
+  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_PQ_SAMPLE_MOD} < {_PQ_SAMPLE_KEEP}
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.embedding, b.embedding) /
+               greatest(sqrt(list_dot_product(a.embedding, a.embedding)) *
+                        sqrt(list_dot_product(b.embedding, b.embedding)), 1e-12),
+               6) AS cosine
+  FROM embeddings a, corpus b
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+brute AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10)
+SELECT 'ivfpq' AS path,
+       CAST((SELECT count(DISTINCT query_id) FROM brute) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+       TRUE AS recall_ok
+"""
+
+
+@_register("emb_ivfpq_recall", oracle=_PQ_RECALL_ORACLE)
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible IVF-PQ quality gate (emb_ann_recall pattern): the
+    refined PQ path's recall@10 vs brute-force IN-PLAN over the same
+    md5-sampled corpus; recall_ok = recall >= 0.9 folds into the value
+    hash, so PQ degradation flips the row red."""
+    import shutil
+    import tempfile
+
+    from crawler_ai_spark.pipeline import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _PQ_SAMPLE_MOD
+        < _PQ_SAMPLE_KEEP
+    )
+    path = tempfile.mkdtemp(prefix="emb_ivfpq_rec_")
+    try:
+        SIM.build_ivfpq_index(corpus, path, n_centroids=16, m=16, pq_k=64)
+        ann = SIM.ivfpq_topk_refined(
+            spark, path, queries, corpus, k=10, n_probe=12, shortlist_mult=6
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        brute = SIM.cosine_topk(queries, corpus, k=10, q_id="query_id").select(
+            "query_id", "neighbor_id"
+        )
+        out = (
+            brute.join(ann, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count("*").cast("long").alias("n_brute"),
+                (
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    >= F.lit(0.9) * F.count("*")
+                ).alias("recall_ok"),
+            )
+            .select(F.lit("ivfpq").alias("path"), "n_queries", "n_brute", "recall_ok")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
