@@ -63,7 +63,16 @@ def sniff_mime(body: Column) -> Column:
             b.startswith("RIFF") & (F.substring(b, 9, 4) == "WAVE"),
             F.lit("audio/wav"),
         )
-        .when(F.substring(b, 5, 4) == "ftyp", F.lit("video/mp4"))
+        # MP4 needs more than 'ftyp' at offset 4 — the spec's rule also
+        # validates the leading 4-byte box size (>= 12), else any text
+        # with 'ftyp' at positions 5-8 would route to the video pipeline.
+        # Requiring the first three size bytes to be 0x00 accepts every
+        # real ftyp box (< 16 MB, invariably < 256 B) and rejects text.
+        .when(
+            (F.substring(b, 5, 4) == "ftyp")
+            & b.rlike("^\x00\x00\x00[\x0c-\xff]"),
+            F.lit("video/mp4"),
+        )
         .when(b.startswith("\x1f\x8b"), F.lit("application/gzip"))
         .when(b.startswith("PK\x03\x04"), F.lit("application/zip"))
         # tag patterns after the magics (a PNG can't be HTML, but HTML

@@ -236,10 +236,14 @@ def _ivf_cells_udf(centroids: np.ndarray, n_probe: int):
 
 
 def _train_from_corpus(
-    ids: DataFrame, n_centroids: int, max_train: int, seed: int
-) -> np.ndarray:
+    ids: DataFrame, n_centroids: int, max_train: int, seed: int,
+    return_sample: bool = False,
+):
     """Deterministic bounded training sample (hash-sample, sorted limit)
-    + spherical k-means — shared by the inline and persisted IVF paths."""
+    + spherical k-means — shared by the inline and persisted IVF paths.
+    ``return_sample`` also hands back the raw sample matrix so callers
+    that train MORE quantizers on it (IVF-PQ codebooks) don't re-scan the
+    corpus and re-collect the identical rows."""
     n = ids.count()
     keep_mod = max(1, n // max_train)
     sample_rows = (
@@ -249,9 +253,11 @@ def _train_from_corpus(
         .select("c_vec")
         .collect()
     )
-    return train_ivf_centroids(
-        np.stack([r.c_vec for r in sample_rows]), n_centroids, seed=seed
-    )
+    sample = np.stack([r.c_vec for r in sample_rows])
+    centroids = train_ivf_centroids(sample, n_centroids, seed=seed)
+    if return_sample:
+        return centroids, sample
+    return centroids
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -508,18 +514,10 @@ def build_ivfpq_index(
     import pandas as pd
 
     ids = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    centroids = _train_from_corpus(ids, n_centroids, max_train, seed)
-    # residual sample for codebook training: same deterministic sample
-    n = ids.count()
-    keep_mod = max(1, n // max_train)
-    sample_rows = (
-        ids.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0)
-        .orderBy("neighbor_id")
-        .limit(max_train)
-        .select("c_vec")
-        .collect()
+    centroids, sample = _train_from_corpus(
+        ids, n_centroids, max_train, seed, return_sample=True
     )
-    x = np.stack([r.c_vec for r in sample_rows]).astype(np.float64)
+    x = sample.astype(np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     assign = np.argmax(x @ centroids.T, axis=1)
     books = train_pq_codebooks(x - centroids[assign], m=m, k=pq_k, seed=seed + 1)

@@ -195,6 +195,11 @@ FRONTIER_COLS = [
     "url", "url_hash", "host", "seed_url", "seed_host",
     "priority", "depth", "discovered_seq", "parent_url", "attempt",
     "is_recrawl",
+    # conditional-revalidation validators: attached when refresh rows are
+    # MINTED (from the ledger's stored response validators) and carried
+    # through budget deferrals, so a deferred refresh still revalidates
+    # in the batch that finally schedules it; NULL everywhere else
+    "cond_etag", "cond_last_modified",
 ]
 
 
@@ -445,6 +450,8 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("parent_url"),
         F.lit(0).alias("attempt"),
         F.lit(False).alias("is_recrawl"),
+        F.lit(None).cast("string").alias("cond_etag"),
+        F.lit(None).cast("string").alias("cond_last_modified"),
     )
 
 
@@ -503,11 +510,15 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             .withColumn("lang", F.lit(None).cast("string"))
             .withColumn("fetched", F.col("html").isNotNull())
             # a 304 on a refresh row is a SUCCESSFUL bodyless revalidation
-            # (conditional_revalidation), not a fetch failure
+            # (conditional_revalidation), not a fetch failure. eqNullSafe:
+            # a transport failure has status NULL, and `NULL == 304`
+            # would make revalidated NULL — silently excluding the failed
+            # refresh from retries, error metrics, the breaker and the
+            # AutoThrottle error rule (all of which AND/negate this flag)
             .withColumn(
                 "revalidated",
                 F.coalesce(F.col("is_recrawl"), F.lit(False))
-                & (F.col("status") == 304),
+                & F.col("status").eqNullSafe(304),
             )
             .withColumn(
                 "fetch_error",
@@ -549,6 +560,12 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             .withColumn("last_modified", F.lit(None).cast("string"))
             .withColumn("revalidated", F.lit(False))
         )
+    # retry rows re-enter via select(*FRONTIER_COLS) off this output, so
+    # the validator columns must exist whether or not the input carried
+    # them (direct callers may pass minimal frontiers)
+    for c in ("cond_etag", "cond_last_modified"):
+        if c not in fetched.columns:
+            fetched = fetched.withColumn(c, F.lit(None).cast("string"))
     fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
     parsed = with_parse(fetched)
     content_lower = F.lower(F.coalesce(decoded_html(F.col("html")), F.lit("")))
@@ -690,6 +707,8 @@ def next_frontier(
         F.col("url").alias("parent_url"),
         F.lit(0).alias("attempt"),
         F.lit(False).alias("is_recrawl"),
+        F.lit(None).cast("string").alias("cond_etag"),
+        F.lit(None).cast("string").alias("cond_last_modified"),
     ), candidates
 
 
@@ -793,8 +812,11 @@ def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
         F.max(
             F.when(refreshed, F.lit(base_ttl).cast("int"))
         ).alias("ttl_batches"),
-        F.max(F.when(F.col("fetched"), F.col("etag"))).alias("etag"),
-        F.max(F.when(F.col("fetched"), F.col("last_modified"))).alias("last_modified"),
+        # validators also refresh off a 304 (RFC 9110 §15.4.5: the 304's
+        # header fields update the stored response) — the fetch stage
+        # surfaces them on revalidations too
+        F.max(F.when(refreshed, F.col("etag"))).alias("etag"),
+        F.max(F.when(refreshed, F.col("last_modified"))).alias("last_modified"),
         F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("_real_fetch_batch"),
     )
 
@@ -871,9 +893,11 @@ def _merge_ledger(
         F.when(real_now, F.col("d_content_hash"))
             .otherwise(F.col("p_content_hash")).alias("content_hash"),
         new_ttl.cast("int").alias("ttl_batches"),
-        F.when(real_now, F.col("d_etag"))
+        # any advance (download OR 304) may carry refreshed validators;
+        # a bodyless 304 without them keeps the previous ones
+        F.when(fetched_now, F.coalesce(F.col("d_etag"), F.col("p_etag")))
             .otherwise(F.col("p_etag")).alias("etag"),
-        F.when(real_now, F.col("d_last_modified"))
+        F.when(fetched_now, F.coalesce(F.col("d_last_modified"), F.col("p_last_modified")))
             .otherwise(F.col("p_last_modified")).alias("last_modified"),
     )
 
@@ -986,10 +1010,22 @@ def _recrawl_due(ledger: DataFrame, batch_id: int, ttl_batches: int) -> DataFram
     return ledger.join(F.broadcast(due_urls.select("url")), "url", "left_semi")
 
 
-def _recrawl_frontier(due: DataFrame) -> DataFrame:
+def _recrawl_frontier(due: DataFrame, with_validators: bool = False) -> DataFrame:
     """Refresh rows re-enter the frontier with their original scheduling
     metadata, flagged is_recrawl (no counters, no yields, no seen delta —
-    order_and_gate / run_crawl enforce re-crawl ≠ re-seen)."""
+    order_and_gate / run_crawl enforce re-crawl ≠ re-seen).
+
+    ``with_validators`` (conditional_revalidation): the ledger rows this
+    is minted from already carry the last response's ETag/Last-Modified;
+    attaching them HERE — rather than re-joining the ledger at fetch time
+    — costs nothing extra and survives budget deferrals (the stored
+    frontier keeps the columns)."""
+    if with_validators:
+        cond_etag = F.col("etag")
+        cond_lm = F.col("last_modified")
+    else:
+        cond_etag = F.lit(None).cast("string")
+        cond_lm = F.lit(None).cast("string")
     return due.select(
         "url",
         url_hash(F.col("url")).alias("url_hash"),
@@ -1002,6 +1038,8 @@ def _recrawl_frontier(due: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("parent_url"),
         F.lit(0).alias("attempt"),
         F.lit(True).alias("is_recrawl"),
+        cond_etag.alias("cond_etag"),
+        cond_lm.alias("cond_last_modified"),
     )
 
 
@@ -1331,6 +1369,9 @@ def run_crawl(
         frontier = store.read("frontier", prev)
         if "is_recrawl" not in frontier.columns:  # pre-TTL store resume
             frontier = frontier.withColumn("is_recrawl", F.lit(False))
+        for c in ("cond_etag", "cond_last_modified"):  # pre-validator store
+            if c not in frontier.columns:
+                frontier = frontier.withColumn(c, F.lit(None).cast("string"))
 
         ledger = (
             _cache_ledger(
@@ -1369,7 +1410,9 @@ def run_crawl(
                 blob_stage_cache = cache_blobs
             total_evictions += n_expiring
             due = _recrawl_due(ledger, batch_id, ttl_batches)
-            recrawl_rows = _recrawl_frontier(due)
+            recrawl_rows = _recrawl_frontier(
+                due, with_validators=cfg.conditional_revalidation
+            )
             # a refresh DEFERRED by the host budget last batch is still in
             # the carried-over frontier, and its ledger rows never advanced
             # (a deferral writes no visited row) — so _recrawl_due
@@ -1497,22 +1540,6 @@ def run_crawl(
             deferred = deferred.select(*FRONTIER_COLS).unionByName(
                 cooling.select(*FRONTIER_COLS)
             )
-
-        if cfg.conditional_revalidation and ledger is not None:
-            # refresh rows carry the ledger's stored validators into the
-            # fetch stage as conditional request headers; the join is
-            # confined to the (tiny) is_recrawl slice of the frontier
-            vmap = _with_adaptive_cols(ledger).groupBy("url").agg(
-                F.max("etag").alias("cond_etag"),
-                F.max("last_modified").alias("cond_last_modified"),
-            )
-            recr = frontier.where(F.col("is_recrawl")).join(vmap, "url", "left")
-            rest = (
-                frontier.where(~F.col("is_recrawl"))
-                .withColumn("cond_etag", F.lit(None).cast("string"))
-                .withColumn("cond_last_modified", F.lit(None).cast("string"))
-            )
-            frontier = rest.unionByName(recr)
 
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()

@@ -494,6 +494,7 @@ def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the P2 byte-parity pipeline) — 4xx records drop like CC's WET does.
     The oracle re-derives the text from first principles, so framing,
     decode and extraction must compose to an exact identity."""
+    import shutil
     import tempfile
 
     from crawler_ai_spark.sources.warc import read_warc, warc_to_wet, write_warc
@@ -511,13 +512,20 @@ def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = tempfile.mkdtemp(prefix="warc_wet_")
-    write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
-    wet = warc_to_wet(read_warc(spark, out))
-    return wet.select(
-        "url",
-        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        "text",
-    ).orderBy("url")
+    try:
+        write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
+        wet = warc_to_wet(read_warc(spark, out)).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "text",
+        ).orderBy("url")
+        # materialize before the WARC dir is deleted (the sibling IVF-PQ
+        # queries use the same pattern) — lazily reading a removed tmpdir
+        # would leak it instead
+        rows = wet.collect()
+        return spark.createDataFrame(rows, wet.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

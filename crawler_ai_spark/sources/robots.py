@@ -42,8 +42,10 @@ def _token_group_rx(token: str) -> str:
     star regex). The token is \\Q…\\E-quoted — valid in Java regex and
     RE2 alike."""
     quoted = "\\Q" + token.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # (?:\n|\z): a token header that is the file's LAST line (no trailing
+    # newline) still selects — its empty rule block means allow-all
     return (
-        rf"(?is)user-agent:[^\S\n]*{quoted}[^\S\n]*\n"
+        rf"(?is)user-agent:[^\S\n]*{quoted}[^\S\n]*(?:\n|\z)"
         r"(?:[^\S\n]*user-agent:[^\n]*\n)*"
         r"(.*?)(?=user-agent:|\z)"
     )

@@ -64,9 +64,9 @@ def test_fetch_stage_conditional_headers(spark):
 
 def _cfg(conditional, **kw):
     kw.setdefault("max_batches", 5)
+    kw.setdefault("live_transport", FS.SyntheticTransport())
     return CrawlConfig(
         parallelism=4,
-        live_transport=FS.SyntheticTransport(),
         recrawl_ttl_seconds=3600,
         batch_interval_seconds=3600,
         adaptive_recrawl=True,
@@ -159,3 +159,88 @@ def test_revalidation_survives_resume(spark, tmp_path_factory):
     vis = CrawlStore(spark, root).read_all("visited", res["last_batch"])
     refresh = vis.where(F.col("is_recrawl")).collect()
     assert refresh and all(r.revalidated and r.status == 304 for r in refresh)
+
+
+def _outage_on_refresh_transport():
+    """200s on unconditional fetches; any conditional request (i.e. a TTL
+    refresh carrying If-None-Match) hits a transport failure — the shape
+    that used to make `revalidated` NULL (status NULL == 304 → NULL) and
+    silently drop the row from retries, metrics, and the breaker."""
+    inner = FS.SyntheticTransport()
+
+    def transport(url, headers):
+        if "If-None-Match" in headers:
+            return None, None, "Connection timeout after 15s", None
+        return inner(url, headers)
+
+    return transport
+
+
+def test_failed_refresh_is_counted_and_retried(spark, tmp_path_factory):
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(u, 20, 5) for u in _ok_seed_urls(1)],
+        ["seed_url", "max_pages", "max_career_pages"],
+    )
+    root = tmp_path_factory.mktemp("cond_fail")
+    res = run_crawl(
+        spark, pages, seeds, root,
+        _cfg(True, max_batches=3, live_transport=_outage_on_refresh_transport(),
+             max_fetch_attempts=2),
+    )
+    store = CrawlStore(spark, root)
+    vis = store.read_all("visited", res["last_batch"])
+    refresh = vis.where(F.col("is_recrawl")).collect()
+    assert refresh, "no refresh attempted"
+    # the failed refresh is a plain error: revalidated FALSE (not NULL),
+    # error class populated
+    assert all(r.revalidated is False for r in refresh)
+    assert all(not r.fetched and r.fetch_error_class == "timeout" for r in refresh)
+    # metrics count it as a fetch error
+    m = store.read_all("metrics", res["last_batch"])
+    batches_with_refresh = {r.batch_id for r in refresh}
+    err_by_batch = {
+        r.batch_id: r.err
+        for r in m.groupBy("batch_id").agg(F.sum("fetch_errors").alias("err")).collect()
+    }
+    assert all(err_by_batch.get(b, 0) > 0 for b in batches_with_refresh)
+    # and the W4 retry ladder re-enqueued it (attempt 1 row for the URL)
+    retried = vis.where(F.col("attempt") > 0).count()
+    assert retried > 0
+
+
+def test_304_refreshed_validators_update_ledger(spark):
+    """RFC 9110 §15.4.5: a 304 carrying rotated validators updates the
+    stored ones; a bodyless 304 WITHOUT them keeps the previous."""
+    from crawler_ai_spark.plans.crawl_loop import _ledger_delta, _merge_ledger
+
+    prev = spark.createDataFrame(
+        [("s", "u", 1, 1, 100, 0, 1, 111, 1, '"old"', "Mon")],
+        "seed_url string, url string, last_fetch_batch long, last_visit_batch long,"
+        " priority int, depth int, discovered_seq long, content_hash long,"
+        " ttl_batches int, etag string, last_modified string",
+    )
+    vis_cols = (
+        "seed_url string, url string, fetched boolean, priority int, depth int,"
+        " discovered_seq long, batch_id long, content_hash long, etag string,"
+        " last_modified string, revalidated boolean"
+    )
+    # revalidation with a rotated etag
+    d1 = _ledger_delta(
+        spark.createDataFrame(
+            [("s", "u", False, 100, 0, 1, 2, None, '"new"', "Tue", True)], vis_cols
+        ),
+        base_ttl=1,
+    )
+    out = _merge_ledger(prev, d1, adaptive=True, base_ttl=1, max_ttl=8).collect()[0]
+    assert out.etag == '"new"' and out.last_modified == "Tue"
+    assert out.content_hash == 111 and out.ttl_batches == 2  # 304 ⇒ unchanged
+    # revalidation without validators keeps the stored ones
+    d2 = _ledger_delta(
+        spark.createDataFrame(
+            [("s", "u", False, 100, 0, 1, 2, None, None, None, True)], vis_cols
+        ),
+        base_ttl=1,
+    )
+    out = _merge_ledger(prev, d2, adaptive=True, base_ttl=1, max_ttl=8).collect()[0]
+    assert out.etag == '"old"' and out.last_modified == "Mon"

@@ -136,3 +136,17 @@ def test_ua_token_group_selection(spark):
     # without a token the star reading is unchanged
     star = {r.host: r.disallow_prefixes for r in parse_robots(df).collect()}
     assert star["override"] == ["/a"] and star["case"] == ["/a"]
+
+
+def test_ua_token_group_at_eof_without_newline(spark):
+    """A token header that is the file's LAST line (no trailing newline)
+    still selects — its empty rule block means allow-all (review finding:
+    the group regex used to require a trailing \\n)."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    df = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /a\nUser-agent: crawler-ai")],
+        ["host", "body"],
+    )
+    got = parse_robots(df, ua_token="crawler-ai").collect()[0]
+    assert got.disallow_prefixes == []
