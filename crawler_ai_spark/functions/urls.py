@@ -123,3 +123,28 @@ def dedup_key(url: Column) -> Column:
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), auth, path, qpart)
+
+
+# rel=canonical (RFC 6596): the page's own declaration of its preferred
+# URL — the strongest dedup signal a crawler gets (print views, tracking
+# params, mobile mirrors all point at one canonical). Attribute order
+# varies in the wild, so two patterns cover rel-then-href and
+# href-then-rel; values may be single-, double- or un-quoted.
+_CANONICAL_REL_HREF_RX = (
+    r"(?is)<link\b[^>]*\brel\s*=\s*[\"']?canonical[\"']?[^>]*"
+    r"\bhref\s*=\s*[\"']?([^\"'\s>]+)"
+)
+_CANONICAL_HREF_REL_RX = (
+    r"(?is)<link\b[^>]*\bhref\s*=\s*[\"']?([^\"'\s>]+)[\"']?[^>]*"
+    r"\brel\s*=\s*[\"']?canonical[\"']?"
+)
+
+
+def canonical_link_expr(html: Column) -> Column:
+    """First <link rel=canonical href=…> target in the page, either
+    attribute order; NULL when absent. Pure-JVM regexp — no parse UDF
+    needed for this one element."""
+    a = F.regexp_extract(html, _CANONICAL_REL_HREF_RX, 1)
+    b = F.regexp_extract(html, _CANONICAL_HREF_REL_RX, 1)
+    out = F.when(a != "", a).when(b != "", b)
+    return out

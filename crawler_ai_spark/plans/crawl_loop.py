@@ -189,6 +189,15 @@ class CrawlConfig:
     # Requires live_transport + recrawl_ttl_seconds. False (default):
     # refreshes re-download, the prior behavior.
     conditional_revalidation: bool = False
+    # S5+ HTTP-driven freshness (RFC 9111): a response carrying
+    # Cache-Control max-age sets that URL's recrawl interval directly
+    # (ceil(max-age / batch_interval), clamped to [1,
+    # recrawl_ttl_max_batches]); no-cache / no-store / max-age=0 pin the
+    # URL at the minimum interval. URLs without a directive keep the
+    # fixed-or-adaptive schedule. The server knows its own churn better
+    # than any change detector — where it says so, believe it. Requires
+    # recrawl_ttl_seconds. False (default): directives ignored.
+    http_cache_ttl: bool = False
 
 
 FRONTIER_COLS = [
@@ -558,6 +567,7 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             # the columns exist so visited has ONE schema across modes
             .withColumn("etag", F.lit(None).cast("string"))
             .withColumn("last_modified", F.lit(None).cast("string"))
+            .withColumn("cache_control", F.lit(None).cast("string"))
             .withColumn("revalidated", F.lit(False))
         )
     # retry rows re-enter via select(*FRONTIER_COLS) off this output, so
@@ -785,7 +795,38 @@ def _with_adaptive_cols(ledger: DataFrame) -> DataFrame:
     return ledger
 
 
-def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
+_MAX_AGE_RX = r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)"
+_NO_CACHE_RX = r"(?i)(?:^|[,\s])no-(?:cache|store)(?:$|[,\s])"
+
+
+def _http_ttl_batches(cache_control: Column, interval_s: int, max_ttl: int) -> Column:
+    """RFC 9111 freshness → recrawl interval in batches: max-age=N maps
+    to ceil(N / interval) clamped to [1, max_ttl]; no-cache/no-store (or
+    max-age=0) pin the minimum; absent/unparsable → NULL (caller keeps
+    its fixed/adaptive schedule). Pure JVM expressions."""
+    max_age = F.nullif(
+        F.regexp_extract(F.coalesce(cache_control, F.lit("")), _MAX_AGE_RX, 1),
+        F.lit(""),
+    ).cast("long")
+    # guard on presence FIRST: Spark's greatest/least SKIP nulls, so the
+    # clamp alone would turn "no directive" into 1 instead of NULL
+    from_age = F.when(
+        max_age.isNotNull(),
+        F.least(
+            F.greatest(F.ceil(max_age / F.lit(interval_s)).cast("int"), F.lit(1)),
+            F.lit(max_ttl),
+        ),
+    )
+    no_cache = F.coalesce(cache_control, F.lit("")).rlike(_NO_CACHE_RX)
+    return F.when(no_cache, F.lit(1)).otherwise(from_age).cast("int")
+
+
+def _ledger_delta(
+    visited: DataFrame,
+    base_ttl: int | None = None,
+    http_ttl_interval_s: int | None = None,
+    http_ttl_max: int | None = None,
+) -> DataFrame:
     """One batch's visited rows folded to the ledger shape. content_hash
     rides along for the adaptive-recrawl change detector; a fresh fetch
     starts at the base interval (the doubling happens in _merge_ledger
@@ -796,6 +837,7 @@ def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
         ("content_hash", "long"),
         ("etag", "string"),
         ("last_modified", "string"),
+        ("cache_control", "string"),
         ("revalidated", "boolean"),
     ):
         if c not in visited.columns:
@@ -818,6 +860,20 @@ def _ledger_delta(visited: DataFrame, base_ttl: int | None = None) -> DataFrame:
         F.max(F.when(refreshed, F.col("etag"))).alias("etag"),
         F.max(F.when(refreshed, F.col("last_modified"))).alias("last_modified"),
         F.max(F.when(F.col("fetched"), F.col("batch_id"))).alias("_real_fetch_batch"),
+        # http_cache_ttl: the directive-implied interval of this batch's
+        # response (NULL when off, absent, or unparsable)
+        (
+            F.max(
+                F.when(
+                    refreshed,
+                    _http_ttl_batches(
+                        F.col("cache_control"), http_ttl_interval_s, http_ttl_max
+                    ),
+                )
+            )
+            if http_ttl_interval_s is not None
+            else F.lit(None).cast("int")
+        ).alias("_http_ttl"),
     )
 
 
@@ -850,11 +906,14 @@ def _merge_ledger(
     delta = _with_adaptive_cols(delta)
     if "_real_fetch_batch" not in delta.columns:  # delta from legacy replay
         delta = delta.withColumn("_real_fetch_batch", F.col("last_fetch_batch"))
+    if "_http_ttl" not in delta.columns:
+        delta = delta.withColumn("_http_ttl", F.lit(None).cast("int"))
     p = prev_ledger.select(*keys, *[F.col(c).alias(f"p_{c}") for c in vals])
     d = delta.select(
         *keys,
         *[F.col(c).alias(f"d_{c}") for c in vals],
         F.col("_real_fetch_batch").alias("d_real_fetch"),
+        F.col("_http_ttl").alias("d_http_ttl"),
     )
     j = p.join(d, list(keys), "full_outer")
     fetched_now = F.col("d_last_fetch_batch").isNotNull() & (
@@ -883,6 +942,12 @@ def _merge_ledger(
         new_ttl = F.when(
             fetched_now, F.lit(base_ttl).cast("int")
         ).otherwise(F.col("p_ttl_batches"))
+    # http_cache_ttl (RFC 9111): a directive on THIS advance is
+    # authoritative over both the fixed base and the adaptive estimate —
+    # the server declared its own freshness lifetime
+    new_ttl = F.when(
+        fetched_now & F.col("d_http_ttl").isNotNull(), F.col("d_http_ttl")
+    ).otherwise(new_ttl)
     return j.select(
         *keys,
         F.greatest("p_last_fetch_batch", "d_last_fetch_batch").alias("last_fetch_batch"),
@@ -908,6 +973,7 @@ def _cache_ledger(
     adaptive: bool = False,
     base_ttl: int | None = None,
     max_ttl: int | None = None,
+    http_interval_s: int | None = None,
 ):
     """Per-URL fetch-cache state through batch ``prev`` (S5 TTL recrawl):
     one row per (seed_url, url) with the batch of the last SUCCESSFUL
@@ -937,7 +1003,10 @@ def _cache_ledger(
             if b > b0 and (store.batch_dir(b) / "visited").exists():
                 ledger = _merge_ledger(
                     ledger,
-                    _ledger_delta(store.read("visited", b), base_ttl=base_ttl),
+                    _ledger_delta(
+                        store.read("visited", b), base_ttl=base_ttl,
+                        http_ttl_interval_s=http_interval_s, http_ttl_max=max_ttl,
+                    ),
                     adaptive=adaptive, base_ttl=base_ttl, max_ttl=max_ttl,
                 )
         return _with_adaptive_cols(ledger)
@@ -1338,6 +1407,11 @@ def run_crawl(
                 "conditional_revalidation only applies to TTL refresh rows "
                 "— set recrawl_ttl_seconds"
             )
+    if cfg.http_cache_ttl and cfg.recrawl_ttl_seconds is None:
+        raise ValueError(
+            "http_cache_ttl drives the recrawl schedule — set "
+            "recrawl_ttl_seconds"
+        )
 
     at_state = None
     if cfg.autothrottle is not None:
@@ -1377,6 +1451,9 @@ def run_crawl(
             _cache_ledger(
                 store, prev, adaptive=cfg.adaptive_recrawl,
                 base_ttl=ttl_batches, max_ttl=cfg.recrawl_ttl_max_batches,
+                http_interval_s=(
+                    cfg.batch_interval_seconds if cfg.http_cache_ttl else None
+                ),
             )
             if ttl_batches is not None
             else None
@@ -1554,8 +1631,9 @@ def run_crawl(
             # recrawl change detector (and a useful archive invariant)
             F.when(F.col("fetched"), F.xxhash64(F.col("html"))).alias("content_hash"),
             # RFC 9110 validators + the 304 refresh outcome — the ledger
-            # stores them for conditional_revalidation's request headers
-            "etag", "last_modified", "revalidated",
+            # stores them for conditional_revalidation's request headers —
+            # and the RFC 9111 freshness directive for http_cache_ttl
+            "etag", "last_modified", "cache_control", "revalidated",
         )
         store.write(batch_id, "visited", visited)
 
@@ -1613,14 +1691,24 @@ def run_crawl(
             # incremental ledger snapshot: fold THIS batch's visited into
             # the carried per-(seed,url) state so the next batch reads one
             # table instead of re-aggregating all visited history
-            delta = _ledger_delta(visited, base_ttl=ttl_batches)
+            delta = _ledger_delta(
+                visited, base_ttl=ttl_batches,
+                http_ttl_interval_s=(
+                    cfg.batch_interval_seconds if cfg.http_cache_ttl else None
+                ),
+                http_ttl_max=cfg.recrawl_ttl_max_batches,
+            )
             new_ledger = (
                 _merge_ledger(
                     ledger, delta, adaptive=cfg.adaptive_recrawl,
                     base_ttl=ttl_batches, max_ttl=cfg.recrawl_ttl_max_batches,
                 )
                 if ledger is not None
-                else delta.drop("_real_fetch_batch")
+                # first ledger: a directive on the initial fetch is as
+                # authoritative as on a refresh — fold it into the TTL
+                else delta.withColumn(
+                    "ttl_batches", F.coalesce("_http_ttl", "ttl_batches")
+                ).drop("_real_fetch_batch", "_http_ttl")
             )
             store.write(batch_id, "cache_ledger", new_ledger)
             # cache store-on-success (cache.py:26-33): every successful

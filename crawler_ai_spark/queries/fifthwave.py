@@ -713,3 +713,259 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection (functions/soft404.py): six synthesized response
+# classes — title-phrase hit, short error body, long page QUOTING an
+# error phrase (must not flag), healthy page, hard 404, null title. The
+# oracle re-derives the phrase/gate logic from the same constants.
+# ---------------------------------------------------------------------------
+
+
+def _like_any(col_sql: str, phrases) -> str:
+    return "(" + " OR ".join(
+        "lower(coalesce({c}, '')) LIKE '%{p}%'".format(
+            c=col_sql, p=p.replace("'", "''")
+        )
+        for p in phrases
+    ) + ")"
+
+
+def _soft404_oracle() -> str:
+    from crawler_ai_spark.functions import soft404 as S4
+
+    return f"""
+WITH resp AS (
+  SELECT doc_id,
+    CAST(CASE WHEN doc_id % 6 = 4 THEN 404 ELSE 200 END AS INT) AS status,
+    CASE doc_id % 6
+      WHEN 0 THEN 'Page Not Found - Acme'
+      WHEN 1 THEN 'Products'
+      WHEN 2 THEN 'Annual report'
+      WHEN 3 THEN 'Welcome'
+      WHEN 4 THEN 'Not Found'
+    END AS title,
+    CASE doc_id % 6
+      WHEN 0 THEN text
+      WHEN 1 THEN 'the page you requested could not be found.'
+      WHEN 2 THEN repeat('lorem ipsum dolor sit amet ', 30)
+                  || ' our 404 error rate fell last year'
+      WHEN 3 THEN text
+      WHEN 4 THEN 'gone'
+      ELSE 'this page does not exist'
+    END AS text
+  FROM documents
+)
+SELECT doc_id, status,
+  (status = 200 AND (
+     {_like_any("title", S4.TITLE_PHRASES)}
+     OR ({_like_any("text", S4.BODY_PHRASES)}
+         AND length(trim(coalesce(text, ''))) < {S4.SHORT_BODY_CHARS})
+  )) AS soft404
+FROM resp ORDER BY doc_id
+"""
+
+
+@_register("soft404_detect", oracle=_soft404_oracle())
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 gate — 200-status pages whose content says not-found
+    (title phrase, or body phrase on a short page; long pages merely
+    quoting an error phrase pass). Keeps error boilerplate out of the
+    corpus and dead URLs out of the recrawl ledger. Pure codegen."""
+    from crawler_ai_spark.functions import soft404 as S4
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 6
+    resp = docs.select(
+        "doc_id",
+        F.when(cls == 4, F.lit(404)).otherwise(F.lit(200)).cast("int").alias("status"),
+        F.when(cls == 0, F.lit("Page Not Found - Acme"))
+        .when(cls == 1, F.lit("Products"))
+        .when(cls == 2, F.lit("Annual report"))
+        .when(cls == 3, F.lit("Welcome"))
+        .when(cls == 4, F.lit("Not Found"))
+        .alias("title"),
+        F.when(cls == 0, F.col("text"))
+        .when(cls == 1, F.lit("the page you requested could not be found."))
+        .when(
+            cls == 2,
+            F.concat(
+                F.expr("repeat('lorem ipsum dolor sit amet ', 30)"),
+                F.lit(" our 404 error rate fell last year"),
+            ),
+        )
+        .when(cls == 3, F.col("text"))
+        .when(cls == 4, F.lit("gone"))
+        .otherwise(F.lit("this page does not exist"))
+        .alias("text"),
+    )
+    return resp.select(
+        "doc_id",
+        "status",
+        S4.is_soft404(F.col("status"), F.col("title"), F.col("text")).alias("soft404"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical collapse (RFC 6596, functions/urls.canonical_link_expr):
+# synthesized pages where URL variants (tracking params, print views)
+# declare one canonical; the crawl keeps ONE representative per
+# canonical target. Four html classes cover rel-then-href,
+# href-then-rel, single quotes/no quotes, and absent (self-canonical).
+# ---------------------------------------------------------------------------
+
+_CANON_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+    'https://csite' || (doc_id % 13) || '.example/page/' || (doc_id // 4)
+      || CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed'
+                         WHEN 2 THEN '/print' WHEN 3 THEN '?ref=rss'
+                         ELSE '' END AS url,
+    'https://csite' || (doc_id % 13) || '.example/page/' || (doc_id // 4)
+      AS canon_target,
+    doc_id % 4 AS variant
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, url,
+    CASE variant
+      WHEN 0 THEN NULL
+      ELSE canon_target
+    END AS canonical
+  FROM pages
+),
+collapsed AS (
+  SELECT coalesce(canonical, url) AS fetch_key,
+         count(*) AS n_variants,
+         min(url) AS representative
+  FROM extracted GROUP BY 1
+)
+SELECT fetch_key, n_variants, representative
+FROM collapsed ORDER BY fetch_key
+"""
+
+
+@_register("canonical_link_collapse", oracle=_CANON_ORACLE)
+def q_canonical_link_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup: extract each page's declared canonical URL
+    (both attribute orders, quoted or not) and collapse URL variants to
+    one fetch key — pages without a declaration are their own canonical.
+    Map-side extraction + one group-by on the canonical key."""
+    from crawler_ai_spark.functions.urls import canonical_link_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            "'https://csite' || CAST(doc_id % 13 AS STRING) || '.example/page/' "
+            "|| CAST(doc_id div 4 AS STRING)"
+        ).alias("canon_target"),
+        (F.col("doc_id") % 4).alias("variant"),
+    ).select(
+        "doc_id", "canon_target", "variant",
+        F.concat(
+            F.col("canon_target"),
+            F.when(F.col("variant") == 1, F.lit("?utm_source=feed"))
+            .when(F.col("variant") == 2, F.lit("/print"))
+            .when(F.col("variant") == 3, F.lit("?ref=rss"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    # three html shapes + one canonical-less page, all through the REAL
+    # extractor (the oracle predicts its output per class)
+    html = (
+        F.when(
+            F.col("variant") == 1,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                F.col("canon_target"), F.lit('"></head><body>a</body></html>'),
+            ),
+        )
+        .when(
+            F.col("variant") == 2,
+            F.concat(
+                F.lit("<html><head><link href='"), F.col("canon_target"),
+                F.lit("' rel='canonical'></head><body>b</body></html>"),
+            ),
+        )
+        .when(
+            F.col("variant") == 3,
+            F.concat(
+                F.lit("<html><head><LINK REL=canonical HREF="),
+                F.col("canon_target"), F.lit("></head><body>c</body></html>"),
+            ),
+        )
+        .otherwise(F.lit("<html><head><title>t</title></head><body>d</body></html>"))
+    )
+    extracted = base.select(
+        "doc_id", "url", canonical_link_expr(html).alias("canonical")
+    )
+    return (
+        extracted.groupBy(
+            F.coalesce(F.col("canonical"), F.col("url")).alias("fetch_key")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("url").alias("representative"),
+        )
+        .orderBy("fetch_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9111 freshness → recrawl interval (_http_ttl_batches): directive
+# classes cover plain max-age, huge max-age (clamp), zero, no-cache,
+# no-store with other directives, s-maxage only (ignored — we are a
+# private cache), absent, and garbage. Interval 3600 s, cap 64.
+# ---------------------------------------------------------------------------
+
+_HTTP_TTL_CASES = [
+    ("max-age=7200", 2),
+    ("public, max-age=86400", 24),
+    ("max-age=99999999", 64),
+    ("max-age=0", 1),
+    ("no-cache", 1),
+    ("no-store, must-revalidate", 1),
+    ("s-maxage=7200", None),
+    (None, None),
+    ("garbage-directive", None),
+    ("MAX-AGE=10800", 3),
+]
+
+
+@_register(
+    "http_ttl_schedule",
+    oracle="SELECT doc_id,\n  CASE doc_id % 10 "
+    + " ".join(
+        f"WHEN {i} THEN {'NULL' if c is None else repr(c).replace(chr(39)*2, chr(39))}"
+        for i, (c, _) in enumerate(
+            (c if c is None else c.replace("'", "''"), t)
+            for c, t in _HTTP_TTL_CASES
+        )
+    )
+    + " END AS cache_control,\n  CAST(CASE doc_id % 10 "
+    + " ".join(
+        f"WHEN {i} THEN {t if t is not None else 'NULL'}"
+        for i, (_, t) in enumerate(_HTTP_TTL_CASES)
+    )
+    + " END AS INT) AS ttl_batches\nFROM documents ORDER BY doc_id",
+)
+def q_http_ttl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 Cache-Control → per-URL recrawl interval: max-age maps to
+    ceil(max-age / batch_interval) clamped to [1, cap]; no-cache /
+    no-store / max-age=0 pin the minimum; s-maxage alone, absence and
+    garbage leave the crawler's own schedule (NULL). The server knows
+    its churn — where it says so, the ledger believes it."""
+    from crawler_ai_spark.plans.crawl_loop import _http_ttl_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    cc = F.lit(None).cast("string")
+    for i, (c, _) in reversed(list(enumerate(_HTTP_TTL_CASES))):
+        cc = F.when(F.col("doc_id") % 10 == i, F.lit(c)).otherwise(cc)
+    resp = docs.select("doc_id", cc.alias("cache_control"))
+    return resp.select(
+        "doc_id",
+        "cache_control",
+        _http_ttl_batches(F.col("cache_control"), 3600, 64).alias("ttl_batches"),
+    ).orderBy("doc_id")

@@ -107,6 +107,9 @@ FETCH_SCHEMA = StructType(
         # surface headers (the 3-tuple contract remains valid).
         StructField("etag", StringType()),
         StructField("last_modified", StringType()),
+        # freshness directive (RFC 9111): the crawl loop's TTL ledger
+        # turns max-age into the per-URL recrawl interval
+        StructField("cache_control", StringType()),
     ]
 )
 
@@ -330,11 +333,12 @@ def fetch_pages(
                 except Exception as e:  # noqa: BLE001 - a 100 TB job survives one bad URL
                     status, body, err, resp_headers = None, None, f"transport error: {e}", None
                 fetch_ms = int((time.perf_counter() - t0) * 1000)
-                etag = last_modified = None
+                etag = last_modified = cache_control = None
                 if resp_headers:
                     lowered = {k.lower(): v for k, v in resp_headers.items()}
                     etag = lowered.get("etag")
                     last_modified = lowered.get("last-modified")
+                    cache_control = lowered.get("cache-control")
                 if body is not None and len(body) > max_body:
                     body = body[:max_body]
                 if body is not None:
@@ -351,7 +355,7 @@ def fetch_pages(
                         html, err, body,
                         len(body) if body is not None else 0,
                         offset, fetch_ms, ua_idx,
-                        etag, last_modified,
+                        etag, last_modified, cache_control,
                         *(col[i] for col in extra),
                     )
                 )

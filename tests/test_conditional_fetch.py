@@ -65,11 +65,11 @@ def test_fetch_stage_conditional_headers(spark):
 def _cfg(conditional, **kw):
     kw.setdefault("max_batches", 5)
     kw.setdefault("live_transport", FS.SyntheticTransport())
+    kw.setdefault("adaptive_recrawl", True)
     return CrawlConfig(
         parallelism=4,
         recrawl_ttl_seconds=3600,
         batch_interval_seconds=3600,
-        adaptive_recrawl=True,
         recrawl_ttl_max_batches=8,
         conditional_revalidation=conditional,
         **kw,
@@ -244,3 +244,52 @@ def test_304_refreshed_validators_update_ledger(spark):
     )
     out = _merge_ledger(prev, d2, adaptive=True, base_ttl=1, max_ttl=8).collect()[0]
     assert out.etag == '"old"' and out.last_modified == "Mon"
+
+
+def _max_age_transport(max_age_s):
+    """SyntheticTransport wrapper stamping Cache-Control on 200s."""
+    inner = FS.SyntheticTransport()
+
+    def transport(url, headers):
+        result = inner(url, headers)
+        if len(result) == 4 and result[3] is not None:
+            hdrs = dict(result[3])
+            hdrs["Cache-Control"] = f"public, max-age={max_age_s}"
+            return result[0], result[1], result[2], hdrs
+        return result
+
+    return transport
+
+
+def test_http_cache_ttl_drives_refresh_schedule(spark, tmp_path_factory):
+    """RFC 9111: a server declaring max-age = 2 batch intervals pushes
+    the refresh from batch 2 (the fixed-TTL default) to batch 3; with
+    http_cache_ttl off the same responses refresh every batch."""
+    pages = spark.createDataFrame([], _PAGES_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(u, 20, 5) for u in _ok_seed_urls(1)],
+        ["seed_url", "max_pages", "max_career_pages"],
+    )
+
+    def refresh_batches(http):
+        root = tmp_path_factory.mktemp(f"httpttl_{http}")
+        res = run_crawl(
+            spark, pages, seeds, root,
+            _cfg(
+                False,
+                max_batches=4,
+                live_transport=_max_age_transport(7200),
+                adaptive_recrawl=False,
+                http_cache_ttl=http,
+            ),
+        )
+        vis = CrawlStore(spark, root).read_all("visited", res["last_batch"])
+        return sorted(
+            r.batch_id for r in vis.where(F.col("is_recrawl")).collect()
+        )
+
+    # base ttl 1 batch: without the directive a refresh lands EVERY batch
+    assert refresh_batches(False) == [2, 3, 4]
+    # max-age=7200 at 3600 s/batch → interval 2: refreshes at 3 only
+    # (batch 5 would be next; the run ends at 4)
+    assert refresh_batches(True) == [3]
