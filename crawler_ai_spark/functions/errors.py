@@ -47,3 +47,39 @@ def fetch_error_class_expr(error_msg: Column) -> Column:
 def is_permanent_error_expr(error_class: Column) -> Column:
     """True iff the failure must NOT be retried (404/410 → not_found)."""
     return F.coalesce(error_class.isin(*PERMANENT_CLASSES), F.lit(False))
+
+
+# RFC 9110 §10.2.3 Retry-After: either delta-seconds or an IMF-fixdate
+# ("Sun, 06 Nov 1994 08:49:37 GMT"). Servers send it with 429/503 to say
+# exactly how long to back off — server-directed politeness, stronger
+# than any heuristic the crawler computes itself.
+_RETRY_DELTA_RX = r"^\s*(\d+)\s*$"
+# Spark's post-3.0 parser rejects EEE in parse patterns; the day-of-week
+# prefix is redundant in an IMF-fixdate, so strip it and parse the rest
+_IMF_DOW_PREFIX_RX = r"^[A-Za-z]{3},\s*"
+_IMF_FIXDATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def retry_after_seconds_expr(value: Column, now: Column | None = None) -> Column:
+    """Retry-After header → backoff seconds (long). Delta-seconds parse
+    directly; the IMF-fixdate form needs ``now`` (the request's wall
+    clock) and clamps to ≥0 for dates already past; unparsable or absent
+    → NULL. When ``now`` is None the date form returns NULL too (a
+    batch-indexed caller with no wall-clock anchor treats any
+    present-but-dateform value as a minimum one-interval backoff).
+    Pure-JVM expressions; session timezone must be UTC for the date form
+    (session.get_spark pins it)."""
+    delta = F.nullif(
+        F.regexp_extract(F.coalesce(value, F.lit("")), _RETRY_DELTA_RX, 1), F.lit("")
+    ).cast("long")
+    if now is None:
+        return delta
+    stripped = F.regexp_replace(
+        F.coalesce(value, F.lit("")), _IMF_DOW_PREFIX_RX, ""
+    )
+    ts = F.try_to_timestamp(stripped, F.lit(_IMF_FIXDATE_FMT))
+    from_date = F.when(
+        ts.isNotNull(),
+        F.greatest(ts.cast("long") - now.cast("long"), F.lit(0).cast("long")),
+    )
+    return F.coalesce(delta, from_date)

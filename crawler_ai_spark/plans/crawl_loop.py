@@ -198,6 +198,15 @@ class CrawlConfig:
     # than any change detector — where it says so, believe it. Requires
     # recrawl_ttl_seconds. False (default): directives ignored.
     http_cache_ttl: bool = False
+    # W4 server-directed backoff (RFC 9110 §10.2.3): a 429/503 carrying
+    # Retry-After defers the WHOLE host's frontier rows (defer-not-drop,
+    # same contract as the breaker) until ceil(delta / batch_interval)
+    # batches elapse, capped at retry_after_max_batches so a hostile
+    # server cannot park a host forever. The date form has no wall-clock
+    # anchor at batch grain and counts as a one-batch minimum. Inert in
+    # table mode (no response headers). False (default): header ignored.
+    honor_retry_after: bool = False
+    retry_after_max_batches: int = 16
 
 
 FRONTIER_COLS = [
@@ -218,7 +227,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -379,7 +388,7 @@ class CrawlStore:
 
     # tables that write a FULL state snapshot every batch (only the
     # latest is ever read; older copies are replay history, not a log)
-    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays")
+    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff")
 
     def compact_state(self, table: str) -> int | None:
         """Rewrite a state table's LATEST snapshot as a replace at the
@@ -568,6 +577,7 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             .withColumn("etag", F.lit(None).cast("string"))
             .withColumn("last_modified", F.lit(None).cast("string"))
             .withColumn("cache_control", F.lit(None).cast("string"))
+            .withColumn("retry_after", F.lit(None).cast("string"))
             .withColumn("revalidated", F.lit(False))
         )
     # retry rows re-enter via select(*FRONTIER_COLS) off this output, so
@@ -1265,6 +1275,59 @@ def _advance_breaker(
     )
 
 
+_BACKOFF_SCHEMA = "host string, eligible_batch long"
+
+
+def _restore_backoff(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
+    """Latest committed host_backoff snapshot (one row per host whose
+    server-directed Retry-After has not elapsed), or empty."""
+    state = _read_latest_state(store, "host_backoff", prev)
+    if state is not None:
+        return state[0]
+    return spark.createDataFrame([], _BACKOFF_SCHEMA)
+
+
+def _advance_backoff(
+    backoff: DataFrame, gated: DataFrame, batch_id: int, interval_s: int, cap: int
+) -> DataFrame:
+    """Fold one batch's Retry-After headers into the host-backoff state
+    (RFC 9110 §10.2.3). Only 429/503 responses count — Retry-After on a
+    3xx or 200 is redirect/feature metadata, not rate limiting. The
+    delta-seconds form maps to ceil(delta / interval) batches; the
+    IMF-fixdate form (no wall-clock anchor at batch grain) counts as 1;
+    both clamp to [1, cap]. Per host the LONGEST directive wins, and a
+    new directive extends (never shortens) a standing one. Rows whose
+    backoff has elapsed are pruned so the state stays proportional to
+    the rate-limited host set. Host-grain aggregate + full-outer merge
+    — no frontier-scale shuffle."""
+    from crawler_ai_spark.functions.errors import retry_after_seconds_expr
+
+    if "retry_after" not in gated.columns:  # minimal test shapes
+        gated = gated.withColumn("retry_after", F.lit(None).cast("string"))
+    ra = gated.where(
+        F.col("status").isin(429, 503) & F.col("retry_after").isNotNull()
+    )
+    secs = retry_after_seconds_expr(F.col("retry_after"))
+    batches = F.least(
+        F.greatest(
+            F.coalesce(F.ceil(secs / F.lit(interval_s)), F.lit(1)).cast("long"),
+            F.lit(1).cast("long"),
+        ),
+        F.lit(cap).cast("long"),
+    )
+    new = ra.groupBy("host").agg(
+        (F.lit(batch_id) + F.max(batches)).alias("_new_eligible")
+    )
+    merged = backoff.join(new, "host", "full_outer").select(
+        "host",
+        F.greatest(
+            F.coalesce(F.col("eligible_batch"), F.lit(0)),
+            F.coalesce(F.col("_new_eligible"), F.lit(0)),
+        ).alias("eligible_batch"),
+    )
+    return merged.where(F.col("eligible_batch") > batch_id)
+
+
 _AT_DELAYS_SCHEMA = "host string, delay_ms long, n_ok long, n_err long"
 
 
@@ -1395,6 +1458,10 @@ def run_crawl(
     breaker_state = None
     if cfg.host_failure_threshold is not None:
         breaker_state = _restore_breaker(spark, store, start - 1)
+
+    backoff_state = None
+    if cfg.honor_retry_after:
+        backoff_state = _restore_backoff(spark, store, start - 1)
 
     if cfg.conditional_revalidation:
         if cfg.live_transport is None:
@@ -1544,6 +1611,18 @@ def run_crawl(
             ).select("host")
             cooling = frontier.join(cooling_hosts, "host", "left_semi").persist()
             frontier = frontier.join(cooling_hosts, "host", "left_anti")
+        backed_off = None
+        if backoff_state is not None:
+            # RFC 9110 Retry-After: a host inside its server-directed
+            # backoff window skips the batch entirely; its rows re-enter
+            # the next frontier untouched (defer-not-drop, breaker
+            # contract). State is proportional to the rate-limited host
+            # set — AQE picks the join strategy.
+            backoff_hosts = backoff_state.where(
+                F.col("eligible_batch") > batch_id
+            ).select("host")
+            backed_off = frontier.join(backoff_hosts, "host", "left_semi").persist()
+            frontier = frontier.join(backoff_hosts, "host", "left_anti")
         seed_state = store.read("seed_state", prev)
         seen = store.read_all("seen_delta", prev)
 
@@ -1617,6 +1696,10 @@ def run_crawl(
             deferred = deferred.select(*FRONTIER_COLS).unionByName(
                 cooling.select(*FRONTIER_COLS)
             )
+        if backed_off is not None:
+            deferred = deferred.select(*FRONTIER_COLS).unionByName(
+                backed_off.select(*FRONTIER_COLS)
+            )
 
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()
@@ -1647,6 +1730,17 @@ def run_crawl(
             )
             store.write(batch_id, "host_breaker", breaker_state)
             breaker_state = store.read("host_breaker", batch_id)  # lineage reset
+
+        if backoff_state is not None:
+            backoff_state = _advance_backoff(
+                backoff_state,
+                gated,
+                batch_id,
+                cfg.batch_interval_seconds,
+                cfg.retry_after_max_batches,
+            )
+            store.write(batch_id, "host_backoff", backoff_state)
+            backoff_state = store.read("host_backoff", batch_id)  # lineage reset
 
         if at_state is not None:
             # fold this batch's measured latencies through the
@@ -1856,6 +1950,8 @@ def run_crawl(
         total_scheduled += frontier.count()
         gated.unpersist()
         fresh.unpersist()
+        if backed_off is not None:
+            backed_off.unpersist()
         for c in batch_caches:  # bloom/tagged caches from dedup_with_bloom
             c.unpersist()
 

@@ -110,6 +110,9 @@ FETCH_SCHEMA = StructType(
         # freshness directive (RFC 9111): the crawl loop's TTL ledger
         # turns max-age into the per-URL recrawl interval
         StructField("cache_control", StringType()),
+        # RFC 9110 §10.2.3 — server-directed backoff on 429/503; the
+        # crawl loop defers the whole host until it elapses
+        StructField("retry_after", StringType()),
     ]
 )
 
@@ -333,12 +336,13 @@ def fetch_pages(
                 except Exception as e:  # noqa: BLE001 - a 100 TB job survives one bad URL
                     status, body, err, resp_headers = None, None, f"transport error: {e}", None
                 fetch_ms = int((time.perf_counter() - t0) * 1000)
-                etag = last_modified = cache_control = None
+                etag = last_modified = cache_control = retry_after = None
                 if resp_headers:
                     lowered = {k.lower(): v for k, v in resp_headers.items()}
                     etag = lowered.get("etag")
                     last_modified = lowered.get("last-modified")
                     cache_control = lowered.get("cache-control")
+                    retry_after = lowered.get("retry-after")
                 if body is not None and len(body) > max_body:
                     body = body[:max_body]
                 if body is not None:
@@ -355,7 +359,7 @@ def fetch_pages(
                         html, err, body,
                         len(body) if body is not None else 0,
                         offset, fetch_ms, ua_idx,
-                        etag, last_modified, cache_control,
+                        etag, last_modified, cache_control, retry_after,
                         *(col[i] for col in extra),
                     )
                 )
