@@ -817,3 +817,98 @@ def lm_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
                ["lang_pred", "_sk"])
         .select("doc_id", "lang_pred", "lm_score", "n_bigrams", "lm_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning…", §2.2) — the published line- and page-level heuristics that
+# produced C4 from Common Crawl, as pure-JVM columns.
+# ---------------------------------------------------------------------------
+
+# a kept line ends in terminal punctuation (optionally a closing quote)
+_C4_TERMINAL_RX = "[.!?][\"'”]?$"
+_C4_SENTENCE_RX = "[.!?]"
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_columns(text: Column) -> dict[str, Column]:
+    """C4's rules as integer-count columns: keep a line iff it ends in
+    terminal punctuation AND has ≥ 5 words; drop the whole page if the
+    kept text has < 3 sentences, mentions "lorem ipsum", or contains a
+    curly brace (code). All array/regexp expressions — map-side, no
+    shuffle, and every predicate is an integer comparison so the verdict
+    is bit-identical across engines."""
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(_C4_TERMINAL_RX)
+        & (
+            F.size(F.split(F.trim(ln), r"\s+"))
+            >= F.lit(C4_MIN_LINE_WORDS)
+        )
+        & (F.trim(ln) != ""),
+    )
+    cleaned = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(cleaned, F.lit(_C4_SENTENCE_RX), F.lit(0))
+    ).cast("long")
+    low = F.lower(F.coalesce(text, F.lit("")))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = low.contains("{")
+    keep = (
+        (n_sentences >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "c4_keep": keep,
+        "c4_text": F.when(keep, cleaned),
+    }
+
+
+def sentence_span_dedup(
+    docs: DataFrame, text_col: str = "text", span: int = 3
+) -> DataFrame:
+    """C4's cross-document three-sentence-span dedup at span grain: split
+    each doc into sentences, slide a `span`-sentence window, hash it, and
+    keep only the globally FIRST occurrence (min doc_id, then min
+    position — deterministic, matching the ordered single pass C4
+    describes). Returns (doc_id, span_pos, span_hash, is_kept).
+
+    Scale shape: posexplode is map-side; the only shuffle is one
+    aggregation keyed by span_hash (64-bit xxhash), the same
+    fingerprint-grain exchange as exact dedup — never all-pairs. At
+    100 TB the span table is ~sentences-per-doc × docs rows of 3 small
+    columns; AQE handles the hash-key skew of boilerplate spans."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # sentence split on terminal punctuation keeping it attached:
+    # split AFTER [.!?] runs — a lookbehind-free split via regexp
+    sentences = F.filter(
+        # the replacement needs a REAL newline char ("$1\n" non-raw):
+        # Java's replacement syntax would read a raw backslash-n as 'n'
+        F.split(F.regexp_replace(t, r"([.!?])\s+", "$1\n"), "\n"),
+        lambda s: F.trim(s) != "",
+    )
+    n = F.size(sentences)
+    spans = F.when(
+        n >= span,
+        F.transform(
+            F.sequence(F.lit(0), n - span),
+            lambda i: F.array_join(
+                F.slice(sentences, i + 1, span), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(spans).alias("span_pos", "_span")
+    ).select("doc_id", "span_pos", F.xxhash64("_span").alias("span_hash"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("span_hash").orderBy("doc_id", "span_pos")
+    return exploded.withColumn(
+        "is_kept", F.row_number().over(w) == 1
+    )

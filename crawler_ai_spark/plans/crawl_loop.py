@@ -207,6 +207,14 @@ class CrawlConfig:
     # table mode (no response headers). False (default): header ignored.
     honor_retry_after: bool = False
     retry_after_max_batches: int = 16
+    # Soft-404 gate (functions/soft404.py): a 200 whose content says
+    # not-found (title phrase, or body phrase on a short page) is marked
+    # in visited, never counts as a career page, and yields no links —
+    # error boilerplate stays out of the corpus and link graph. The page
+    # still advances crawl counters (it WAS downloaded) and still enters
+    # the TTL ledger (a soft 404 can come back to life). Row-local JVM
+    # expressions, map-side free. False (default): loop byte-identical.
+    soft404_filter: bool = False
 
 
 FRONTIER_COLS = [
@@ -592,11 +600,21 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     title_lower = F.lower(F.coalesce(F.col("parse.title"), F.lit("")))
     career_score = SC.career_score_expr(F.col("url"), content_lower, title_lower)
     is_listing = FL.is_career_listing_expr(F.col("url"), content_lower, title_lower)
+    if cfg.soft404_filter:
+        from crawler_ai_spark.functions.soft404 import is_soft404
+
+        soft404 = F.col("fetched") & is_soft404(
+            F.col("status"), F.col("parse.title"), F.col("parse.text")
+        )
+    else:
+        soft404 = F.lit(False)
     return (
-        parsed.withColumn("career_score", F.when(F.col("fetched"), career_score).otherwise(F.lit(0.0)))
+        parsed.withColumn("soft404", soft404)
+        .withColumn("career_score", F.when(F.col("fetched"), career_score).otherwise(F.lit(0.0)))
         .withColumn(
             "is_career_page",
-            F.col("fetched") & is_listing & (career_score >= F.lit(K.CAREER_SCORE_THRESHOLD)),
+            F.col("fetched") & ~F.col("soft404")
+            & is_listing & (career_score >= F.lit(K.CAREER_SCORE_THRESHOLD)),
         )
         .withColumn(
             "career_indicators",
@@ -626,9 +644,13 @@ def order_and_gate(parsed: DataFrame, seed_state: DataFrame) -> DataFrame:
     )
     crawled_through = F.col("crawled_total") + F.col("page_order")
     career_through = F.col("career_total") + F.col("career_cum")
+    # soft-404 pages yield nothing (column-guarded: direct callers may
+    # pass minimal parsed shapes)
+    not_soft = ~F.col("soft404") if "soft404" in parsed.columns else F.lit(True)
     return df.withColumn(
         "yields_links",
         F.col("fetched")
+        & not_soft
         & ~F.col("is_recrawl")
         & (
             (F.col("depth") == 0)
@@ -1717,6 +1739,9 @@ def run_crawl(
             # stores them for conditional_revalidation's request headers —
             # and the RFC 9111 freshness directive for http_cache_ttl
             "etag", "last_modified", "cache_control", "revalidated",
+            # soft404_filter verdict (False when the gate is off) — kept
+            # so corpus consumers can exclude error boilerplate
+            "soft404",
         )
         store.write(batch_id, "visited", visited)
 

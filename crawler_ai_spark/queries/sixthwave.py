@@ -258,3 +258,164 @@ def q_feed_entries_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "entry_pos", "entry_url", "entry_title", "entry_date_raw")
         .orderBy("doc_id", "entry_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2, pipeline/corpus.
+# c4_line_columns): line keep = terminal punctuation + ≥5 words; page
+# keep = ≥3 sentences, no "lorem ipsum", no curly brace. The oracle
+# re-derives every rule in DuckDB over the same text.
+# ---------------------------------------------------------------------------
+
+_C4_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'Sentence one is here. Sentence two follows! Is number three good?',
+    'Short line.',
+    'no terminal punctuation in this line',
+    'Document ' || doc_id || ' closes with sentence number ' || doc_id
+      || '.',
+    CASE WHEN doc_id % 7 = 0
+      THEN 'This page contains Lorem Ipsum filler text.' END,
+    CASE WHEN doc_id % 11 = 3 THEN 'var x = { a: 1 };' END
+  ) AS t FROM documents
+),
+linework AS (
+  SELECT doc_id, t,
+    string_split(t, chr(10)) AS lines,
+    list_filter(
+      string_split(t, chr(10)),
+      ln -> regexp_matches(rtrim(ln), '[.!?]["''”]?$')
+            AND len(string_split_regex(trim(ln), '\s+')) >= 5
+            AND trim(ln) <> ''
+    ) AS kept
+  FROM base
+),
+cleaned AS (
+  SELECT doc_id, t, lines, kept,
+    coalesce(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+             '') AS c4
+  FROM linework
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(c4, '[.!?]')) AS BIGINT) AS n_sentences,
+  contains(lower(t), 'lorem ipsum') AS has_lorem,
+  contains(lower(t), '{') AS has_brace,
+  (len(regexp_extract_all(c4, '[.!?]')) >= 3
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(lower(t), '{')) AS c4_keep,
+  CASE WHEN (len(regexp_extract_all(c4, '[.!?]')) >= 3
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(lower(t), '{')) THEN CAST(length(c4) AS BIGINT) END
+    AS c4_len
+FROM cleaned ORDER BY doc_id
+"""
+
+
+@_register("doc_c4_clean", oracle=_C4_ORACLE)
+def q_doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's published cleaning heuristics: keep lines ending in terminal
+    punctuation with ≥5 words; drop pages with <3 sentences, any
+    "lorem ipsum", or a curly brace. The input synthesizes pages with
+    kept lines, a too-short line, an unterminated line, and per-residue
+    lorem/brace poison lines (documents.text itself has no punctuation).
+    Map-side array/regexp expressions; the kept-text length is the
+    hashable proxy for the cleaned text."""
+    from crawler_ai_spark.pipeline.corpus import c4_line_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Sentence one is here. Sentence two follows! "
+              "Is number three good?"),
+        F.lit("Short line."),
+        F.lit("no terminal punctuation in this line"),
+        F.concat(
+            F.lit("Document "), d, F.lit(" closes with sentence number "),
+            d, F.lit("."),
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("This page contains Lorem Ipsum filler text."),
+        ),
+        F.when(F.col("doc_id") % 11 == 3, F.lit("var x = { a: 1 };")),
+    )
+    cols = c4_line_columns(page)
+    return docs.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_kept_lines"].alias("n_kept_lines"),
+        cols["n_sentences"].alias("n_sentences"),
+        cols["has_lorem"].alias("has_lorem"),
+        cols["has_brace"].alias("has_brace"),
+        cols["c4_keep"].alias("c4_keep"),
+        F.length(cols["c4_text"]).cast("long").alias("c4_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span dedup (pipeline/corpus.sentence_span_dedup):
+# cross-document span-grain dedup — globally first occurrence (min
+# doc_id, then position) of every 3-sentence window is kept. The oracle
+# re-derives the sentence split, windows and first-wins rule in SQL.
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 4 THEN 'Tiny. Doc.'
+    ELSE 'Common alpha one. Common beta two. Common gamma three. Unique '
+      || doc_id || ' four. Unique ' || doc_id || ' five.'
+    END AS text
+  FROM documents
+),
+sent AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(
+        regexp_replace(coalesce(text, ''), '([.!?])\s+', '\1' || chr(10), 'g'),
+        chr(10)),
+      s -> trim(s) <> ''
+    ) AS ss
+  FROM base
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_pos,
+    array_to_string(ss[(i + 1):(i + 3)], ' ') AS span
+  FROM sent, unnest(range(greatest(len(ss) - 2, 0))) AS u(i)
+)
+SELECT doc_id, span_pos,
+  (row_number() OVER (PARTITION BY span ORDER BY doc_id, span_pos) = 1)
+    AS is_kept
+FROM spans ORDER BY doc_id, span_pos
+"""
+
+
+@_register("doc_span_dedup", oracle=_SPAN_ORACLE)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's cross-document three-sentence-span dedup at span grain:
+    one row per span with the globally-first-occurrence verdict. The
+    input synthesizes docs sharing a leading 3-sentence span (kept only
+    by the lowest doc_id) plus unique tails; every fifth doc is too
+    short to produce a span. The only shuffle is the span-fingerprint
+    aggregation — exact-dedup shape, never all-pairs."""
+    from crawler_ai_spark.pipeline.corpus import sentence_span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    text = F.when(F.col("doc_id") % 5 == 4, F.lit("Tiny. Doc.")).otherwise(
+        F.concat(
+            F.lit("Common alpha one. Common beta two. Common gamma three. "
+                  "Unique "),
+            d, F.lit(" four. Unique "), d, F.lit(" five."),
+        )
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return (
+        sentence_span_dedup(synth)
+        .select("doc_id", "span_pos", "is_kept")
+        .orderBy("doc_id", "span_pos")
+    )

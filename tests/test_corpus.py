@@ -368,3 +368,59 @@ def test_lm_bigram_score_hand_computed(spark):
     assert got[3].n_bigrams == 0 and got[3].lm_score is None
     # the curation property: in-distribution text outscores one-off junk
     assert got[0].lm_score > got[2].lm_score
+
+
+def test_c4_line_columns(spark):
+    from crawler_ai_spark.pipeline.corpus import c4_line_columns
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # 2 kept lines, 4 sentences -> keep
+            (0, "One two three four five.\nshort.\nSix seven eight nine? "
+                "Ten eleven twelve thirteen! And one more here."),
+            # kept lines but lorem -> drop
+            (1, "One two three four five.\nSix seven eight nine ten.\n"
+                "More lorem ipsum filler here now.\nAnother real sentence "
+                "ends properly here."),
+            # brace -> drop
+            (2, "One two three four five. Six seven eight nine ten. "
+                "Closing eleven twelve thirteen fourteen.\nvar x = { }"),
+            # only 2 sentences kept -> drop
+            (3, "One two three four five. Six seven eight nine ten.\nno end"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = c4_line_columns(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", cols["c4_keep"].alias("k"), cols["n_kept_lines"].alias("n"),
+            cols["n_sentences"].alias("s"),
+        ).collect()
+    }
+    assert got[0].k and got[0].n == 2 and got[0].s == 4
+    assert not got[1].k  # lorem page
+    assert not got[2].k  # brace page
+    assert not got[3].k and got[3].s == 2
+
+
+def test_sentence_span_dedup(spark):
+    from crawler_ai_spark.pipeline.corpus import sentence_span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A one. B two. C three. D zero four."),
+            (1, "A one. B two. C three. D one four."),  # shares span 0
+            (2, "Tiny. Doc."),  # < 3 sentences -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_pos): r.is_kept
+        for r in sentence_span_dedup(docs).collect()
+    }
+    # doc 0: spans (A,B,C) and (B,C,D0) both kept (first occurrence)
+    # doc 1: (A,B,C) is a duplicate of doc 0's -> dropped; its unique
+    # tail span kept
+    assert got == {(0, 0): True, (0, 1): True, (1, 0): False, (1, 1): True}

@@ -1,11 +1,14 @@
 """Soft-404 gate + rel=canonical extraction — row-local semantics pinned
 at the function level (the catalog queries `soft404_detect` /
-`canonical_link_collapse` oracle-check the same logic at 500 rows)."""
+`canonical_link_collapse` oracle-check the same logic at 500 rows),
+plus the crawl loop's opt-in soft404_filter."""
 
 from pyspark.sql import functions as F
 
 from crawler_ai_spark.functions.soft404 import is_soft404
 from crawler_ai_spark.functions.urls import canonical_link_expr
+from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
+from crawler_ai_spark.sources import fetch as FS
 
 
 def _soft(spark, rows):
@@ -59,3 +62,60 @@ def test_canonical_link_attribute_orders(spark):
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
     got = [r.c for r in df.select(canonical_link_expr(F.col("html")).alias("c")).collect()]
     assert got == [want for _, want in rows]
+
+
+_S404_HOST = "ghost0.example"
+
+
+def _soft404_transport():
+    """200 + not-found content (with a live link) for the ghost host;
+    synthetic elsewhere. Closure so cloudpickle ships it by value."""
+    ghost = _S404_HOST
+
+    def transport(url, headers):
+        if ghost in url:
+            body = (
+                "<html><head><title>Page Not Found - Ghost</title></head>"
+                '<body>this page does not exist <a href="/trap-link">x</a>'
+                "</body></html>"
+            )
+            return 200, body.encode(), None, {}
+        return FS.SyntheticTransport()(url, headers)
+
+    return transport
+
+
+def test_soft404_filter_suppresses_links_in_loop(spark, tmp_path_factory):
+    """A 200 not-found page is flagged in visited and yields no links
+    when the gate is on; off, its links expand the frontier."""
+    pages = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp, html binary, lang string, "
+        "status int, fetch_error string",
+    )
+    seeds = spark.createDataFrame(
+        [(f"https://{_S404_HOST}/", 20, 5)],
+        ["seed_url", "max_pages", "max_career_pages"],
+    )
+
+    def run(flag):
+        root = tmp_path_factory.mktemp(f"s404_{flag}")
+        res = run_crawl(
+            spark, pages, seeds, root,
+            CrawlConfig(
+                parallelism=4, max_batches=3,
+                live_transport=_soft404_transport(),
+                soft404_filter=flag,
+            ),
+        )
+        vis = CrawlStore(spark, root).read_all("visited", res["last_batch"])
+        return {r.url: r for r in vis.collect()}
+
+    on = run(True)
+    root_row = on[f"https://{_S404_HOST}/"]
+    assert root_row.soft404 and root_row.fetched and not root_row.is_career_page
+    assert not any("/trap-link" in u for u in on)  # no links harvested
+
+    off = run(False)
+    assert not off[f"https://{_S404_HOST}/"].soft404
+    assert any("/trap-link" in u for u in off)  # gate off: link expands
