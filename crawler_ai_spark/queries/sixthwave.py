@@ -419,3 +419,68 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_pos", "is_kept")
         .orderBy("doc_id", "span_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX index derivation (sources/warc.warc_cdx): synthesized pages →
+# real WARC files on disk → per-record index rows with SURT urlkey,
+# 14-digit timestamp, status, payload digest, and an in-plan slice
+# self-check (offset/length re-parsed and compared — framing verified
+# where it is computed, so the oracle needn't model header byte sizes).
+# ---------------------------------------------------------------------------
+
+_CDX_HTML = "'<html><body>' || text || '</body></html>'"
+_CDX_MICROS = "1704067200000000 + doc_id * 1000000 + (doc_id * 1337) % 1000000"
+
+_CDX_ORACLE = f"""
+SELECT 'com,example,warc' || (doc_id % 23) || ')/p/' || doc_id AS urlkey,
+       strftime(make_timestamp({_CDX_MICROS}), '%Y%m%d%H%M%S') AS ts14,
+       CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+       md5({_CDX_HTML}) AS digest,
+       true AS slice_ok
+FROM documents WHERE text IS NOT NULL
+ORDER BY urlkey
+"""
+
+
+@_register("warc_cdx_index", oracle=_CDX_ORACLE)
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index over freshly-written WARC: urlkey (SURT), 14-digit
+    capture timestamp, status, payload md5, and the slice_ok framing
+    self-check — the offsets are validated in-plan by re-parsing each
+    record from its own [offset, offset+length) slice, so any header
+    mis-framing fails the row rather than hiding in an unverifiable
+    column. Files land in a fresh mkdtemp (tiny at catalog SF)."""
+    import shutil
+    import tempfile
+
+    from crawler_ai_spark.functions.urls import surt_key
+    from crawler_ai_spark.sources.warc import warc_cdx, write_warc
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    pages = docs.select(
+        F.expr(
+            "'https://warc' || CAST(doc_id % 23 AS STRING) || '.example.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.expr(f"timestamp_micros({_CDX_MICROS})").alias("warc_ts"),
+        F.expr(f"CAST({_CDX_HTML} AS BINARY)").alias("html"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT)"
+        ).alias("status"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_cdx_")
+    try:
+        write_warc(pages.repartition(8, "url"), out, gzip_records=False).collect()
+        cdx = warc_cdx(spark, out)
+        res = cdx.select(
+            surt_key(F.col("url")).alias("urlkey"),
+            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+            "status",
+            "digest",
+            "slice_ok",
+        ).orderBy("urlkey")
+        rows = res.collect()  # materialize before the tmpdir vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

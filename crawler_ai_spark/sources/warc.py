@@ -134,6 +134,15 @@ def _parse_warc(data: bytes) -> Iterator[tuple]:
     """Yield (url, warc_ts, html, status) from raw WARC bytes (headers
     block + Content-Length payload per ISO 28500 — no naive splitting,
     payload bytes may contain anything)."""
+    for url, ts, html, status, _off, _ln in _parse_warc_records(data):
+        yield url, ts, html, status
+
+
+def _parse_warc_records(data: bytes) -> Iterator[tuple]:
+    """Offset-aware WARC parse: yields (url, warc_ts, html, status,
+    offset, rec_length) where offset/rec_length frame the whole record
+    (version line through payload end) in ``data`` — the fields a CDX
+    index stores so a reader can fetch one record without scanning."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -142,6 +151,7 @@ def _parse_warc(data: bytes) -> Iterator[tuple]:
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         hdr_end = data.index(b"\r\n\r\n", pos)
         headers = {}
         lines = data[pos:hdr_end].split(_CRLF)
@@ -162,7 +172,7 @@ def _parse_warc(data: bytes) -> Iterator[tuple]:
         status_line, _, rest = body.partition(_CRLF)
         status = int(status_line.split(b" ")[1])
         _, _, html = rest.partition(b"\r\n\r\n")
-        yield url, ts, html, status
+        yield url, ts, html, status, rec_start, pos - rec_start
 
 
 def _gunzip_members(data: bytes) -> bytes:
@@ -189,6 +199,66 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "status"])
 
     return files.select("path", "content").mapInPandas(_read, schema=PAGE_SCHEMA)
+
+
+CDX_SCHEMA = (
+    "url string, warc_ts timestamp, status int, digest string, "
+    "offset long, rec_length long, filename string, slice_ok boolean"
+)
+
+
+def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX index derivation (the Common Crawl *.cdx product shape): one
+    row per WARC response record with the fields an index stores — URL,
+    capture timestamp, status, a payload digest (md5 hex here; Common
+    Crawl uses sha1-base32 — one constant to swap), and the record's
+    byte offset + length in its file. ``slice_ok`` is an in-plan
+    self-check: the [offset, offset+rec_length) slice is re-parsed and
+    must reproduce the record exactly, so the framing is verified where
+    it is computed instead of trusted. For .warc.gz inputs the offsets
+    refer to the DECOMPRESSED stream (record-gzip member offsets would
+    need the compressed framing; CC's own CDX stores compressed offsets
+    — documented difference). SURT urlkeys come from
+    functions.urls.surt_key at query time (a Column expr, JVM-side).
+
+    One Arrow pass per file, same shape as read_warc — no shuffle."""
+    import hashlib
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.warc*") if os.path.isdir(path) else path
+    )
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content)
+                if row.path.endswith(".gz"):
+                    data = _gunzip_members(data)
+                fname = os.path.basename(row.path)
+                for url, ts, html, status, off, ln in _parse_warc_records(data):
+                    try:
+                        reparse = list(_parse_warc(data[off : off + ln]))
+                        ok = reparse == [(url, ts, html, status)]
+                    except Exception:  # noqa: BLE001 - bad framing IS the signal
+                        ok = False
+                    rows.append(
+                        (
+                            url, ts, status,
+                            hashlib.md5(bytes(html)).hexdigest(),
+                            off, ln, fname, ok,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url", "warc_ts", "status", "digest",
+                        "offset", "rec_length", "filename", "slice_ok",
+                    ],
+                )
+
+    return files.select("path", "content").mapInPandas(_index, schema=CDX_SCHEMA)
 
 
 def warc_to_wet(records: DataFrame) -> DataFrame:

@@ -131,3 +131,28 @@ def test_crawl_loop_warc_archive(spark, fixture_root, tmp_path_factory):
     assert {k: v for k, v in res_a.items() if k != "wall_s"} == {
         k: v for k, v in res_b.items() if k != "wall_s"
     }
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_cdx_index_offsets_and_digests(spark, pages, tmp_path, gz):
+    """CDX rows cover every response record; every offset/length slice
+    re-parses to its own record (slice_ok); for uncompressed files the
+    offsets also hold against the RAW file bytes read independently."""
+    out = tmp_path / ("cdx_gz" if gz else "cdx")
+    W.write_warc(pages.repartition(3), str(out), gzip_records=gz).collect()
+    cdx = W.warc_cdx(spark, str(out)).collect()
+    assert len(cdx) == pages.count()
+    assert all(r.slice_ok for r in cdx)
+    truth = {r.url: bytes(r.html) for r in pages.collect()}
+    for r in cdx:
+        assert r.digest == hashlib.md5(truth[r.url]).hexdigest()
+    if not gz:
+        # independent check against raw disk bytes, not the parser's view
+        by_file = {}
+        for r in cdx:
+            by_file.setdefault(r.filename, []).append(r)
+        for fname, rows in by_file.items():
+            data = (out / fname).read_bytes()
+            for r in rows:
+                sliced = list(W._parse_warc(data[r.offset : r.offset + r.rec_length]))
+                assert len(sliced) == 1 and sliced[0][0] == r.url
