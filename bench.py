@@ -58,6 +58,8 @@ BENCH_QUERY_NAMES = [
     "mime_sniff_route",       # WHATWG MIME sniff + pipeline router
     "conditional_fetch_stage",  # RFC 9110 revalidation through the fetch stage
     "doc_lm_buckets",         # CCNet head/middle/tail (LM + score-grain windows)
+    "doc_span_dedup",         # C4 3-sentence-span dedup (fingerprint shuffle)
+    "feed_entries_extract",   # RSS/Atom entry extraction (regex block split)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -148,3 +148,29 @@ def canonical_link_expr(html: Column) -> Column:
     b = F.regexp_extract(html, _CANONICAL_HREF_REL_RX, 1)
     out = F.when(a != "", a).when(b != "", b)
     return out
+
+
+# hreflang alternates (RFC 8288 link relations + Google's hreflang
+# convention): a page's declared language/region variants. A crawler
+# uses the cluster to fetch ONE variant per language tier instead of
+# N mirrors, and a corpus pipeline uses it for language-aware dedup.
+_HREFLANG_TAG_RX = r"(?is)<link\b[^>]*\bhreflang\s*=[^>]*>"
+_HREFLANG_LANG_RX = r"(?is)\bhreflang\s*=\s*[\"']?([A-Za-z0-9-]+)"
+_HREFLANG_HREF_RX = r"(?is)\bhref\s*=\s*[\"']?([^\"'\s>]+)"
+
+
+def hreflang_pairs(html: Column) -> Column:
+    """array<struct<lang,href>> of every <link hreflang=… href=…>
+    declaration, document order, any attribute order; tags missing
+    either attribute drop. Pure-JVM regexps over the tag list."""
+    tags = F.regexp_extract_all(
+        F.coalesce(html, F.lit("")), F.lit(_HREFLANG_TAG_RX), F.lit(0)
+    )
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _HREFLANG_LANG_RX, 1)).alias("lang"),
+            F.regexp_extract(t, _HREFLANG_HREF_RX, 1).alias("href"),
+        ),
+    )
+    return F.filter(pairs, lambda p: (p["lang"] != "") & (p["href"] != ""))

@@ -484,3 +484,60 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates (functions/urls.hreflang_pairs): synthesized pages
+# declaring en / vi / x-default variants in mixed attribute orders plus
+# a malformed tag (hreflang without href — dropped); every fourth page
+# declares none. The oracle generates the expected rows arithmetically.
+# ---------------------------------------------------------------------------
+
+_HREFLANG_ORACLE = """
+WITH e AS (
+  SELECT doc_id, unnest(range(3)) AS pos FROM documents WHERE doc_id % 4 <> 3
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+  CASE pos WHEN 0 THEN 'en' WHEN 1 THEN 'vi' ELSE 'x-default' END AS lang,
+  'https://hsite' || (doc_id % 9) || '.example/'
+    || (CASE pos WHEN 0 THEN 'en' WHEN 1 THEN 'vi' ELSE 'www' END)
+    || '/p' || doc_id AS href
+FROM e ORDER BY doc_id, pos
+"""
+
+
+@_register("hreflang_alternates", oracle=_HREFLANG_ORACLE)
+def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang variant extraction: every <link hreflang=… href=…>
+    declaration in document order, any attribute order, case-folded
+    language tags; tags missing an attribute drop. A crawler fetches one
+    variant per language tier instead of N mirrors. Map-side regexps +
+    posexplode — no shuffle before the presentation sort."""
+    from crawler_ai_spark.functions.urls import hreflang_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    site = F.expr(
+        "'https://hsite' || CAST(doc_id % 9 AS STRING) || '.example'"
+    )
+    d = F.col("doc_id").cast("string")
+    html = F.when(
+        F.col("doc_id") % 4 != 3,
+        F.concat(
+            F.lit('<html><head><link rel="alternate" hreflang="EN" href="'),
+            site, F.lit("/en/p"), d, F.lit('">'),
+            F.lit("<link hreflang='vi' href='"),
+            site, F.lit("/vi/p"), d, F.lit("'>"),
+            F.lit('<link href="'), site, F.lit("/www/p"), d,
+            F.lit('" hreflang=x-default>'),
+            F.lit('<link hreflang="de"></head></html>'),  # no href: drop
+        ),
+    ).otherwise(F.lit("<html><head><title>t</title></head></html>"))
+    pages = docs.select("doc_id", html.alias("html"))
+    return (
+        pages.select(
+            "doc_id", F.posexplode(hreflang_pairs(F.col("html"))).alias("pos", "p")
+        )
+        .select("doc_id", "pos", F.col("p.lang").alias("lang"),
+                F.col("p.href").alias("href"))
+        .orderBy("doc_id", "pos")
+    )
