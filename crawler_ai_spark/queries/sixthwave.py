@@ -541,3 +541,99 @@ def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p.href").alias("href"))
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD JobPosting extraction (functions/jsonld): schema.org blocks in
+# <script type="application/ld+json"> — the highest-precision job-field
+# source a web-scale crawler has (Google Jobs mandates it), generalizing
+# the reference's embedded-JSON handling (crawler.py script-JSON path,
+# job_extraction_service.py embedded-job parse). Five synthesized page
+# shapes: a full JobPosting; an Organization block (wrong @type — drop);
+# a garbage block followed by a valid posting (permissive parse nulls
+# the garbage, keeps the posting); an uppercase-tag minimal posting with
+# optional fields absent (nulls surface); no structured data at all.
+# Block regexp + from_json are both JVM-side — no Python in the path.
+# ---------------------------------------------------------------------------
+
+_JSONLD_ORACLE = """
+SELECT doc_id,
+  'Senior Engineer ' || doc_id AS title,
+  'Co ' || (doc_id % 7) AS company,
+  CASE WHEN doc_id % 5 = 3 THEN NULL
+       ELSE 'City' || (doc_id % 3) END AS location,
+  CASE WHEN doc_id % 5 = 3 THEN NULL ELSE 'FULL_TIME' END AS employment_type,
+  '2024-05-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS date_posted
+FROM documents
+WHERE doc_id % 5 IN (0, 2, 3)
+ORDER BY doc_id
+"""
+
+
+@_register("jsonld_jobposting", oracle=_JSONLD_ORACLE)
+def q_jsonld_jobposting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JobPosting fields from embedded JSON-LD: extract every
+    ld+json script payload (any attribute order/case, dotall bodies),
+    parse with from_json (permissive — garbage blocks null out), keep
+    @type = JobPosting, project typed fields. Scan → map-side regexp →
+    explode → JVM JSON parse; the only shuffle is the presentation sort."""
+    from crawler_ai_spark.functions.jsonld import (
+        jobposting_from_block,
+        jsonld_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    co = (F.col("doc_id") % 7).cast("string")
+    city = (F.col("doc_id") % 3).cast("string")
+    jp_full = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"JobPosting",'
+              '"title":"Senior Engineer '), d,
+        F.lit('","datePosted":"2024-05-'), day,
+        F.lit('","employmentType":"FULL_TIME","hiringOrganization":'
+              '{"@type":"Organization","name":"Co '), co,
+        F.lit('"},"jobLocation":{"@type":"Place","address":'
+              '{"addressLocality":"City'), city, F.lit('"}}}'),
+    )
+    jp_min = F.concat(
+        F.lit('{"@type":"JobPosting","title":"Senior Engineer '), d,
+        F.lit('","datePosted":"2024-05-'), day,
+        F.lit('","hiringOrganization":{"name":"Co '), co, F.lit('"}}'),
+    )
+    org = F.concat(F.lit('{"@type":"Organization","name":"Co '), co, F.lit('"}'))
+    m = F.col("doc_id") % 5
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            jp_full, F.lit('</script></head><body>p</body></html>')))
+        .when(m == 1, F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            org, F.lit("</script></head></html>")))
+        .when(m == 2, F.concat(
+            F.lit("<html><head><script type='application/ld+json'>"
+                  "plain text, not json</script>"
+                  '<script async type="application/ld+json">'),
+            jp_full, F.lit("</script></head></html>")))
+        .when(m == 3, F.concat(
+            F.lit('<HTML><HEAD><SCRIPT TYPE="application/ld+json">'),
+            jp_min, F.lit("</SCRIPT></HEAD></HTML>")))
+        .otherwise(F.lit("<html><body>no structured data</body></html>"))
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return (
+        pages.select(
+            "doc_id", F.explode(jsonld_blocks(F.col("html"))).alias("block")
+        )
+        .select("doc_id", jobposting_from_block(F.col("block")).alias("jp"))
+        .where(F.col("jp.`@type`") == "JobPosting")
+        .select(
+            "doc_id",
+            F.col("jp.title").alias("title"),
+            F.col("jp.hiringOrganization.name").alias("company"),
+            F.col("jp.jobLocation.address.addressLocality").alias("location"),
+            F.col("jp.employmentType").alias("employment_type"),
+            F.col("jp.datePosted").alias("date_posted"),
+        )
+        .orderBy("doc_id")
+    )
