@@ -174,3 +174,45 @@ def hreflang_pairs(html: Column) -> Column:
         ),
     )
     return F.filter(pairs, lambda p: (p["lang"] != "") & (p["href"] != ""))
+
+
+# ---------------------------------------------------------------------------
+# IDN (internationalized domain name) host normalization. The web's DNS
+# layer only speaks ASCII: a crawler that keys its frontier/seen-set on
+# raw unicode hosts fetches münchen.example and xn--mnchen-3ya.example
+# as two different sites. Punycode (RFC 3492 bootstring via the stdlib
+# IDNA codec) is inherently procedural, so this is a deliberate
+# pandas-UDF slow path — but GATED: the UDF only ever receives the rare
+# non-ASCII hosts (null for the rest), so the hot path stays a JVM
+# lowercase. Composes in front of surt_key / dedup_key when a corpus
+# carries raw IRIs.
+# ---------------------------------------------------------------------------
+
+_NON_ASCII_RX = "[^\\x00-\\x7F]"
+
+
+def _idn_one(host):
+    if host is None:
+        return None
+    h = host.strip().rstrip(".").lower()
+    if not h:
+        return h
+    try:
+        return h.encode("idna").decode("ascii")
+    except UnicodeError:
+        return h  # malformed/overlong label: keep the lowercased form
+
+
+@pandas_udf(StringType())
+def _idn_udf(host: pd.Series) -> pd.Series:
+    return host.map(_idn_one)
+
+
+def idn_host_expr(host: Column) -> Column:
+    """Host → ASCII (punycode) form: trim, strip trailing dots,
+    lowercase; non-ASCII labels IDNA-encoded. ASCII hosts (≈all of the
+    web) never touch Python — the UDF input is nulled for them, so the
+    Arrow transfer carries no work."""
+    ascii_fast = F.lower(F.regexp_replace(F.trim(host), r"\.+$", ""))
+    slow = _idn_udf(F.when(host.rlike(_NON_ASCII_RX), host))
+    return F.coalesce(slow, ascii_fast)

@@ -637,3 +637,120 @@ def q_jsonld_jobposting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-level REP (functions/pagerep): meta robots noindex/nofollow/none
+# (any attribute order/quote/case, multiple-tag union), X-Robots-Tag
+# header directives, and per-anchor rel=nofollow/ugc/sponsored. Six
+# synthesized page shapes cover every gate; outputs are the decisions a
+# frontier needs: may-index, may-follow, and how many outlinks survive.
+# ---------------------------------------------------------------------------
+
+_PAGEREP_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 6 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 1 END AS index_ok,
+  CASE doc_id % 6 WHEN 2 THEN 0 WHEN 4 THEN 0 ELSE 1 END AS follow_ok,
+  CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 0
+                  WHEN 3 THEN 2 WHEN 4 THEN 0 ELSE 1 END AS links_followed
+FROM documents ORDER BY doc_id
+"""
+
+
+@_register("page_rep_gate", oracle=_PAGEREP_ORACLE)
+def q_page_rep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page Robots Exclusion Protocol decisions: index permission
+    (meta/header noindex), follow permission (meta/header nofollow,
+    `none` implying both), and the outlink set after dropping
+    rel=nofollow/ugc/sponsored anchors. Pure map-side regexp + array
+    higher-order functions; the only shuffle is the presentation sort."""
+    from crawler_ai_spark.functions.pagerep import (
+        followable_hrefs,
+        meta_robots_expr,
+        x_robots_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    links3 = "<a href=\"/a\">A</a><a href='/b'>B</a><a href=/c>C</a>"
+    m = F.col("doc_id") % 6
+    html = (
+        F.when(m == 0, F.lit(f"<html><body>{links3}</body></html>"))
+        .when(m == 1, F.lit(
+            '<html><head><meta name="robots" content="noindex, follow">'
+            f"</head><body>{links3}</body></html>"))
+        .when(m == 2, F.lit(
+            "<html><head><META NAME=ROBOTS CONTENT=\"NONE\"></head>"
+            f"<body>{links3}</body></html>"))
+        .when(m == 3, F.lit(
+            '<html><head><meta content="all" name="robots"></head><body>'
+            '<a rel="nofollow" href="/paid">x</a>'
+            "<a href=\"/ugc\" rel='ugc external'>y</a>"
+            '<a href="/f1">z</a><a href="/f2">w</a></body></html>'))
+        .when(m == 4, F.lit(f"<html><body>{links3}</body></html>"))
+        .otherwise(F.lit(
+            '<html><head><meta name="viewport" content="width=1"></head>'
+            "<body><a href=/sp rel=sponsored>s</a>"
+            '<a href="/ok">o</a></body></html>'))
+    )
+    x_robots = F.when(m == 4, F.lit("noarchive, nofollow"))
+    pages = docs.select(
+        "doc_id", html.alias("html"), x_robots.alias("x_robots")
+    )
+    meta = meta_robots_expr(F.col("html"))
+    xr = x_robots_expr(F.col("x_robots"))
+    return pages.select(
+        "doc_id",
+        (~(meta["noindex"] | xr["noindex"])).cast("int").alias("index_ok"),
+        (~(meta["nofollow"] | xr["nofollow"])).cast("int").alias("follow_ok"),
+        F.size(followable_hrefs(F.col("html"), F.col("x_robots")))
+        .alias("links_followed"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IDN host normalization (functions/urls.idn_host_expr): unicode hosts
+# → punycode ASCII, the form DNS and the seen-set actually key on. The
+# oracle pins the RFC 3490/3492 expected encodings as literals (DuckDB
+# has no punycode); the Spark side computes them through the gated
+# stdlib-IDNA pandas UDF (ASCII rows never reach Python).
+# ---------------------------------------------------------------------------
+
+_IDN_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'xn--mnchen-3ya.example'
+    WHEN 1 THEN 'xn--bcher-kva.de'
+    WHEN 2 THEN 'xn--wgv71a.jp'
+    WHEN 3 THEN 'xn--vitnam-jk8b.vn'
+    WHEN 4 THEN 'www.example' || (doc_id % 11) || '.com'
+    ELSE 'xn--mnchen-3ya.example'
+  END AS ascii_host
+FROM documents ORDER BY doc_id
+"""
+
+
+@_register("idn_host_normalize", oracle=_IDN_ORACLE)
+def q_idn_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punycode host canonicalization over a mixed unicode/ASCII host
+    column: uppercase unicode, Latin/CJK/Vietnamese labels, trailing
+    dots, already-encoded xn-- hosts, and the ASCII majority (which the
+    plan keeps JVM-side — the UDF input is nulled for them)."""
+    from crawler_ai_spark.functions.urls import idn_host_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.lit("MÜNCHEN.example"))
+        .when(m == 1, F.lit("bücher.de"))
+        .when(m == 2, F.lit("日本.jp"))
+        .when(m == 3, F.lit("việtnam.vn"))
+        .when(m == 4, F.concat(
+            F.lit("WWW.Example"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".COM.")))
+        .otherwise(F.lit("xn--mnchen-3ya.example"))
+    )
+    return (
+        docs.select("doc_id", host.alias("host"))
+        .select("doc_id", idn_host_expr(F.col("host")).alias("ascii_host"))
+        .orderBy("doc_id")
+    )
