@@ -216,3 +216,84 @@ def idn_host_expr(host: Column) -> Column:
     ascii_fast = F.lower(F.regexp_replace(F.trim(host), r"\.+$", ""))
     slow = _idn_udf(F.when(host.rlike(_NON_ASCII_RX), host))
     return F.coalesce(slow, ascii_fast)
+
+
+# ---------------------------------------------------------------------------
+# Registered (registrable) domain via the Public Suffix List algorithm.
+# Host-grain crawl budgets, mirror detection and quality rollups all
+# want "example.co.uk", not "co.uk" (naive last-2-labels) — at web
+# scale grouping by the wrong grain merges every .co.uk site into one
+# politeness bucket. Rules below are a representative embedded subset
+# of the PSL (publicsuffix.org, MPL-licensed data): exact rules,
+# wildcard rules (*.ck), and exception rules (!www.ck), evaluated
+# longest-match-first per the published algorithm; unlisted TLDs fall
+# to the default '*' rule. The full 9k-rule list drops in by extending
+# these sets — membership compiles to an InSet hash probe, so the whole
+# thing stays inside whole-stage codegen: no UDF, no join, no shuffle.
+# ---------------------------------------------------------------------------
+
+_PSL_EXACT = [
+    # ICANN 2nd-level country suffixes (subset)
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "com.tr", "org.tr", "gov.tr",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.nz", "org.nz", "govt.nz",
+    "com.sg", "edu.sg", "gov.sg",
+    "com.hk", "org.hk", "gov.hk",
+    "co.za", "org.za", "gov.za",
+    "com.ar", "org.ar", "gob.ar",
+    "co.th", "or.th", "go.th",
+    "com.tw", "org.tw", "gov.tw",
+    # private-section suffixes (subset): platform subdomains are
+    # independent registrants — exactly the grain a crawler budgets on
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "pages.dev", "workers.dev", "tumblr.com",
+    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+]
+_PSL_WILDCARD_PARENTS = ["ck", "er", "np", "compute.amazonaws.com"]
+_PSL_EXCEPTIONS = ["www.ck"]
+
+_PSL_MAX = 2 + max(
+    max(s.count(".") + 1 for s in _PSL_EXACT),
+    max(s.count(".") + 1 for s in _PSL_WILDCARD_PARENTS),
+)
+
+
+def registered_domain_expr(host: Column) -> Column:
+    """Host → registrable domain (public suffix + one label), PSL
+    longest-match semantics; NULL when the host itself is a public
+    suffix (nothing is registered). Compose after idn_host_expr for
+    raw-IRI corpora."""
+    h = F.lower(F.regexp_replace(F.trim(F.coalesce(host, F.lit(""))), r"\.+$", ""))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def suffix(k: int) -> Column:
+        return F.array_join(F.slice(labels, n - k + 1, F.lit(k)), ".")
+
+    def is_ps(k: int) -> Column:
+        if k == 1:
+            return n >= 1  # default '*' rule: every TLD is a public suffix
+        exact = suffix(k).isin(_PSL_EXACT)
+        wild = suffix(k - 1).isin(_PSL_WILDCARD_PARENTS) & ~suffix(k).isin(
+            _PSL_EXCEPTIONS
+        )
+        return (n >= k) & (exact | wild)
+
+    # longest matching public suffix wins; suffix(p+1) is NULL-by-slice
+    # when the host has no label left of the suffix
+    out = F.when(n >= 2, suffix(2)).otherwise(F.lit(None).cast("string"))
+    for p in range(2, _PSL_MAX + 1):
+        out = F.when(
+            is_ps(p),
+            F.when(n >= p + 1, suffix(p + 1)),
+        ).otherwise(out)
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(out)

@@ -754,3 +754,58 @@ def q_idn_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", idn_host_expr(F.col("host")).alias("ascii_host"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered-domain extraction (functions/urls.registered_domain_expr):
+# the PSL algorithm over exact / wildcard / exception rules — the grain
+# host budgets and quality rollups actually want. Eight synthesized
+# host shapes: multi-label country suffix, www + gTLD, private-section
+# platform suffix (github.io), deep Vietnamese 2LD, a wildcard-ps host
+# (NULL — nothing registered), a name under it, the !www.ck exception,
+# and an unlisted TLD falling to the default rule.
+# ---------------------------------------------------------------------------
+
+_REGDOM_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN 'bbc' || (doc_id % 3) || '.co.uk'
+    WHEN 1 THEN 'example' || (doc_id % 7) || '.com'
+    WHEN 2 THEN 'user' || (doc_id % 4) || '.github.io'
+    WHEN 3 THEN 'site' || (doc_id % 5) || '.com.vn'
+    WHEN 4 THEN NULL
+    WHEN 5 THEN 'bar' || (doc_id % 3) || '.foo.ck'
+    WHEN 6 THEN 'www.ck'
+    ELSE 'host' || (doc_id % 9) || '.unknowntld'
+  END AS reg_domain
+FROM documents ORDER BY doc_id
+"""
+
+
+@_register("registered_domains", oracle=_REGDOM_ORACLE)
+def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware registrable-domain extraction. Membership
+    probes compile to InSet — the whole derivation is one codegen'd
+    projection; the only shuffle is the presentation sort."""
+    from crawler_ai_spark.functions.urls import registered_domain_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    s = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    host = (
+        F.when(m == 0, F.concat(F.lit("news."), F.lit("bbc"), s(3), F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("www.example"), s(7), F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("user"), s(4), F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("deep.a.site"), s(5), F.lit(".com.vn")))
+        .when(m == 4, F.lit("foo.ck"))
+        .when(m == 5, F.concat(F.lit("bar"), s(3), F.lit(".foo.ck")))
+        .when(m == 6, F.lit("WWW.CK"))
+        .otherwise(F.concat(F.lit("host"), s(9), F.lit(".unknowntld")))
+    )
+    return (
+        docs.select("doc_id", host.alias("host"))
+        .select(
+            "doc_id", registered_domain_expr(F.col("host")).alias("reg_domain")
+        )
+        .orderBy("doc_id")
+    )
