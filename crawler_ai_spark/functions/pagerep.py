@@ -117,3 +117,63 @@ def followable_hrefs(html: Column, x_robots: Column | None = None) -> Column:
     return F.when(page_nf, F.array().cast("array<string>")).otherwise(
         F.transform(kept, lambda l: l["href"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python twins for the golden crawl simulator (tests/golden_crawl)
+# — same regexes, same token semantics, so the Spark loop's REP gate can
+# be pinned bit-for-bit against a sequential model (the pattern every
+# loop gate in this repo follows).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_PY_META = _re.compile(_META_RX)
+_PY_ANCHOR = _re.compile(_ANCHOR_RX)
+_PY_NAME_ROBOTS = _re.compile(_NAME_ROBOTS_RX)
+
+
+def _py_attr(attrs: str, name: str) -> str:
+    m = _re.search(rf'(?is)\b{name}\s*=\s*"([^"]*)"', attrs)
+    if m:
+        return m.group(1)
+    m = _re.search(rf"(?is)\b{name}\s*=\s*'([^']*)'", attrs)
+    if m:
+        return m.group(1)
+    m = _re.search(rf"(?is)\b{name}\s*=\s*([^\s\"'>]+)", attrs)
+    return m.group(1) if m else ""
+
+
+def _py_has_token(value: str, token: str) -> bool:
+    return bool(
+        _re.search(rf"(?i)(^|[,:\s])\s*{token}\s*($|[,:\s])", value or "")
+    )
+
+
+def py_meta_robots(html: str | None) -> tuple[bool, bool]:
+    """(noindex, nofollow) — twin of meta_robots_expr."""
+    noindex = nofollow = False
+    for m in _PY_META.finditer(html or ""):
+        tag = m.group(0)
+        if not _PY_NAME_ROBOTS.search(tag):
+            continue
+        content = _py_attr(tag, "content")
+        none = _py_has_token(content, "none")
+        noindex = noindex or none or _py_has_token(content, "noindex")
+        nofollow = nofollow or none or _py_has_token(content, "nofollow")
+    return noindex, nofollow
+
+
+def py_nofollow_hrefs(html: str | None) -> set[str]:
+    """hrefs of rel=nofollow/ugc/sponsored anchors — twin of
+    rel_links_expr's nofollow=true subset."""
+    out: set[str] = set()
+    for m in _PY_ANCHOR.finditer(html or ""):
+        attrs = m.group(1)
+        href = _py_attr(attrs, "href")
+        if not href:
+            continue
+        rel = _py_attr(attrs, "rel")
+        if any(_py_has_token(rel, t) for t in ("nofollow", "ugc", "sponsored")):
+            out.add(href)
+    return out

@@ -57,6 +57,21 @@ def harvest_links(parsed: DataFrame) -> DataFrame:
     (scrapy_career_spider.py:179-208/:476-495)."""
     links = explode_links(parsed).where(F.col("href").isNotNull())
 
+    # page-level REP (column-guarded, CrawlConfig.obey_page_rep): a
+    # rel-nofollow'd anchor drops BEFORE dedup/bucketing so it never
+    # consumes O2 budget — matching the sequential model, where the
+    # publisher's annotation removes the link from consideration
+    if "rep_nofollow_hrefs" in parsed.columns:
+        links = links.where(
+            ~F.array_contains(
+                F.coalesce(
+                    F.col("rep_nofollow_hrefs"),
+                    F.array().cast("array<string>"),
+                ),
+                F.col("href"),
+            )
+        ).drop("rep_nofollow_hrefs")
+
     # F1 — raw-href validity vs the SEED's domain (spider :280-325)
     links = links.where(FL.is_valid_link_expr(F.col("href"), F.col("seed_host")))
 

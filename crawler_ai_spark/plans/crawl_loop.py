@@ -215,6 +215,15 @@ class CrawlConfig:
     # the TTL ledger (a soft 404 can come back to life). Row-local JVM
     # expressions, map-side free. False (default): loop byte-identical.
     soft404_filter: bool = False
+    # Page-level REP gate (functions/pagerep.py): meta robots noindex
+    # drops the page from career/job emission (crawled, never indexed);
+    # meta robots nofollow/none drops ALL its outlinks from the
+    # frontier; rel=nofollow/ugc/sponsored anchors drop individually
+    # BEFORE bucketing so a nofollow'd link never consumes O2 budget.
+    # Row-local JVM regexps, map-side free; pinned against the golden
+    # simulator's pure-Python twins (tests/test_pagerep_loop.py).
+    # False (default): loop byte-identical.
+    obey_page_rep: bool = False
 
 
 FRONTIER_COLS = [
@@ -608,12 +617,34 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         )
     else:
         soft404 = F.lit(False)
+    not_noindex = F.lit(True)
+    out = parsed
+    if cfg.obey_page_rep:
+        from crawler_ai_spark.functions import pagerep as REP
+
+        html_str = decoded_html(F.col("html"))
+        meta = REP.meta_robots_expr(html_str)
+        nf_hrefs = F.transform(
+            F.filter(REP.rel_links_expr(html_str), lambda l: l["nofollow"]),
+            lambda l: l["href"],
+        )
+        out = (
+            out.withColumn("rep_noindex", F.col("fetched") & meta["noindex"])
+            .withColumn("rep_nofollow", F.col("fetched") & meta["nofollow"])
+            .withColumn(
+                "rep_nofollow_hrefs",
+                F.when(F.col("fetched"), nf_hrefs).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        )
+        not_noindex = ~F.col("rep_noindex")
     return (
-        parsed.withColumn("soft404", soft404)
+        out.withColumn("soft404", soft404)
         .withColumn("career_score", F.when(F.col("fetched"), career_score).otherwise(F.lit(0.0)))
         .withColumn(
             "is_career_page",
-            F.col("fetched") & ~F.col("soft404")
+            F.col("fetched") & ~F.col("soft404") & not_noindex
             & is_listing & (career_score >= F.lit(K.CAREER_SCORE_THRESHOLD)),
         )
         .withColumn(
@@ -645,12 +676,16 @@ def order_and_gate(parsed: DataFrame, seed_state: DataFrame) -> DataFrame:
     crawled_through = F.col("crawled_total") + F.col("page_order")
     career_through = F.col("career_total") + F.col("career_cum")
     # soft-404 pages yield nothing (column-guarded: direct callers may
-    # pass minimal parsed shapes)
+    # pass minimal parsed shapes); ditto page-level REP nofollow
     not_soft = ~F.col("soft404") if "soft404" in parsed.columns else F.lit(True)
+    not_rep_nf = (
+        ~F.col("rep_nofollow") if "rep_nofollow" in parsed.columns else F.lit(True)
+    )
     return df.withColumn(
         "yields_links",
         F.col("fetched")
         & not_soft
+        & not_rep_nf
         & ~F.col("is_recrawl")
         & (
             (F.col("depth") == 0)
@@ -699,8 +734,11 @@ def next_frontier(
     anti-join is the sandbox-scale fast path. Pass ``blooms`` (e.g. the
     OR-merge of committed per-batch delta blobs) to skip the full
     rebuild-from-seen — the incremental path run_crawl uses."""
+    rep_cols = (
+        ["rep_nofollow_hrefs"] if "rep_nofollow_hrefs" in gated.columns else []
+    )
     yielding = gated.where(F.col("yields_links")).select(
-        "seed_url", "seed_host", "url", "depth", "page_order", "parse"
+        "seed_url", "seed_host", "url", "depth", "page_order", "parse", *rep_cols
     )
     links = FR.harvest_links(yielding)
     if trap_filter or trap_quarantine_share is not None:

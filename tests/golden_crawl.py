@@ -21,6 +21,7 @@ import dataclasses
 
 from crawler_ai_spark import constants as K
 from crawler_ai_spark.functions import textnorm, urlrules
+from crawler_ai_spark.functions.pagerep import py_meta_robots, py_nofollow_hrefs
 
 
 @dataclasses.dataclass
@@ -39,6 +40,7 @@ def simulate_crawl(
     max_pages: int = K.DEFAULT_MAX_PAGES,
     max_career: int = K.DEFAULT_MAX_CAREER_PAGES,
     max_batches: int = 8,
+    obey_page_rep: bool = False,
 ) -> dict:
     seen: dict[str, set[str]] = {s: {s} for s in seed_urls}
     counters = {s: {"crawled": 0, "career": 0, "seq": 0} for s in seed_urls}
@@ -64,14 +66,20 @@ def simulate_crawl(
             is_career = False
             score = 0.0
             parse = None
+            rep_noindex = rep_nofollow = False
+            rep_nf_hrefs: set[str] = set()
             if fetched:
                 st["crawled"] += 1
                 parse = textnorm.scan_html(html)
                 content_lower = html.lower()
                 title_lower = parse.title.lower()
+                if obey_page_rep:
+                    rep_noindex, rep_nofollow = py_meta_robots(html)
+                    rep_nf_hrefs = py_nofollow_hrefs(html)
                 score = urlrules.career_score(e.url, content_lower, title_lower)
                 is_career = (
                     urlrules.is_career_listing_page(e.url, content_lower, title_lower)
+                    and not rep_noindex
                     and score >= K.CAREER_SCORE_THRESHOLD
                 )
                 if is_career:
@@ -99,12 +107,17 @@ def simulate_crawl(
                     is_career=is_career, score=round(score, 9),
                 )
             )
-            yields = fetched and (
-                e.depth == 0 or (st["crawled"] < max_pages and st["career"] < max_career)
+            yields = (
+                fetched
+                and not rep_nofollow
+                and (
+                    e.depth == 0
+                    or (st["crawled"] < max_pages and st["career"] < max_career)
+                )
             )
             if not yields:
                 continue
-            hrefs = [h for h, _, _ in parse.out_links if h]
+            hrefs = [h for h, _, _ in parse.out_links if h and h not in rep_nf_hrefs]
             valid = [h for h in hrefs if urlrules.is_valid_link(h, seed_host)]
             unique = list(dict.fromkeys(valid))  # determinized list(set(...))
             buckets: dict[int, list[str]] = {100: [], 80: [], 50: [], 10: []}

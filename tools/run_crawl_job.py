@@ -111,6 +111,9 @@ def main() -> None:
                          "are dropped and the host's next frontier "
                          "appearance refetches /robots.txt (lazy "
                          "revalidation; default caches for the crawl)")
+    ap.add_argument("--obey-page-rep", action="store_true",
+                    help="honor page-level REP: meta robots noindex/"
+                         "nofollow, rel=nofollow/ugc/sponsored links")
     ap.add_argument("--trap-filter", action="store_true",
                     help="drop spider-trap URLs (segment loops, calendar "
                          "pagers, session ids, query cross-products, depth/"
@@ -223,6 +226,7 @@ def main() -> None:
             live_robots=args.live_robots,
             host_failure_threshold=args.fail_threshold,
             host_cooldown_batches=args.fail_cooldown,
+            obey_page_rep=args.obey_page_rep,
             trap_filter=args.trap_filter,
             trap_quarantine_share=args.trap_quarantine,
             robots_ttl_batches=args.robots_ttl,
