@@ -297,3 +297,109 @@ def warc_to_wet(records: DataFrame) -> DataFrame:
     return ok.select(
         "url", "warc_ts", text_udf(F.col("html")).alias("text")
     )
+
+
+WAT_LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("href", T.StringType()),
+        T.StructField("slot", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+# the WAT payload shape (subset of Common Crawl's *.warc.wat.gz JSON:
+# Envelope.WARC-Header-Metadata + Payload-Metadata.HTTP-Response-Metadata
+# .HTML-Metadata, snake_cased) — also the from_json schema consumers use
+# to read a WAT column back into typed fields
+WAT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "warc_header",
+                        T.StructType(
+                            [
+                                T.StructField("target_uri", T.StringType()),
+                                T.StructField("date", T.StringType()),
+                                T.StructField("type", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "payload",
+                        T.StructType(
+                            [
+                                T.StructField("status", T.IntegerType()),
+                                T.StructField(
+                                    "html_meta",
+                                    T.StructType(
+                                        [
+                                            T.StructField("title", T.StringType()),
+                                            T.StructField(
+                                                "meta_description", T.StringType()
+                                            ),
+                                            T.StructField(
+                                                "links", T.ArrayType(WAT_LINK_SCHEMA)
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def warc_to_wat(records: DataFrame) -> DataFrame:
+    """WAT derivation (the Common Crawl *.warc.wat.gz product shape) —
+    the third CC derivative next to warc_to_wet and warc_cdx: one JSON
+    metadata record per WARC response record, carrying the WARC header
+    envelope (target URI, capture date, record type) and the extracted
+    HTML metadata — title, meta[name=description], and the out-link list
+    with slot (nav|footer|body) and anchor text. The reference stores the
+    same parse fields as ad-hoc result-dict rows (crawler.py:330-386);
+    WAT is their archive-format equivalent, and the extraction here is
+    the SAME structural parse the crawl loop runs (functions/html
+    parse_page → textnorm.scan_html), so a WAT export and a crawl agree
+    field for field.
+
+    Unlike WET, WAT keeps non-200 records (CC emits metadata for every
+    record); bodyless records carry empty html_meta. The plan is one
+    Arrow parse pass + a JVM-side to_json — no shuffle. Read the column
+    back with from_json(wat_json, WAT_SCHEMA)."""
+    from crawler_ai_spark.functions import html as HT
+
+    parsed = HT.with_parse(records)
+    p = F.col("parse")
+    links = F.arrays_zip(
+        p["link_hrefs"].alias("href"),
+        p["link_slots"].alias("slot"),
+        p["link_texts"].alias("text"),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.col("url").alias("target_uri"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("date"),
+            F.lit("response").alias("type"),
+        ).alias("warc_header"),
+        F.struct(
+            F.col("status").alias("status"),
+            F.struct(
+                p["title"].alias("title"),
+                p["meta_description"].alias("meta_description"),
+                links.alias("links"),
+            ).alias("html_meta"),
+        ).alias("payload"),
+    )
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "status",
+        F.to_json(F.struct(envelope.alias("envelope"))).alias("wat_json"),
+    )

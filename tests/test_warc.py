@@ -156,3 +156,58 @@ def test_cdx_index_offsets_and_digests(spark, pages, tmp_path, gz):
             for r in rows:
                 sliced = list(W._parse_warc(data[r.offset : r.offset + r.rec_length]))
                 assert len(sliced) == 1 and sliced[0][0] == r.url
+
+
+def test_wat_json_structure(spark):
+    """warc_to_wat emits parseable JSON whose envelope reproduces the
+    record header and whose html_meta matches the structural parse —
+    including a non-200 record (WAT keeps all records, unlike WET) and
+    a bodyless one (empty html_meta, not a crash)."""
+    import datetime as dt
+    import json
+
+    html = (
+        b"<html><head><title>T1</title>"
+        b'<meta name="description" content="D1"></head>'
+        b'<body><nav><a href="/nav">Nav</a></nav>'
+        b'<p>hello <a href="/x">X link</a></p>'
+        b'<footer><a href="/f">F</a></footer></body></html>'
+    )
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    rows = [
+        ("https://a.example/", ts, html, 200),
+        ("https://a.example/gone", ts, None, 404),
+    ]
+    records = spark.createDataFrame(rows, W.PAGE_SCHEMA)
+    out = {r.url: r for r in W.warc_to_wat(records).collect()}
+    assert set(out) == {u for u, *_ in rows}
+
+    w = json.loads(out["https://a.example/"].wat_json)["envelope"]
+    assert w["warc_header"] == {
+        "target_uri": "https://a.example/",
+        "date": "2024-03-01T12:00:00.123456Z",
+        "type": "response",
+    }
+    meta = w["payload"]["html_meta"]
+    assert w["payload"]["status"] == 200
+    assert meta["title"] == "T1"
+    assert meta["meta_description"] == "D1"
+    assert [(l["href"], l["slot"], l["text"]) for l in meta["links"]] == [
+        ("/nav", "nav", "Nav"),
+        ("/x", "body", "X link"),
+        ("/f", "footer", "F"),
+    ]
+
+    gone = json.loads(out["https://a.example/gone"].wat_json)["envelope"]
+    assert gone["payload"]["status"] == 404
+    assert gone["payload"]["html_meta"]["links"] == []
+
+    # from_json(WAT_SCHEMA) reads the column back into typed fields
+    typed = (
+        W.warc_to_wat(records)
+        .select(F.from_json("wat_json", W.WAT_SCHEMA).alias("w"))
+        .where(F.col("w.envelope.payload.status") == 200)
+        .select("w.envelope.payload.html_meta.title")
+        .collect()
+    )
+    assert [r.title for r in typed] == ["T1"]
