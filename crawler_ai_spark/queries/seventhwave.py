@@ -127,3 +127,147 @@ def q_warc_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash near-dup CLUSTERS over documents (pipeline/dedup.py:
+# minhash_lsh_pairs → connected_components): the doc-side twin of
+# emb_dup_clusters — pairs say "these two match"; dedup keeps one per
+# TRANSITIVE component. Spark: iterative min-label propagation (O(diameter)
+# key-join rounds, no collect); DuckDB: recursive-CTE closure over the
+# same edge set — independent algorithms, same fixpoint. A seeded 6-node
+# chain guarantees multi-hop transitivity is exercised even when the
+# natural corpus pairs are disjoint edges.
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_pairs_sql() -> str:
+    from crawler_ai_spark.queries.corpusdocs import _jaccard_oracle
+
+    return _jaccard_oracle(0.5)
+
+
+_DOC_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_jaccard_pairs_sql()}) t
+  UNION ALL
+  SELECT doc_id AS a_id, doc_id + 1 AS b_id FROM documents WHERE doc_id < 5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_id,
+       node = min(label) AS is_keeper
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+@_register("doc_dup_clusters", oracle=_DOC_CLUSTERS_ORACLE)
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs closed into components, with the
+    keep-one-per-cluster decision (keeper = min doc_id — deterministic,
+    no tie-break ambiguity). Output covers nodes that appear in at least
+    one edge; singletons need no dedup decision."""
+    from crawler_ai_spark.pipeline import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    chain = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id")
+    )
+    cc = DD.connected_components(pairs.unionByName(chain))
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Open Graph / Twitter-card metadata (functions/ogmeta.py): the synth html
+# varies attribute order, quote style, tag presence, and og:type by doc_id
+# arithmetic, so DuckDB predicts every value by construction while Spark
+# must extract them from the markup with the real regexes.
+# ---------------------------------------------------------------------------
+
+_OG_ORACLE = """
+WITH pages AS (SELECT doc_id FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'OG Title ' || doc_id END AS og_title,
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            WHEN doc_id % 3 = 0 THEN 'Desc A ' || (doc_id % 7)
+            ELSE 'Desc B ' || (doc_id % 7) END AS og_description,
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            WHEN doc_id % 5 = 0 THEN 'article' ELSE 'website' END AS og_type,
+       CASE WHEN doc_id % 11 = 0 OR doc_id % 2 = 0 THEN ''
+            ELSE 'https://img.example/i/' || doc_id || '.png' END AS og_image,
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            WHEN doc_id % 4 = 0 THEN 'summary_large_image'
+            ELSE 'summary' END AS twitter_card
+FROM pages ORDER BY doc_id
+"""
+
+
+@_register("og_metadata", oracle=_OG_ORACLE)
+def q_og_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph + Twitter-card extraction: title (attr order prop-first),
+    description (doc_id%3 picks content-FIRST vs prop-first attribute
+    order), type (single-quoted), conditional image, twitter:card via
+    name=. doc_id%11 pages carry no social meta at all ('' extraction)."""
+    from crawler_ai_spark.functions import ogmeta as OG
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    title_tag = F.concat(
+        F.lit('<meta property="og:title" content="OG Title '), s, F.lit('">')
+    )
+    desc_tag = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit('<meta content="Desc A '),
+            (d % 7).cast("string"),
+            F.lit('" property="og:description">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta property="og:description" content="Desc B '),
+            (d % 7).cast("string"),
+            F.lit('">'),
+        )
+    )
+    type_tag = F.when(
+        d % 5 == 0, F.lit("<meta property='og:type' content='article'>")
+    ).otherwise(F.lit("<meta property='og:type' content='website'>"))
+    img_tag = F.when(d % 2 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<meta property="og:image" content="https://img.example/i/'),
+            s,
+            F.lit('.png">'),
+        )
+    )
+    card_tag = F.when(
+        d % 4 == 0,
+        F.lit('<meta name="twitter:card" content="summary_large_image">'),
+    ).otherwise(F.lit('<meta name="twitter:card" content="summary">'))
+    head = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(title_tag, desc_tag, type_tag, img_tag, card_tag)
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")
+        ).alias("html"),
+    )
+    out = OG.with_og_metadata(pages, html_col="html")
+    return out.select(
+        "doc_id", "og_title", "og_description", "og_type", "og_image", "twitter_card"
+    ).orderBy("doc_id")
