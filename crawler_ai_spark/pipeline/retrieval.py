@@ -1,0 +1,107 @@
+"""Inverted-index postings and BM25 ranked retrieval over the documents
+table — the query-side capability a webtext corpus engine pairs with its
+curation side (the reference greps pages per-request with regexes,
+app/services/job_extraction_service.py; an indexed corpus answers the
+same "find the matching documents" question at 100 TB without rescanning
+text per query).
+
+Scale shape:
+  * ``postings`` — one posexplode + one partial-aggregating groupBy on
+    (doc_id, term); tokens of one document never leave their partition
+    before the map-side combine, so the shuffle carries (doc_id, term,
+    tf) rows, not raw tokens.
+  * ``bm25_topk`` — query terms and per-term document frequencies are
+    one-row-per-term broadcasts; corpus stats (N, avgdl) are a one-row
+    crossJoin broadcast (the corpus.py vocab-broadcast precedent). The
+    only wide exchange is the per-doc score aggregation over ≤|query|
+    rows per doc, then a TakeOrdered top-k — no global sort materialized.
+
+Okapi BM25 with the Lucene-style non-negative idf:
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  s(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+Scores are rounded to 6 (repo parity rule: ratio doubles from identical
+integer inputs with identical expression shape, rounded to 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.pipeline.dedup import tokens_col
+
+
+def _clean_tokens(text: F.Column) -> F.Column:
+    # lowercase whitespace tokens, '' dropped (empty text → [''] → [])
+    return F.filter(tokens_col(text), lambda t: t != "")
+
+
+def postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, first_pos) — the inverted-index row set.
+    first_pos is the 0-based token position of the term's first
+    occurrence (proximity/snippet material)."""
+    toks = _clean_tokens(F.col(text_col))
+    exploded = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, F.posexplode(toks).alias("pos", "term"))
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.min("pos").alias("first_pos")
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) token counts under the same tokenizer as postings."""
+    return docs.where(F.col(text_col).isNotNull()).select(
+        id_col, F.size(_clean_tokens(F.col(text_col))).alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25. Deterministic:
+    ties on the rounded score break by doc_id ascending."""
+    spark = docs.sparkSession
+    post = postings(docs, text_col, id_col)
+    dl = doc_lengths(docs, text_col, id_col)
+
+    qt = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    matched = post.join(F.broadcast(qt), "term")
+    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / norm
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

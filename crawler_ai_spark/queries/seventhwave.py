@@ -271,3 +271,74 @@ def q_og_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "og_title", "og_description", "og_type", "og_image", "twitter_card"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (pipeline/retrieval.py): the inverted-index postings
+# build and BM25 top-k — the query-side capability over the curated
+# corpus. DuckDB re-derives postings, document frequencies, and the
+# Okapi formula from first principles on the same tokenizer.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS ord
+  FROM toksed
+)
+"""
+
+_POSTINGS_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(ord) - 1 AS INT) AS first_pos
+FROM ex GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+
+
+@_register("term_postings", oracle=_POSTINGS_ORACLE)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings rows: (doc_id, term, tf, first_pos) under
+    the corpus tokenizer (lowercase whitespace, '' dropped)."""
+    from crawler_ai_spark.pipeline import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.postings(docs).orderBy("doc_id", "term")
+
+
+_BM25_TERMS = ("spark", "window", "join")
+
+_BM25_ORACLE = f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, len(toks) AS dl FROM toksed),
+post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+q AS (SELECT unnest({list(_BM25_TERMS)!r}) AS term),
+m AS (SELECT p.doc_id, p.term, p.tf FROM post p JOIN q USING (term)),
+dft AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+SELECT m.doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * CAST(tf AS DOUBLE) * 2.2
+         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY m.doc_id ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
+@_register("bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the bag-of-terms query 'spark window join'
+    (k1=1.2, b=0.75, Lucene-style non-negative idf). Ties on the
+    rounded score break by doc_id — deterministic in both engines."""
+    from crawler_ai_spark.pipeline import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, list(_BM25_TERMS), k=20)
