@@ -105,3 +105,78 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def positions(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, positions array<int>) — the positional index rows
+    proximity/phrase queries consume. Same plan shape as ``postings``
+    (collect_list replaces count; partial aggregation still applies)."""
+    toks = _clean_tokens(F.col(text_col))
+    exploded = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, F.posexplode(toks).alias("pos", "term"))
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.array_sort(F.collect_list("pos")).alias("positions")
+    )
+
+
+def proximity_match(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` co-occur within
+    ``window`` tokens (|pos_a - pos_b| <= window), with the closest
+    distance. Positional-index join on
+    doc_id; the pair-distance scan is an exploded JVM expression over
+    the two (short) position arrays — no Python."""
+    pos = positions(docs, text_col, id_col)
+    a = pos.where(F.col("term") == term_a).select(id_col, F.col("positions").alias("pa"))
+    b = pos.where(F.col("term") == term_b).select(id_col, F.col("positions").alias("pb"))
+    joined = a.join(b, id_col)
+    # all |pa_i - pb_j| distances: flatten the pairwise transform grid
+    dists = F.flatten(
+        F.transform(
+            F.col("pa"),
+            lambda x: F.transform(F.col("pb"), lambda y: F.abs(x - y)),
+        )
+    )
+    best = F.array_min(dists)
+    return (
+        joined.withColumn("distance", best)
+        .where(F.col("distance") <= window)
+        .select(id_col, "distance")
+    )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    term: str,
+    radius: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippet around the FIRST occurrence of ``term``:
+    up to ``radius`` tokens each side, space-joined. Token-grain (matches
+    the index), map-only — slice + array_join on the token array."""
+    toks = _clean_tokens(F.col(text_col))
+    first = F.array_position(toks, term)  # 1-based; 0 = absent
+    lo = F.greatest(first - radius, F.lit(1))
+    ln = F.least(first + radius, F.size(toks)) - lo + 1
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("_first", first)
+        .where(F.col("_first") > 0)
+        .select(
+            id_col,
+            (F.col("_first") - 1).alias("match_pos"),
+            F.array_join(F.slice("_toks", lo, ln), " ").alias("snippet"),
+        )
+    )

@@ -342,3 +342,60 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return R.bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+_PROX_ORACLE = f"""
+WITH {_TOKS_CTE},
+pa AS (SELECT doc_id, list(ord - 1 ORDER BY ord) AS pa FROM ex
+       WHERE term = 'spark' GROUP BY doc_id),
+pb AS (SELECT doc_id, list(ord - 1 ORDER BY ord) AS pb FROM ex
+       WHERE term = 'window' GROUP BY doc_id),
+d AS (
+  SELECT pa.doc_id,
+         CAST(list_min(flatten(list_transform(pa,
+              x -> list_transform(pb, y -> abs(x - y))))) AS INT) AS distance
+  FROM pa JOIN pb USING (doc_id)
+)
+SELECT doc_id, distance FROM d WHERE distance <= 5 ORDER BY doc_id
+"""
+
+
+@_register("proximity_match", oracle=_PROX_ORACLE)
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index proximity query: docs where 'spark' and 'window'
+    co-occur within 5 tokens, plus the closest pair distance."""
+    from crawler_ai_spark.pipeline import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.proximity_match(docs, "spark", "window", window=5).orderBy("doc_id")
+
+
+_KWIC_ORACLE = """
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+hit AS (
+  SELECT doc_id, toks, list_position(toks, 'spark') AS first
+  FROM toksed
+)
+SELECT doc_id,
+       CAST(first - 1 AS BIGINT) AS match_pos,
+       array_to_string(
+         list_slice(toks, greatest(first - 5, 1), least(first + 5, len(toks))),
+         ' ') AS snippet
+FROM hit WHERE first IS NOT NULL AND first > 0 ORDER BY doc_id
+"""
+
+
+@_register("kwic_snippets", oracle=_KWIC_ORACLE)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets around the first 'spark' occurrence
+    (5 tokens each side) — the search-result rendering step over the
+    same tokenizer as the index. Map-only."""
+    from crawler_ai_spark.pipeline import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.kwic_snippets(docs, "spark", radius=5).orderBy("doc_id")

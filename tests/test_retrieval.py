@@ -61,3 +61,20 @@ def test_bm25_matches_reference(docs_df):
     # ranking: doc 2 (3×spark, short) must beat doc 1 (no terms absent)
     order = [r.doc_id for r in R.bm25_topk(docs_df, query, k=10).collect()]
     assert order == sorted(got, key=lambda d: (-got[d][0], d))
+
+
+def test_positions_proximity_kwic(docs_df):
+    pos = {(r.doc_id, r.term): list(r.positions)
+           for r in R.positions(docs_df).collect()}
+    assert pos[(0, "join")] == [1, 2]
+    assert pos[(3, "scan")] == [3, 4, 5, 6, 7]
+
+    # doc 0: spark@0, window@3 → dist 3; doc 3: window@0, no spark
+    prox = {r.doc_id: r.distance
+            for r in R.proximity_match(docs_df, "spark", "window", 5).collect()}
+    assert prox == {0: 3}
+    assert R.proximity_match(docs_df, "spark", "window", 2).count() == 0
+
+    kw = {r.doc_id: (r.match_pos, r.snippet)
+          for r in R.kwic_snippets(docs_df, "join", radius=1).collect()}
+    assert kw == {0: (1, "spark join join"), 3: (1, "window join table")}
