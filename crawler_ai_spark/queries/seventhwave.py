@@ -399,3 +399,74 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return R.kwic_snippets(docs, "spark", radius=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML <table> extraction (functions/tables.py): markup tables →
+# relational cell rows. The synth page varies header presence (doc_id%2),
+# data-row count (doc_id%3 + 1), inner-markup cells, cell attributes, and
+# a second table (doc_id%7) — all arithmetic, so DuckDB enumerates the
+# expected cells by construction while Spark extracts them from markup.
+# ---------------------------------------------------------------------------
+
+_TBL_HEADER = "'<tr><th>Name</th><th class=\"w\">Value</th></tr>'"
+_TBL_ROW = (
+    "CASE WHEN doc_id % 3 >= {i} THEN"
+    " '<tr><td class=\"k\">k' || CAST(doc_id AS STRING) || '-{i}</td>"
+    "<td><b>v</b>  {i}</td></tr>' ELSE '' END"
+)
+
+_TBL_HTML_SQL = (
+    "'<html><body><p>pre</p><table id=\"t0\">'"
+    f" || CASE WHEN doc_id % 2 = 0 THEN {_TBL_HEADER} ELSE '' END || "
+    + " || ".join(_TBL_ROW.format(i=i) for i in range(3))
+    + " || '</table>'"
+    " || CASE WHEN doc_id % 7 = 0 THEN '<table><tr><td>solo</td></tr></table>'"
+    " ELSE '' END || '</body></html>'"
+)
+
+_TBL_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS hdr FROM documents),
+hdr_cells AS (
+  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, c.col_idx,
+         CASE c.col_idx WHEN 0 THEN 'Name' ELSE 'Value' END AS cell,
+         TRUE AS is_header
+  FROM d, (SELECT unnest([0, 1]) AS col_idx) c WHERE hdr
+),
+data_cells AS (
+  SELECT doc_id,
+         0 AS table_idx,
+         i + CASE WHEN hdr THEN 1 ELSE 0 END AS row_idx,
+         c.col_idx,
+         CASE c.col_idx WHEN 0 THEN 'k' || doc_id || '-' || i
+              ELSE 'v ' || i END AS cell,
+         FALSE AS is_header
+  FROM d, (SELECT unnest([0, 1, 2]) AS i) r, (SELECT unnest([0, 1]) AS col_idx) c
+  WHERE doc_id % 3 >= i
+),
+solo AS (
+  SELECT doc_id, 1 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+         'solo' AS cell, FALSE AS is_header
+  FROM d WHERE doc_id % 7 = 0
+)
+SELECT doc_id, CAST(table_idx AS INT) AS table_idx,
+       CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       cell, is_header
+FROM (SELECT * FROM hdr_cells UNION ALL SELECT * FROM data_cells
+      UNION ALL SELECT * FROM solo)
+ORDER BY doc_id, table_idx, row_idx, col_idx
+"""
+
+
+@_register("html_table_cells", oracle=_TBL_ORACLE)
+def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup tables → relational cells: header th detection, inner-tag
+    stripping + whitespace collapse, attribute-carrying cells, multiple
+    tables per page. Pure-JVM nested regexp + posexplode — map-side."""
+    from crawler_ai_spark.functions import tables as TB
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_TBL_HTML_SQL).alias("html"))
+    return TB.extract_tables(pages).orderBy(
+        "doc_id", "table_idx", "row_idx", "col_idx"
+    )
