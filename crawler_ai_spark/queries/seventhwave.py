@@ -470,3 +470,140 @@ def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TB.extract_tables(pages).orderBy(
         "doc_id", "table_idx", "row_idx", "col_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-vocabulary learning (pipeline/bpe.py): the published
+# byte-pair-encoding algorithm at distinct-word grain. The oracle
+# re-runs the SAME algorithm in SQL — an unrolled CTE chain of
+# pair-count → argmax → replace rounds over the spaced segmentation
+# string (replace() is left-to-right non-overlapping in both engines,
+# which is what makes the rounds bit-identical).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+_WORDS_CTE = """
+toksed AS (
+  SELECT list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+words AS (SELECT t.w AS word, count(*) AS cnt FROM toksed, unnest(toks) AS t(w) GROUP BY t.w),
+seg0 AS (
+  SELECT word, cnt,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seg
+  FROM words)
+"""
+
+
+def _bpe_round_sql(i: int) -> str:
+    """ex{i}/p{i}/b{i}/seg{i+1} CTEs: pair counts over seg{i}, the argmax
+    pair, and the merged segmentation."""
+    return f"""
+ex{i} AS (
+  SELECT word, cnt,
+         unnest(string_split(trim(seg), ' ')) AS sym,
+         generate_subscripts(string_split(trim(seg), ' '), 1) AS i
+  FROM seg{i}),
+p{i} AS (
+  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.cnt) AS BIGINT) AS cnt
+  FROM ex{i} a JOIN ex{i} b ON a.word = b.word AND b.i = a.i + 1
+  GROUP BY a.sym, b.sym),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+seg{i + 1} AS (
+  SELECT w.word, w.cnt,
+         replace(w.seg, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS seg
+  FROM seg{i} w, b{i} b)
+"""
+
+
+_BPE_CHAIN = _WORDS_CTE + "," + ",".join(
+    _bpe_round_sql(i) for i in range(_BPE_ROUNDS)
+)
+
+_BPE_PAIRS_ORACLE = f"""
+WITH {_WORDS_CTE},
+ex0 AS (
+  SELECT word, cnt,
+         unnest(string_split(trim(seg), ' ')) AS sym,
+         generate_subscripts(string_split(trim(seg), ' '), 1) AS i
+  FROM seg0)
+SELECT a.sym AS "left", b.sym AS "right", CAST(sum(a.cnt) AS BIGINT) AS cnt
+FROM ex0 a JOIN ex0 b ON a.word = b.word AND b.i = a.i + 1
+GROUP BY a.sym, b.sym
+ORDER BY cnt DESC, "left", "right" LIMIT 20
+"""
+
+
+@_register("bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 adjacent-symbol pair frequencies over the character
+    segmentation (word-count weighted), top 20."""
+    from crawler_ai_spark.pipeline import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = B.initial_segmentation(B.word_counts(docs))
+    return (
+        B.pair_counts(seg)
+        .select("left", "right", "cnt")
+        .orderBy(F.desc("cnt"), "left", "right")
+        .limit(20)
+    )
+
+
+_BPE_MERGES_ORACLE = f"""
+WITH {_BPE_CHAIN}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({i} AS INT) AS merge_idx, l AS left, r AS right, cnt FROM b{i}"
+      for i in range(_BPE_ROUNDS)
+  )}
+) ORDER BY merge_idx
+"""
+
+
+@_register("bpe_merges", oracle=_BPE_MERGES_ORACLE)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 4 learned BPE merges (left, right, pair count at merge
+    time) — cnt DESC, lexicographic tie-break, exactly the published
+    algorithm's selection rule."""
+    from crawler_ai_spark.pipeline import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = B.learn_merges(docs, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, cnt long",
+    ).orderBy("merge_idx")
+
+
+_BPE_SEG_ORACLE = f"""
+WITH {_BPE_CHAIN},
+top_words AS (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT 30)
+SELECT t.word, trim(s.seg) AS segmentation,
+       CAST(len(string_split(trim(s.seg), ' ')) AS INT) AS n_pieces
+FROM top_words t JOIN seg{_BPE_ROUNDS} s ON t.word = s.word
+ORDER BY t.cnt DESC, t.word
+"""
+
+
+@_register("bpe_segment", oracle=_BPE_SEG_ORACLE)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation of the 30 most frequent corpus words after the 4
+    learned merges — what apply-side tokenization produces."""
+    from crawler_ai_spark.pipeline import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    _, segged = B.learn_merges(docs, _BPE_ROUNDS)
+    return (
+        segged.orderBy(F.desc("cnt"), "word")
+        .limit(30)
+        .select(
+            "word",
+            F.trim("seg").alias("segmentation"),
+            F.size(F.split(F.trim("seg"), " ")).alias("n_pieces"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+        .drop("cnt")
+    )
