@@ -1074,3 +1074,65 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         body += bytes(rng.randrange(256) for _ in range(rng.randrange(64, 256)))
         rows.append((i, kind, body, None, len(body)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash_bits", StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, dw: int = 9, dh: int = 8,
+                batch_bytes: int = 64 << 20) -> DataFrame:
+    """Perceptual difference-hash (dHash, the published gradient hash):
+    decode → integer grayscale ((r+g+b)//3; alpha ignored; gray channels
+    pass through) → nearest-resize to dw×dh → one bit per horizontal
+    neighbor pair (left > right), row-major — (dw-1)·dh bits as a bit
+    string (64 at the 9×8 default). Exact-match grouping or
+    hamming-banded joins over the hash find visual near-dups without
+    touching pixels again — the image-side twin of SimHash dedup.
+    Undecodable rows surface NULL bits. Same byte-budget Arrow framing
+    as the other media passes."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in DHASH_SCHEMA.fields}
+            acc = 0
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w = h = bits = None
+                if blob is not None:
+                    d = _try_decode_pixels(bytes(blob))
+                    if d is not None:
+                        w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
+                        if ch == 1:
+                            gray = px
+                        elif ch == 2:  # gray+alpha
+                            gray = bytes(px[i] for i in range(0, len(px), 2))
+                        else:  # rgb / rgba: integer mean of the color channels
+                            gray = bytes(
+                                (px[i] + px[i + 1] + px[i + 2]) // 3
+                                for i in range(0, len(px), ch)
+                            )
+                        g = nearest_resize(gray, w, h, 1, dw, dh)
+                        bits = "".join(
+                            "1" if g[y * dw + x] > g[y * dw + x + 1] else "0"
+                            for y in range(dh)
+                            for x in range(dw - 1)
+                        )
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash_bits"].append(bits)
+                acc += len(blob) if blob is not None else 0
+                if acc >= batch_bytes:
+                    yield pd.DataFrame(out)
+                    out = {f.name: [] for f in DHASH_SCHEMA.fields}
+                    acc = 0
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, DHASH_SCHEMA)

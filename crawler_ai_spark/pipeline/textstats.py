@@ -224,3 +224,35 @@ def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(t))
         .withColumn("n_tokens_bpe", bpe_ish_token_count(t).cast("long"))
     )
+
+
+def readability_columns(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease inputs + score — the classic readability
+    quality signal (Flesch 1948, public formula). Heuristics are the
+    standard cheap ones: syllables = vowel-group runs ([aeiouy]+, which
+    sums per-word because whitespace breaks runs), sentences =
+    [.!?]+ runs floored at 1. Integer counts → one rounded ratio double
+    (repo parity rule). NULL text → NULL score; empty/blank → NULL
+    (no words to score)."""
+    n_words = token_count(text)
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words / n_sentences
+            - F.lit(84.6) * n_syllables / n_words,
+            6,
+        ),
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syllables,
+        "flesch": flesch,
+    }

@@ -607,3 +607,143 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "word")
         .drop("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (pipeline/textstats.readability_columns): the
+# augmented text adds a deterministic sentence tail (doc_id%3) so the
+# sentence-count path is exercised; DuckDB re-derives words, sentence
+# runs, vowel-group syllables, and the published formula.
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3 WHEN 0 THEN ''
+                 WHEN 1 THEN ' the end.' ELSE ' the end. more to come!' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM aug
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences,
+       CAST(n_syllables AS INT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * n_words / n_sentences
+               - 84.6 * n_syllables / n_words, 6) END AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
+@_register("doc_readability", oracle=_READ_ORACLE)
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the corpus (sentence tail synthesized by
+    doc_id%3 so the [.!?] path is live). Map-only, pure JVM."""
+    from crawler_ai_spark.pipeline import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || CASE doc_id % 3 WHEN 0 THEN ''"
+            " WHEN 1 THEN ' the end.' ELSE ' the end. more to come!' END"
+        ).alias("text"),
+    )
+    cols = TS.readability_columns(F.col("text"))
+    return aug.select(
+        "doc_id", *[c.alias(k) for k, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pipeline/multimodal.image_dhash): the same
+# deterministic RGB gradient images as media_decode_features (PNG even /
+# BMP odd ids), dHashed after REAL pixel decode + grayscale + 9×8
+# nearest-resize. Every step is integer arithmetic on doc_id, so DuckDB
+# re-derives the 64 bits from the formula alone — the decode, resample,
+# and hash must compose to an exact identity. dup_group_size counts
+# hash-identical images (the visual-dedup decision).
+# ---------------------------------------------------------------------------
+
+_DHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h FROM documents
+),
+grid AS (
+  SELECT g.doc_id, g.w, g.h, ux.x, uy.y,
+         ((((ux.x * g.w) // 9) * 7 + ((uy.y * g.h) // 8) * 13 + g.doc_id) % 256
+          + (((ux.x * g.w) // 9) * 7 + ((uy.y * g.h) // 8) * 13 + 29 + g.doc_id) % 256
+          + (((ux.x * g.w) // 9) * 7 + ((uy.y * g.h) // 8) * 13 + 58 + g.doc_id) % 256
+         ) // 3 AS gray
+  FROM g,
+       unnest(generate_series(0, 8)) AS ux(x),
+       unnest(generate_series(0, 7)) AS uy(y)
+),
+bits AS (
+  SELECT a.doc_id, a.w, a.h, a.y, a.x,
+         CASE WHEN a.gray > b.gray THEN '1' ELSE '0' END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+hashed AS (
+  SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         string_agg(bit, '' ORDER BY y, x) AS dhash_bits
+  FROM bits GROUP BY doc_id, w, h
+)
+SELECT doc_id, width, height, dhash_bits,
+       CAST(count(*) OVER (PARTITION BY dhash_bits) AS BIGINT) AS dup_group_size
+FROM hashed ORDER BY doc_id
+"""
+
+
+@_register("media_dhash", oracle=_DHASH_ORACLE)
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash over really-decoded images (PNG even ids / BMP odd), with
+    hash-identical group sizes — visual exact-dup detection."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_ai_spark.pipeline.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_dhash,
+    )
+
+    def _blob(s):
+        out = []
+        for d in s:
+            d = int(d)
+            w, h = 8 + d % 16, 6 + d % 12
+            px = bytes(
+                ((x * 7 + y * 13 + c * 29 + d) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            enc = encode_png if d % 2 == 0 else encode_bmp
+            out.append(enc(w, h, px, channels=3))
+        return pd.Series(out)
+
+    _blob.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    blob_udf = pandas_udf(_blob, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), blob_udf(F.col("doc_id")).alias("content")
+    )
+    hashed = image_dhash(media)
+    return hashed.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "dhash_bits",
+        F.count("*").over(Window.partitionBy("dhash_bits")).alias("dup_group_size"),
+    ).orderBy("doc_id")
