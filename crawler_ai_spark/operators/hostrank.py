@@ -134,3 +134,78 @@ def host_edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     hosts = edges.select(F.col("src").alias("host")).distinct()
     return edges, hosts
+
+
+def hits(
+    edges: DataFrame,
+    hosts: DataFrame,
+    iterations: int = 2,
+    deterministic_fold: bool = True,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999, the published algorithm)
+    over the host graph — the link-analysis complement to host_rank's
+    PageRank: authorities are pages many hubs point AT (content hosts),
+    hubs are pages that point at many authorities (directory/portal
+    hosts). Per iteration: a(v) = Σ_{u→v} h(u), L2-normalize; then
+    h(u) = Σ_{u→v} a(v), L2-normalize.
+
+    Same determinism discipline as host_rank: with deterministic_fold,
+    per-node inflows fold in neighbor-sorted order and the global L2
+    norm folds in host-sorted order, so the doubles are bit-identical
+    across partitionings (and to the DuckDB oracle). Production flips
+    the flag for plain SUMs with map-side combine. Per iteration: two
+    key-joins + two aggregations + two one-row norm broadcasts — no
+    driver state."""
+
+    def _fold_sum(key: str, val: str):
+        if deterministic_fold:
+            return F.expr(
+                f"aggregate(array_sort(collect_list(struct({key}, {val}))),"
+                f" cast(0.0 as double), (acc, x) -> acc + x.{val})"
+            )
+        return F.sum(val)
+
+    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        if deterministic_fold:
+            nrm = df.agg(
+                F.sqrt(
+                    F.expr(
+                        f"aggregate(array_sort(collect_list(struct(host, {col}))),"
+                        f" cast(0.0 as double), (acc, x) -> acc + x.{col} * x.{col})"
+                    )
+                ).alias("_nrm")
+            )
+        else:
+            nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm"))
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "host", (F.col(col) / F.col("_nrm")).alias(col)
+        )
+
+    h = hosts.select("host", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(iterations):
+        raw_a = (
+            edges.join(h, edges["src"] == h["host"])
+            .select(edges["dst"], edges["src"], F.col("hub").alias("c"))
+            .groupBy("dst")
+            .agg(_fold_sum("src", "c").alias("raw"))
+        )
+        a = _l2_normalize(
+            hosts.join(raw_a, hosts["host"] == raw_a["dst"], "left").select(
+                hosts["host"], F.coalesce("raw", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        raw_h = (
+            edges.join(a, edges["dst"] == a["host"])
+            .select(edges["src"], edges["dst"], F.col("auth").alias("c"))
+            .groupBy("src")
+            .agg(_fold_sum("dst", "c").alias("raw"))
+        )
+        h = _l2_normalize(
+            hosts.join(raw_h, hosts["host"] == raw_h["src"], "left").select(
+                hosts["host"], F.coalesce("raw", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    return a.join(h, "host").select("host", "auth", "hub")

@@ -747,3 +747,70 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash_bits",
         F.count("*").over(Window.partitionBy("dhash_bits")).alias("dup_group_size"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (operators/hostrank.hits): link-analysis
+# complement to host_rank's PageRank, same synthesized host graph, same
+# determinism discipline — per-node inflows fold neighbor-sorted, the
+# global L2 norm folds host-sorted, every float literal scientific
+# notation, so the doubles are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    from crawler_ai_spark.queries.crawl import _HR_N
+
+    zero = f"{0.0:.17e}"
+    one = f"{1.0:.17e}"
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+rawa{k} AS (
+  SELECT e.dst AS host,
+         list_reduce(list(h.hub ORDER BY e.src), (x, y) -> x + y) AS raw
+  FROM edges e JOIN h{k - 1} h ON e.src = h.host GROUP BY e.dst),
+za{k} AS (SELECT hosts.host, COALESCE(rawa{k}.raw, {zero}) AS v
+          FROM hosts LEFT JOIN rawa{k} USING (host)),
+na{k} AS (SELECT sqrt(list_reduce(list(v * v ORDER BY host), (x, y) -> x + y)) AS nrm
+          FROM za{k}),
+a{k} AS (SELECT host, v / nrm AS auth FROM za{k}, na{k}),
+rawh{k} AS (
+  SELECT e.src AS host,
+         list_reduce(list(a.auth ORDER BY e.dst), (x, y) -> x + y) AS raw
+  FROM edges e JOIN a{k} a ON e.dst = a.host GROUP BY e.src),
+zh{k} AS (SELECT hosts.host, COALESCE(rawh{k}.raw, {zero}) AS v
+          FROM hosts LEFT JOIN rawh{k} USING (host)),
+nh{k} AS (SELECT sqrt(list_reduce(list(v * v ORDER BY host), (x, y) -> x + y)) AS nrm
+          FROM zh{k}),
+h{k} AS (SELECT host, v / nrm AS hub FROM zh{k}, nh{k})""")
+    return f"""
+WITH hosts AS (SELECT range AS host FROM range({_HR_N})),
+synth AS (
+  SELECT DISTINCT doc_id % {_HR_N} AS src, (doc_id // {_HR_N}) % {_HR_N} AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % {_HR_N}) != ((doc_id // {_HR_N}) % {_HR_N})),
+ring AS (SELECT host AS src, (host + 1) % {_HR_N} AS dst FROM hosts),
+edges AS (SELECT DISTINCT src, dst
+          FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+h0 AS (SELECT host, {one} AS hub FROM hosts),{",".join(steps)}
+SELECT a{_HITS_ITERS}.host, a{_HITS_ITERS}.auth, h{_HITS_ITERS}.hub
+FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (host) ORDER BY host
+"""
+
+
+@_register("host_hits", oracle=_hits_oracle())
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the synthesized host graph (2 iterations): authority =
+    content hosts many hubs cite, hub = portal hosts citing many
+    authorities — the second crawl-prioritization signal next to
+    PageRank (a frontier can budget authorities for content and hubs
+    for discovery)."""
+    from crawler_ai_spark.operators.hostrank import hits
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    return hits(edges, hosts, iterations=_HITS_ITERS).orderBy("host")
