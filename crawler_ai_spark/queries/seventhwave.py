@@ -814,3 +814,66 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges, hosts = synth_host_edges(spark, sf_dir)
     return hits(edges, hosts, iterations=_HITS_ITERS).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Search capstone: BM25 retrieval → host-PageRank boost → KWIC snippets.
+# The rerank window is the BM25 top-20; the final score is
+# round(bm25 · (1 + rank), 6) — both factors already bit-identical
+# cross-engine (rounded BM25, fold-deterministic rank), so the composed
+# ordering is too. The oracle composes the same three oracle fragments.
+# ---------------------------------------------------------------------------
+
+
+def _search_oracle() -> str:
+    from crawler_ai_spark.queries.crawl import _HR_N, _host_rank_oracle
+
+    return f"""
+WITH bm AS (SELECT * FROM ({_BM25_ORACLE}) t1),
+pr AS (SELECT * FROM ({_host_rank_oracle()}) t2),
+kw AS (SELECT * FROM ({_KWIC_ORACLE}) t3)
+SELECT b.doc_id,
+       'h' || (b.doc_id % {_HR_N}) || '.example' AS host,
+       round(b.score * (1e0 + pr.rank), 6) AS score,
+       kw.snippet
+FROM bm b
+JOIN pr ON pr.host = b.doc_id % {_HR_N}
+JOIN kw ON kw.doc_id = b.doc_id
+ORDER BY score DESC, b.doc_id LIMIT 10
+"""
+
+
+@_register("search_pipeline", oracle=_search_oracle())
+def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ranked web search over the corpus: BM25 top-20 for
+    'spark window join' (pipeline/retrieval.py), authority-boosted by
+    the document's host PageRank (operators/hostrank.py, hosts assigned
+    doc_id % N like the host-graph fixture), rendered with the KWIC
+    snippet around the first 'spark' hit — top 10. The ranked-retrieval
+    twin of the curation capstone (corpus_training_manifest): index,
+    rank, boost, render, all in one plan."""
+    from crawler_ai_spark.operators.hostrank import host_rank
+    from crawler_ai_spark.pipeline import retrieval as R
+    from crawler_ai_spark.queries.crawl import _HR_DAMP, _HR_ITERS, _HR_N, synth_host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = R.bm25_topk(docs, list(_BM25_TERMS), k=20).withColumn(
+        "host_id", F.col("doc_id") % _HR_N
+    )
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    pr = host_rank(edges, hosts, n_hosts=_HR_N, iterations=_HR_ITERS, damping=_HR_DAMP)
+    kw = R.kwic_snippets(docs, "spark", radius=5).select("doc_id", "snippet")
+    return (
+        bm.join(F.broadcast(pr), bm["host_id"] == pr["host"])
+        .join(kw, "doc_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), F.col("host_id").cast("string"), F.lit(".example")
+            ).alias("host"),
+            F.round(F.col("score") * (F.lit(1.0) + F.col("rank")), 6).alias("score"),
+            "snippet",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
