@@ -60,6 +60,10 @@ BENCH_QUERY_NAMES = [
     "doc_lm_buckets",         # CCNet head/middle/tail (LM + score-grain windows)
     "doc_span_dedup",         # C4 3-sentence-span dedup (fingerprint shuffle)
     "feed_entries_extract",   # RSS/Atom entry extraction (regex block split)
+    "bm25_topk",              # inverted-index BM25 retrieval (broadcast joins)
+    "bpe_segment",            # BPE vocab learning (4 argmax rounds, vocab grain)
+    "media_dhash",            # perceptual dHash over real pixel decode
+    "search_pipeline",        # capstone: BM25 × PageRank boost × KWIC render
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs
