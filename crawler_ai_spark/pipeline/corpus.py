@@ -912,3 +912,65 @@ def sentence_span_dedup(
     return exploded.withColumn(
         "is_kept", F.row_number().over(w) == 1
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination — the fuzzy complement to
+    ``decontaminate``'s exact n-gram probe: flag corpus docs whose
+    n-shingle Jaccard against ANY benchmark doc reaches ``threshold``
+    (catches paraphrased/partially-copied eval material that shares no
+    long exact gram).
+
+    Scale shape: the benchmark side is tiny next to the corpus, so its
+    exploded shingles BROADCAST; the only shuffled rows are (doc_id,
+    bench_id) intersection hits — docs sharing zero shingles with every
+    benchmark doc never leave the map side. Returns one row per corpus
+    doc: (doc_id, n_flagged, max_jaccard, contaminated)."""
+    from crawler_ai_spark.pipeline.dedup import with_shingles
+
+    d = (
+        with_shingles(docs.select("doc_id", text_col), text_col, n)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    b = (
+        with_shingles(benchmark.select(bench_id_col, text_col), text_col, n)
+        .select(bench_id_col, F.explode("shingles").alias("shingle"))
+    )
+    d_sizes = d.groupBy("doc_id").agg(F.count("*").alias("d_size"))
+    b_sizes = b.groupBy(bench_id_col).agg(F.count("*").alias("b_size"))
+    inter = (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", bench_id_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        inter.join(d_sizes, "doc_id")
+        .join(F.broadcast(b_sizes), bench_id_col)
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("d_size") + F.col("b_size") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    flagged = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            "max_jaccard",
+            (F.coalesce("n_flagged", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -877,3 +877,136 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy benchmark decontamination (pipeline/corpus.decontaminate_fuzzy):
+# benchmark = every doc_id%29==0 document; a corpus doc is contaminated
+# when its 3-shingle Jaccard to ANY benchmark doc ≥ 0.5 (self-copies
+# included by construction — an exact benchmark copy in the corpus IS
+# the contamination case). DuckDB re-derives the cross-set Jaccard.
+# ---------------------------------------------------------------------------
+
+_FUZZY_DECON_ORACLE = """
+WITH toksed AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toksed
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bex AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 29 = 0),
+dsz AS (SELECT doc_id, count(*) AS d_size FROM ex GROUP BY doc_id),
+bsz AS (SELECT bench_id, count(*) AS b_size FROM bex GROUP BY bench_id),
+inter AS (
+  SELECT e.doc_id, b.bench_id, count(*) AS n_common
+  FROM ex e JOIN bex b ON e.shingle = b.shingle
+  GROUP BY e.doc_id, b.bench_id
+),
+scored AS (
+  SELECT i.doc_id, i.bench_id,
+         CAST(i.n_common AS DOUBLE) / (d.d_size + b.b_size - i.n_common) AS jaccard
+  FROM inter i JOIN dsz d USING (doc_id) JOIN bsz b USING (bench_id)
+  WHERE CAST(i.n_common AS DOUBLE) / (d.d_size + b.b_size - i.n_common) >= 0.5
+),
+flagged AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged,
+         round(max(jaccard), 6) AS max_jaccard
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(f.n_flagged, 0) AS n_flagged,
+       f.max_jaccard,
+       COALESCE(f.n_flagged, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN flagged f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@_register("doc_decontaminate_fuzzy", oracle=_FUZZY_DECON_ORACLE)
+def q_doc_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination against the doc_id%29 benchmark subset —
+    near-dup eval-set leakage the exact-gram probe misses."""
+    from crawler_ai_spark.pipeline.corpus import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 29 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_fuzzy(docs, bench, threshold=0.5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus token accounting under the learned BPE vocabulary: every doc's
+# token instances join the (word → segmentation) vocabulary learned by
+# the 4 merge rounds; n_pieces is what the doc costs in training tokens.
+# The oracle replays the same merge chain and the same per-doc join.
+# ---------------------------------------------------------------------------
+
+_BPE_TOKENS_ORACLE = f"""
+WITH docs_toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+words AS (SELECT t.w AS word, count(*) AS cnt FROM docs_toks, unnest(toks) AS t(w) GROUP BY t.w),
+seg0 AS (
+  SELECT word, cnt,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seg
+  FROM words),
+{",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))},
+vocab AS (
+  SELECT word, len(string_split(trim(seg), ' ')) AS pieces
+  FROM seg{_BPE_ROUNDS}
+),
+inst AS (SELECT doc_id, t.w AS word FROM docs_toks, unnest(toks) AS t(w))
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.pieces) AS BIGINT) AS n_pieces,
+       round(CAST(sum(v.pieces) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM inst i JOIN vocab v USING (word)
+GROUP BY i.doc_id ORDER BY i.doc_id
+"""
+
+
+@_register("bpe_corpus_tokens", oracle=_BPE_TOKENS_ORACLE)
+def q_bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document training-token cost under the 4-merge BPE vocabulary:
+    token instances joined to the learned (word → pieces) table — the
+    vocabulary side is tiny and broadcasts; the corpus side stays
+    map-side until the per-doc count."""
+    from crawler_ai_spark.pipeline import bpe as B
+    from crawler_ai_spark.pipeline.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    _, segged = B.learn_merges(docs, _BPE_ROUNDS)
+    vocab = segged.select(
+        "word", F.size(F.split(F.trim("seg"), " ")).alias("pieces")
+    )
+    inst = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens_col(F.col("text")), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    return (
+        inst.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("pieces").alias("n_pieces"),
+            F.round(
+                F.sum("pieces").cast("double") / F.count("*"), 6
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("doc_id")
+    )
