@@ -237,3 +237,67 @@ def q_emb_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (pipeline/similarity.sq8_topk): the third
+# quantization memory path next to IVF and IVF-PQ — one uint8 code per
+# dimension. DuckDB re-derives the per-dim min/max training pass, the
+# quantize→dequantize arithmetic, and the float-vs-dequantized cosine.
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS dim,
+         min(CAST(e.embedding[t.i] AS DOUBLE)) AS lo,
+         max(CAST(e.embedding[t.i] AS DOUBLE)) AS hi
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY t.i
+),
+params AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM dims),
+dq AS (
+  SELECT e.vec_id AS neighbor_id,
+         list_transform(generate_series(1, len(e.embedding)),
+           i -> CASE WHEN p.his[i] = p.los[i] THEN p.los[i]
+                ELSE p.los[i]
+                     + CAST(least(255, greatest(0,
+                         CAST(floor((CAST(e.embedding[i] AS DOUBLE) - p.los[i])
+                                    * 2.55e2 / (p.his[i] - p.los[i])) AS INT)
+                       )) AS DOUBLE)
+                       * (p.his[i] - p.los[i]) / 2.55e2 END) AS dq_vec
+  FROM embeddings e, params p
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * b.dq_vec[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(b.dq_vec) + 1),
+                i -> b.dq_vec[i] * b.dq_vec[i]))))
+         , 6) AS cosine
+  FROM embeddings a, dq b
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+@_register("emb_sq8_topk", oracle=_SQ8_ORACLE)
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 approximate top-10 for the first 10 query vectors: corpus
+    stored as uint8 codes (4× memory cut), queries scored in float
+    against the dequantized codes — exact cross-engine arithmetic, so
+    this is oracle-matched, not just rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.sq8_topk(queries, emb, k=10).orderBy("query_id", "rank")

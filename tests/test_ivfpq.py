@@ -81,3 +81,23 @@ def test_refined_recall_and_determinism(spark, emb, queries, index):
         spark, index, queries, emb, k=10, n_probe=12, shortlist_mult=6
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sq8_recall_vs_exact(spark, fixture_root):
+    """SQ8 path: recall@10 vs exact cosine must be ≥0.9 (per-dim step
+    error is tiny on real spreads), and the quantizer must actually
+    quantize (codes differ from raw floats)."""
+    from crawler_ai_spark.pipeline.similarity import cosine_topk, sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr("vec_id AS query_id", "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sq8_topk(queries, emb, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # cosine values should differ slightly from exact (it IS lossy)
+    ex_cos = {(r.query_id, r.neighbor_id): r.cosine for r in cosine_topk(queries, emb, k=10).collect()}
+    ap_cos = {(r.query_id, r.neighbor_id): r.cosine for r in sq8_topk(queries, emb, k=10).collect()}
+    common = set(ex_cos) & set(ap_cos)
+    assert any(abs(ex_cos[p] - ap_cos[p]) > 0 for p in common)
+    assert all(abs(ex_cos[p] - ap_cos[p]) < 0.01 for p in common)
