@@ -381,12 +381,16 @@ def connected_components(
 
     The "keep one per group" step after ANY pair-producing dedup (MinHash,
     SimHash, embedding-LSH): pairs only say "these two match"; dedup needs
-    the transitive closure. Iterative min-label propagation — each round
-    every node adopts the min of its own label and its neighbors' labels;
-    converges in O(component diameter) rounds (near-dup clusters are
-    shallow). Per round: one join + one groupBy — all shuffles on the node
-    id key; the driver only checks the converged-count, so the loop is
-    batch-synchronous exactly like the crawl loop, not a collect()."""
+    the transitive closure. Iterative min-label propagation with pointer
+    jumping — each round every node adopts the min of its own label and its
+    neighbors' labels, then follows its label's label (path halving), so
+    convergence is O(log diameter) rounds rather than O(diameter) — a
+    100-million-node chain converges in ~27 rounds, not 10^8. Per round:
+    two key joins + one groupBy — all shuffles on the node id key; the
+    driver only checks the converged-count, so the loop is
+    batch-synchronous exactly like the crawl loop, not a collect().
+    Raises if max_iter rounds pass without a fixpoint (silent
+    non-convergence would mis-cluster)."""
     a, b = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     edges = (
         pairs.select(a, b)
@@ -400,6 +404,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -407,19 +412,48 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
+        prop = labels.select(
+            "node",
+            F.col("label").alias("_old"),
+        ).join(neighbor_min, "node", "left").select(
+            "node",
+            "_old",
+            F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("label"),
+        )
+        # pointer jump (path halving): label <- label_of(label). Labels
+        # are always node ids in the same component and only decrease, so
+        # composing the node->label map with itself halves chain depth —
+        # total rounds O(log diameter) instead of O(diameter).
+        mapping = prop.select(
+            F.col("node").alias("_m_node"), F.col("label").alias("_m_label")
+        )
+        # localCheckpoint TRUNCATES the logical plan each round — without
+        # it every iteration re-analyzes the whole nested lineage and the
+        # driver OOMs on deep chains (persist caches data but keeps the
+        # plan; the standard iterative-graph fix)
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            prop.join(mapping, prop["label"] == mapping["_m_node"], "left")
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
+                prop["node"],
+                F.least(
+                    prop["label"],
+                    F.coalesce(F.col("_m_label"), prop["label"]),
+                ).alias("label"),
+                F.col("_old"),
             )
-            .persist()
+            .withColumn("_changed", F.col("label") < F.col("_old"))
+            .drop("_old")
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("_changed")).count()
         labels.unpersist()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -597,6 +597,48 @@ def test_connected_components_multi_hop(spark):
     }
 
 
+def test_connected_components_deep_chain_and_random(spark):
+    """Pointer jumping must converge in O(log diameter) rounds: a 60-node
+    chain needs 59 naive propagation rounds (> the max_iter budget) but
+    ~7 with path halving; a random graph must match union-find exactly.
+    Pre-fix the loop silently returned non-converged labels on the chain."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from crawler_ai_spark.pipeline.dedup import connected_components
+
+    chain = spark.range(59).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    assert len(labels) == 60 and set(labels.values()) == {0}
+
+    rnd = random.Random(42)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(comp[find(n)]) for n in nodes}
+    df = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expect
+
+
 def test_wav_codec_roundtrip_and_bounds():
     """decode_wav parses real RIFF containers: 8- and 16-bit PCM
     round-trip, the RIFF size field bounds the walk (trailing noise
