@@ -64,6 +64,7 @@ BENCH_QUERY_NAMES = [
     "bpe_segment",            # BPE vocab learning (4 argmax rounds, vocab grain)
     "media_dhash",            # perceptual dHash over real pixel decode
     "search_pipeline",        # capstone: BM25 × PageRank boost × KWIC render
+    "main_content_extract",   # jusText-style boilerplate removal (row-local)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -1,0 +1,123 @@
+"""Eighth-wave catalog queries (round 4, continued): main-content
+extraction over synthesized pages.
+
+Input is synthesized deterministically from documents.doc_id (no
+external data); the DuckDB oracle re-runs the same segmentation and
+density arithmetic independently on the identical html strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.queries._shared import _register, _t
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (functions/maincontent.py): jusText-style
+# block segmentation + integer link-density rule. The synth page mixes
+# every block class: a pure-link nav (boiler: short + dense), a short
+# heading (boiler: short), 1-3 long prose paragraphs (content),
+# doc_id%2 a link-bearing-but-prose paragraph (content: density under a
+# third), doc_id%4 a link-list sidebar (boiler), and a footer whose text
+# clears the length gate but fails the density gate — so both halves of
+# the AND are load-bearing. Both engines run the same regexes (chosen
+# for identical Java-regex/RE2 semantics: no lazy quantifiers, no
+# lookaround) on byte-identical html.
+# ---------------------------------------------------------------------------
+
+# DID = doc_id rendered as a string; M37 = doc_id % 37 as a string —
+# the _PATH_CASE_SPARK precedent: DuckDB auto-casts ints in ||, Spark
+# needs explicit CAST.
+_MC_PARA = (
+    " || CASE WHEN doc_id % 3 >= {i} THEN '<p>Paragraph {i} of article '"
+    " || DID || ': web pages mix navigation boilerplate with substantive"
+    " prose, and block-level link density separates the two reliably at"
+    " scale.</p>' ELSE '' END"
+)
+
+_MC_HTML_TPL = (
+    "'<div><a href=\"/\">Home</a> <a href=\"/jobs\">Jobs</a>"
+    " <a href=\"/about\">About us</a></div>'"
+    " || '<h1>Story ' || DID || '</h1>'"
+    + "".join(_MC_PARA.format(i=i) for i in range(3))
+    + " || CASE WHEN doc_id % 2 = 1 THEN"
+    " '<p>See <a href=\"/ref/' || DID || '\">the reference notes</a> for"
+    " the full derivation and the surrounding context that keeps this"
+    " block mostly prose.</p>' ELSE '' END"
+    + " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<li><a href=\"/t/a' || DID || '\">alpha</a></li>"
+    "<li><a href=\"/t/b' || DID || '\">beta</a></li>' ELSE '' END"
+    + " || '<div>(c) 2026 Site ' || M37 ||"
+    " ' <a href=\"/privacy\">Privacy</a>"
+    " <a href=\"/terms\">Terms</a></div>'"
+)
+
+_MC_HTML_DUCK = _MC_HTML_TPL.replace("DID", "doc_id").replace(
+    "M37", "(doc_id % 37)"
+)
+_MC_HTML_SPARK = _MC_HTML_TPL.replace("DID", "CAST(doc_id AS STRING)").replace(
+    "M37", "CAST(doc_id % 37 AS STRING)"
+)
+
+# RE2/DuckDB twins of the Java-regex constants in functions/maincontent
+# (same strings; SQL-escaped)
+_MC_SPLIT = (
+    "</?(?:p|div|h[1-6]|li|td|th|blockquote|section|article|aside|nav|"
+    "header|footer|ul|ol|table|tr|br)\\b[^>]*>"
+)
+_MC_ANCHOR = "<a\\s[^>]*>([^<]*)</a>"
+
+_MC_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, {_MC_HTML_DUCK} AS html FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(html, '{_MC_SPLIT}')) AS raw,
+         generate_subscripts(regexp_split_to_array(html, '{_MC_SPLIT}'), 1) AS ord
+  FROM pages
+),
+norm AS (
+  SELECT doc_id, ord,
+         trim(regexp_replace(regexp_replace(raw, '<[^>]*>', '', 'g'),
+                             '\\s+', ' ', 'g')) AS text,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(raw, '{_MC_ANCHOR}', 1),
+             t -> length(trim(regexp_replace(t, '\\s+', ' ', 'g'))))), 0)
+           AS link_chars
+  FROM blocks
+),
+scored AS (
+  SELECT doc_id, ord, text, length(text) AS chars, link_chars,
+         length(text) >= 25 AND link_chars * 3 <= length(text) AS is_content
+  FROM norm WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+       CAST(coalesce(sum(CASE WHEN is_content THEN chars END), 0) AS BIGINT)
+         AS content_chars,
+       CAST(coalesce(sum(CASE WHEN NOT is_content THEN chars END), 0) AS BIGINT)
+         AS boiler_chars,
+       coalesce(string_agg(CASE WHEN is_content THEN text END, chr(10)
+                           ORDER BY ord), '') AS main_text
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("main_content_extract", oracle=_MC_ORACLE)
+def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/Boilerpipe-style boilerplate removal: block segmentation
+    at block-tag boundaries + the integer length/link-density rule, all
+    row-local JVM array expressions (zero shuffle — a 100 TB corpus
+    pays scan cost only). Generalizes the reference's wholesale
+    soup.get_text() (job_extraction_service.py:744-745)."""
+    from crawler_ai_spark.functions import maincontent as MC
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_MC_HTML_SPARK).alias("html"))
+    out = MC.with_main_content(pages, html_col="html")
+    return out.select(
+        "doc_id", "n_blocks", "n_content", "content_chars", "boiler_chars",
+        "main_text",
+    ).orderBy("doc_id")
