@@ -242,6 +242,7 @@ def apply_host_budget(
     frontier: DataFrame,
     per_host_per_batch: int | None,
     host_budgets: DataFrame | None = None,
+    aging_batches: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """W2 politeness budget: at most N URLs per host per batch (the batch
     analogue of DOWNLOAD_DELAY=1/s — crawl rate × batch wall-time). Returns
@@ -252,7 +253,16 @@ def apply_host_budget(
     robots Crawl-delay: interval ÷ delay) tightens the cap per host via a
     broadcast join: effective budget = least(global, host's own); a host
     with neither is unlimited. NULL-safe: `least` ignores NULLs and rows
-    with no budget at all are always scheduled."""
+    with no budget at all are always scheduled.
+
+    ``aging_batches`` (starvation freedom): rank by effective priority
+    ``priority + wait_batches // aging_batches`` instead of raw priority,
+    where ``wait_batches`` counts consecutive deferrals (the loop bumps
+    it on every deferral and mints 0 on schedule). A fixed-priority row
+    can otherwise starve forever behind an endless supply of new
+    higher-priority rows on a hot host; with aging its effective
+    priority grows without bound, so every row schedules in finite
+    batches. Requires the ``wait_batches`` column when set."""
     if per_host_per_batch is None and host_budgets is None:
         return frontier, frontier.limit(0)
     # (url, seed_url) is the unique final tie-break: discovered_seq is a
@@ -267,6 +277,19 @@ def apply_host_budget(
         F.col("url").asc(),
         F.col("seed_url").asc(),
     ]
+    if aging_batches is not None:
+        # effective priority ranks first; raw priority stays as the
+        # next key so equal-effective rows keep the un-aged order
+        order.insert(
+            0,
+            (
+                F.col("priority")
+                + F.floor(
+                    F.coalesce(F.col("wait_batches"), F.lit(0))
+                    / F.lit(aging_batches)
+                )
+            ).desc(),
+        )
     # two-phase salted rank (see salted_budget_rank): a row whose salt-local
     # rank exceeds the budget has ≥ budget same-host rows ahead of it in ITS
     # salt alone, so its host-global rank exceeds the budget too — phase-1

@@ -224,6 +224,15 @@ class CrawlConfig:
     # simulator's pure-Python twins (tests/test_pagerep_loop.py).
     # False (default): loop byte-identical.
     obey_page_rep: bool = False
+    # Starvation-free scheduling (O1/W2): every deferral (budget, IP
+    # budget, breaker, Retry-After) bumps the row's wait_batches; with
+    # aging set, the host-budget rank uses effective priority
+    # priority + wait_batches // priority_aging_batches, so a
+    # low-priority row deferred k·aging batches outranks any fixed
+    # priority eventually — no row starves behind an endless supply of
+    # new high-priority URLs on a hot host. None (default): raw
+    # priority, loop ordering byte-identical.
+    priority_aging_batches: int | None = None
 
 
 FRONTIER_COLS = [
@@ -235,6 +244,10 @@ FRONTIER_COLS = [
     # through budget deferrals, so a deferred refresh still revalidates
     # in the batch that finally schedules it; NULL everywhere else
     "cond_etag", "cond_last_modified",
+    # consecutive-deferral count (priority_aging_batches): minted 0,
+    # +1 per deferral, reset to 0 once actually scheduled (retries are
+    # scheduled rows, so they re-enter at 0)
+    "wait_batches",
 ]
 
 
@@ -487,6 +500,7 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
         F.lit(False).alias("is_recrawl"),
         F.lit(None).cast("string").alias("cond_etag"),
         F.lit(None).cast("string").alias("cond_last_modified"),
+        F.lit(0).alias("wait_batches"),
     )
 
 
@@ -603,6 +617,8 @@ def fetch_and_parse(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     for c in ("cond_etag", "cond_last_modified"):
         if c not in fetched.columns:
             fetched = fetched.withColumn(c, F.lit(None).cast("string"))
+    if "wait_batches" not in fetched.columns:
+        fetched = fetched.withColumn("wait_batches", F.lit(0))
     fetched = FR.salted_repartition(fetched, cfg.parallelism, cfg.salt_buckets)
     parsed = with_parse(fetched)
     content_lower = F.lower(F.coalesce(decoded_html(F.col("html")), F.lit("")))
@@ -789,6 +805,7 @@ def next_frontier(
         F.lit(False).alias("is_recrawl"),
         F.lit(None).cast("string").alias("cond_etag"),
         F.lit(None).cast("string").alias("cond_last_modified"),
+        F.lit(0).alias("wait_batches"),
     ), candidates
 
 
@@ -1179,6 +1196,7 @@ def _recrawl_frontier(due: DataFrame, with_validators: bool = False) -> DataFram
         F.lit(True).alias("is_recrawl"),
         cond_etag.alias("cond_etag"),
         cond_lm.alias("cond_last_modified"),
+        F.lit(0).alias("wait_batches"),
     )
 
 
@@ -1573,6 +1591,8 @@ def run_crawl(
         for c in ("cond_etag", "cond_last_modified"):  # pre-validator store
             if c not in frontier.columns:
                 frontier = frontier.withColumn(c, F.lit(None).cast("string"))
+        if "wait_batches" not in frontier.columns:  # pre-aging store
+            frontier = frontier.withColumn("wait_batches", F.lit(0))
 
         ledger = (
             _cache_ledger(
@@ -1742,7 +1762,8 @@ def run_crawl(
             )
         frontier = FR.apply_robots(frontier, rules_now)
         frontier, deferred = FR.apply_host_budget(
-            frontier, cfg.host_budget_per_batch, host_budgets=budgets_now
+            frontier, cfg.host_budget_per_batch, host_budgets=budgets_now,
+            aging_batches=cfg.priority_aging_batches,
         )
         if ip_map is not None and cfg.ip_budget_per_batch is not None:
             # server-grain politeness on top of the host grain: vhosts
@@ -1760,6 +1781,11 @@ def run_crawl(
             deferred = deferred.select(*FRONTIER_COLS).unionByName(
                 backed_off.select(*FRONTIER_COLS)
             )
+        # every deferral path converges here: one more batch waited
+        # (drives priority aging; free bookkeeping when aging is off)
+        deferred = deferred.withColumn(
+            "wait_batches", F.coalesce(F.col("wait_batches"), F.lit(0)) + 1
+        )
 
         parsed = fetch_and_parse(frontier, pages, cfg)
         gated = order_and_gate(parsed, seed_state).persist()
@@ -1958,6 +1984,9 @@ def run_crawl(
                     & ~is_permanent_error_expr(F.col("fetch_error_class"))
                 )
                 .withColumn("attempt", F.col("attempt") + 1)
+                # a retry WAS scheduled (it consumed budget and fetched);
+                # its deferral clock restarts
+                .withColumn("wait_batches", F.lit(0))
                 .select(*FRONTIER_COLS)
             )
             new_frontier = new_frontier.unionByName(retries)

@@ -121,3 +121,75 @@ def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_blocks", "n_content", "content_chars", "boiler_chars",
         "main_text",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Priority aging under the host budget (operators/frontier.py:
+# apply_host_budget(aging_batches=...)): starvation-free W2/O1
+# scheduling. The synth frontier gives every host more rows than its
+# budget with wait counts spanning three aging steps, so the scheduled
+# set differs from the un-aged ranking iff the effective-priority
+# arithmetic (priority + wait_batches // aging) is applied exactly;
+# DuckDB re-ranks with its own integer division + window.
+# ---------------------------------------------------------------------------
+
+_AGED_ORACLE = """
+WITH fr AS (
+  SELECT doc_id,
+         'h' || (doc_id % 5) || '.example.com' AS host,
+         'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id AS url,
+         'https://h' || (doc_id % 5) || '.example.com/' AS seed_url,
+         CAST(doc_id % 3 AS INT) AS priority,
+         CAST(doc_id AS BIGINT) AS discovered_seq,
+         CAST(doc_id % 9 AS INT) AS wait_batches
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority + (wait_batches // 3) DESC, priority DESC,
+                    discovered_seq ASC, url ASC, seed_url ASC
+         ) AS rn
+  FROM fr
+)
+SELECT doc_id, host, priority, wait_batches,
+       CAST(priority + (wait_batches // 3) AS BIGINT) AS eff_priority
+FROM ranked WHERE rn <= 4 ORDER BY host, doc_id
+"""
+
+
+@_register("aged_budget_schedule", oracle=_AGED_ORACLE)
+def q_aged_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-free host-budget scheduling: rank by effective priority
+    priority + wait_batches // aging so long-deferred rows outrank any
+    fixed priority eventually. Same two-phase salted windows as the
+    un-aged budget — skew-proof at a Zipf host distribution."""
+    from crawler_ai_spark.operators import frontier as FR
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    fr = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("string"), F.lit(".example.com/")
+        ).alias("seed_url"),
+        (d % 3).cast("int").alias("priority"),
+        d.cast("long").alias("discovered_seq"),
+        (d % 9).cast("int").alias("wait_batches"),
+    )
+    scheduled, _deferred = FR.apply_host_budget(fr, 4, aging_batches=3)
+    return scheduled.select(
+        "doc_id", "host", "priority", "wait_batches",
+        (
+            F.col("priority")
+            + F.floor(F.col("wait_batches") / F.lit(3))
+        ).cast("long").alias("eff_priority"),
+    ).orderBy("host", "doc_id")
