@@ -369,3 +369,49 @@ def apply_ip_budget(
     lost2 = r2.where(F.col("_ir2") > per_ip_per_batch).drop("_ir2")
     drop = lambda d: d.drop("ip", "_ipg")  # noqa: E731
     return drop(scheduled), drop(lost1.unionByName(lost2))
+
+
+def apply_domain_budget(
+    frontier: DataFrame,
+    per_domain_per_batch: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """W2 at the REGISTRABLE-DOMAIN grain: at most N URLs per public-
+    suffix-plus-one domain per batch. Host-grain politeness under-
+    throttles a registrant who fans one site across unbounded subdomains
+    (a1.spam.com, a2.spam.com, ... each gets a full host budget — the
+    classic subdomain-spam shape); grouping by the PSL registrable
+    domain (functions/urls.py: registered_domain_expr) caps the
+    registrant as a whole, matching how production crawlers assign
+    politeness queues by domain, not host. Hosts whose registrable
+    domain is NULL (bare public suffixes, IPs, empty) fall back to their
+    own host — they keep host-grain politeness rather than sharing one
+    NULL group.
+
+    The group key is a pure-codegen expression over the host — no join,
+    no resolver stage — so this composes with apply_host_budget and
+    apply_ip_budget at the cost of its own two windows only. Same
+    two-phase salted rank, same total order, defer-not-drop contract:
+    returns (scheduled, deferred)."""
+    if per_domain_per_batch is None:
+        return frontier, frontier.limit(0)
+    from crawler_ai_spark.functions.urls import registered_domain_expr
+
+    tagged = frontier.withColumn(
+        "_dom", F.coalesce(registered_domain_expr(F.col("host")), F.col("host"))
+    )
+    order = [
+        F.col("priority").desc(),
+        F.col("discovered_seq").asc(),
+        F.col("url").asc(),
+        F.col("seed_url").asc(),
+    ]
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
+    w1 = Window.partitionBy("_dom", salt).orderBy(*order)
+    r1 = tagged.withColumn("_dr1", F.row_number().over(w1))
+    survivors = r1.where(F.col("_dr1") <= per_domain_per_batch).drop("_dr1")
+    lost1 = r1.where(F.col("_dr1") > per_domain_per_batch).drop("_dr1")
+    w2 = Window.partitionBy("_dom").orderBy(*order)
+    r2 = survivors.withColumn("_dr2", F.row_number().over(w2))
+    scheduled = r2.where(F.col("_dr2") <= per_domain_per_batch).drop("_dr2")
+    lost2 = r2.where(F.col("_dr2") > per_domain_per_batch).drop("_dr2")
+    return scheduled.drop("_dom"), lost1.unionByName(lost2).drop("_dom")

@@ -233,6 +233,12 @@ class CrawlConfig:
     # new high-priority URLs on a hot host. None (default): raw
     # priority, loop ordering byte-identical.
     priority_aging_batches: int | None = None
+    # W2 at the registrable-domain grain (PSL public suffix + one
+    # label): caps a registrant fanning one site across unbounded
+    # subdomains — host-grain budgets give every aN.spam.com its own
+    # full allowance. Composes after the host budget (tightest grain
+    # first), defer-not-drop. None (default): off, loop byte-identical.
+    domain_budget_per_batch: int | None = None
 
 
 FRONTIER_COLS = [
@@ -1765,6 +1771,14 @@ def run_crawl(
             frontier, cfg.host_budget_per_batch, host_budgets=budgets_now,
             aging_batches=cfg.priority_aging_batches,
         )
+        if cfg.domain_budget_per_batch is not None:
+            # registrant-grain politeness on top of the host grain: all
+            # subdomains of one registrable domain share a budget — the
+            # subdomain-spam cap (defer-not-drop, same contract)
+            frontier, dom_deferred = FR.apply_domain_budget(
+                frontier, cfg.domain_budget_per_batch
+            )
+            deferred = deferred.unionByName(dom_deferred.select(*deferred.columns))
         if ip_map is not None and cfg.ip_budget_per_batch is not None:
             # server-grain politeness on top of the host grain: vhosts
             # sharing a resolved IP share one budget (defer-not-drop,

@@ -193,3 +193,87 @@ def q_aged_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("wait_batches") / F.lit(3))
         ).cast("long").alias("eff_priority"),
     ).orderBy("host", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain-grain politeness (operators/frontier.py:
+# apply_domain_budget): the subdomain-spam cap. Seven subdomains per
+# registrable domain, three suffix classes — plain .com, PSL 2-level
+# suffix .co.uk, private suffix github.io — so the schedule is correct
+# iff the PSL grain collapses every subdomain group to ONE domain (a
+# host-grain rank would pass 7x the budget). DuckDB re-derives the
+# grain with explicit suffix CASE logic and re-ranks with its own
+# window; the Spark side uses the real PSL expression, so the oracle
+# cross-checks the PSL arithmetic on these shapes too.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_BUDGET_ORACLE = """
+WITH fr AS (
+  SELECT doc_id,
+         'sub' || (doc_id % 7) || '.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'alpha.com'
+                           WHEN 1 THEN 'beta.co.uk'
+                           ELSE 'gamma.github.io' END AS host,
+         CAST(doc_id % 4 AS INT) AS priority,
+         CAST(doc_id AS BIGINT) AS discovered_seq
+  FROM documents
+),
+fr2 AS (
+  SELECT *,
+         'https://' || host || '/p/' || doc_id AS url,
+         'https://' || host || '/' AS seed_url,
+         CASE WHEN host LIKE '%.alpha.com' THEN 'alpha.com'
+              WHEN host LIKE '%.beta.co.uk' THEN 'beta.co.uk'
+              ELSE 'gamma.github.io' END AS reg_domain
+  FROM fr
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY reg_domain
+           ORDER BY priority DESC, discovered_seq ASC, url ASC, seed_url ASC
+         ) AS rn
+  FROM fr2
+)
+SELECT doc_id, host, reg_domain, priority
+FROM ranked WHERE rn <= 5 ORDER BY doc_id
+"""
+
+
+@_register("domain_budget_schedule", oracle=_DOMAIN_BUDGET_ORACLE)
+def q_domain_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrant-grain W2: at most 5 URLs per registrable domain per
+    batch, PSL public-suffix+1 grouping — all subdomains of one
+    registrant share the cap. Two-phase salted windows, skew-proof."""
+    from crawler_ai_spark.functions.urls import registered_domain_expr
+    from crawler_ai_spark.operators import frontier as FR
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("sub"), (d % 7).cast("string"), F.lit("."),
+        F.when(d % 3 == 0, F.lit("alpha.com"))
+        .when(d % 3 == 1, F.lit("beta.co.uk"))
+        .otherwise(F.lit("gamma.github.io")),
+    )
+    fr = docs.select(
+        "doc_id",
+        host.alias("host"),
+        (d % 4).cast("int").alias("priority"),
+        d.cast("long").alias("discovered_seq"),
+    ).withColumns(
+        {
+            "url": F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+            "seed_url": F.concat(F.lit("https://"), F.col("host"), F.lit("/")),
+        }
+    )
+    scheduled, _deferred = FR.apply_domain_budget(fr, 5)
+    return scheduled.select(
+        "doc_id",
+        "host",
+        registered_domain_expr(F.col("host")).alias("reg_domain"),
+        "priority",
+    ).orderBy("doc_id")
