@@ -209,3 +209,75 @@ def hits(
             "hub",
         )
     return a.join(h, "host").select("host", "auth", "hub")
+
+
+def opic(
+    edges: DataFrame,
+    hosts: DataFrame,
+    n_hosts: int,
+    iterations: int = 3,
+    deterministic_fold: bool = True,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW 2003), synchronous batch variant over the host graph.
+
+    Crawl-time importance without waiting for PageRank to converge: each
+    host holds CASH; one step banks every host's cash into its HISTORY
+    and redistributes it equally along out-edges. The importance
+    estimate after k steps is (history + cash) / (k + 1) — a running
+    average that is meaningful from the very first step, which is why
+    production crawlers use OPIC for frontier ordering (the original
+    paper's use case) rather than iterating PageRank to a fixpoint.
+
+        H_{k+1}(i) = H_k(i) + C_k(i)
+        C_{k+1}(i) = sum_{j->i} C_k(j) / outdeg(j)
+
+    Invariants (no-dangling graphs — same ring precondition as
+    host_rank): sum(cash) == 1 after every step, sum(history) == k after
+    k steps, so sum(importance) == 1.
+
+    Same scale shape as host_rank: edges+outdeg are iteration-invariant
+    (persist at scale), each step is one shuffle-join keyed src plus one
+    aggregation keyed dst — K steps = 2K shuffles, no driver state. The
+    deterministic_fold path sums in-contributions in src-sorted order
+    for bit-identical doubles across engines (the oracle-hash harness);
+    production uses the plain-SUM path with map-side combine.
+
+    Returns (host, cash, history, importance). `importance` feeds
+    budget_from_rank (rename to `rank`) exactly like PageRank does.
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src")
+    state = hosts.select(
+        "host",
+        F.lit(1.0 / n_hosts).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+    for _ in range(iterations):
+        contrib = e.join(state, e["src"] == state["host"]).select(
+            e["dst"], e["src"], (state["cash"] / e["outdeg"]).alias("c")
+        )
+        if deterministic_fold:
+            inflow = contrib.groupBy("dst").agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(src, c))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x.c)"
+                ).alias("inflow")
+            )
+        else:
+            inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        state = (
+            state.join(inflow, state["host"] == inflow["dst"], "left")
+            .select(
+                state["host"],
+                F.coalesce(F.col("inflow"), F.lit(0.0)).alias("cash"),
+                (state["history"] + state["cash"]).alias("history"),
+            )
+        )
+    denom = float(iterations + 1)
+    return state.select(
+        "host",
+        "cash",
+        "history",
+        ((F.col("history") + F.col("cash")) / F.lit(denom)).alias("importance"),
+    )

@@ -277,3 +277,67 @@ def q_domain_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain_expr(F.col("host")).alias("reg_domain"),
         "priority",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# OPIC host importance (operators/hostrank.py: opic): the on-line
+# page-importance estimator crawlers use for frontier ordering instead
+# of waiting for PageRank to converge (Abiteboul/Preda/Cobena WWW'03).
+# Same synthetic host graph as host_rank (LCG-sparsified edges + a ring
+# so no host dangles); DuckDB unrolls the cash/history recurrence with
+# src-sorted folds so every double is bit-identical to the Spark side.
+# ---------------------------------------------------------------------------
+
+_OPIC_N = 37
+_OPIC_ITERS = 3
+
+
+def _opic_oracle() -> str:
+    init = f"{1.0 / _OPIC_N:.17e}"
+    zero = f"{0.0:.17e}"
+    denom = f"{float(_OPIC_ITERS + 1):.17e}"
+    steps = []
+    prev = "s0"
+    for k in range(1, _OPIC_ITERS + 1):
+        steps.append(
+            f"""
+i{k} AS (
+  SELECT e.dst AS host,
+         list_reduce(list(s.cash / e.outdeg ORDER BY e.src), (a, b) -> a + b)
+           AS inflow
+  FROM e JOIN {prev} s ON e.src = s.host GROUP BY e.dst),
+s{k} AS (
+  SELECT s.host, COALESCE(i{k}.inflow, {zero}) AS cash,
+         s.history + s.cash AS history
+  FROM {prev} s LEFT JOIN i{k} ON s.host = i{k}.host)"""
+        )
+        prev = f"s{k}"
+    return f"""
+WITH hosts AS (SELECT range AS host FROM range({_OPIC_N})),
+synth AS (
+  SELECT DISTINCT doc_id % {_OPIC_N} AS src, (doc_id // {_OPIC_N}) % {_OPIC_N} AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % {_OPIC_N}) != ((doc_id // {_OPIC_N}) % {_OPIC_N})),
+ring AS (SELECT host AS src, (host + 1) % {_OPIC_N} AS dst FROM hosts),
+edges AS (SELECT DISTINCT src, dst
+          FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+s0 AS (SELECT host, {init} AS cash, {zero} AS history FROM hosts),{",".join(steps)}
+SELECT host, cash, history, (history + cash) / {denom} AS importance
+FROM s{_OPIC_ITERS} ORDER BY host
+"""
+
+
+@_register("opic_host_importance", oracle=_opic_oracle())
+def q_opic_host_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC over the synthesized host graph, 3 synchronous steps: bank
+    cash into history, redistribute along out-edges; importance =
+    (history + cash) / (steps + 1). Meaningful after ONE step — the
+    crawl-time alternative to converged PageRank for frontier budget."""
+    from crawler_ai_spark.operators.hostrank import opic
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    return opic(edges, hosts, n_hosts=_OPIC_N, iterations=_OPIC_ITERS).orderBy("host")
