@@ -974,3 +974,91 @@ def decontaminate_fuzzy(
             (F.coalesce("n_flagged", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-mixture sampling: downsample per language so the kept corpus
+# hits a TARGET token mixture (the data-recipe move every multilingual
+# pretraining run makes — e.g. 60% en / 20% zh / 20% rest — instead of
+# inheriting whatever mix the crawl found).
+# ---------------------------------------------------------------------------
+
+
+def mixture_rates(
+    docs: DataFrame, targets: dict[str, float], text_col: str = "text"
+) -> DataFrame:
+    """Per-language keep rates for an exact-feasible target mixture.
+
+    Availability A_l = total tokens of language l; the largest corpus
+    honoring target share w_l from every language is T = min_l A_l/w_l
+    (the binding language is kept whole, everything else downsampled).
+    Keep rate r_l = w_l * T / A_l. Languages absent from `targets` get
+    rate 0 (dropped); a target language absent from the corpus binds
+    T to 0 — surfacing the infeasible recipe rather than silently
+    re-normalizing.
+
+    One tiny aggregation (few language keys, map-side combined) + a
+    broadcast of the rate table: 100 TB-safe, no driver state. The rate
+    arithmetic runs IN-PLAN so both engines derive identical doubles.
+    Returns (lang, avail_tokens, rate, thr) where thr =
+    floor(rate * 65536) thresholds the 16-bit sample keyspace."""
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(l, float(w)) for l, w in sorted(targets.items())], "lang string, w double"
+    )
+    n_tok = F.when(
+        F.length(norm_text(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(_toks(F.col(text_col))))
+    avail = (
+        docs.select("lang", n_tok.cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("avail_tokens"))
+    )
+    per = tgt.join(avail, "lang", "left").select(
+        "lang",
+        "w",
+        F.coalesce("avail_tokens", F.lit(0)).alias("avail_tokens"),
+    )
+    t_total = per.agg(
+        F.min(F.col("avail_tokens") / F.col("w")).alias("t_total")
+    )
+    # a target language with zero availability is the binding constraint
+    # (T = 0); its own rate is pinned 0 explicitly — the unguarded 0/0
+    # would throw under ANSI mode
+    rate = F.when(F.col("avail_tokens") == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.col("w") * F.col("t_total") / F.col("avail_tokens"))
+    )
+    return per.crossJoin(F.broadcast(t_total)).select(
+        "lang",
+        "avail_tokens",
+        rate.alias("rate"),
+        F.floor(rate * F.lit(65536.0)).cast("long").alias("thr"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame, targets: dict[str, float], text_col: str = "text"
+) -> DataFrame:
+    """Deterministic doc-grain sampling to the target token mixture:
+    keep a doc iff its content-independent sample key (16-bit slice of
+    md5(doc_id:salt)) falls under its language's threshold. Keep
+    decisions are independent of doc length, so expected kept tokens per
+    language = rate * avail = w_l * T — the target mixture. Map-only
+    after the broadcast rate join; same key machinery as
+    stratified_sample, so builds stay reproducible and resumable."""
+    rates = mixture_rates(docs, targets, text_col)
+    key_int = F.conv(sample_key(F.col("doc_id")), 16, 10).cast("long")
+    n_tok = F.when(
+        F.length(norm_text(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(_toks(F.col(text_col))))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.cast("long").alias("n_tokens"),
+            key_int.alias("key_int"),
+            "rate",
+        )
+        .where(F.col("key_int") < F.col("thr"))
+    )

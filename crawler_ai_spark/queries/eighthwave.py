@@ -341,3 +341,62 @@ def q_opic_host_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges, hosts = synth_host_edges(spark, sf_dir)
     return opic(edges, hosts, n_hosts=_OPIC_N, iterations=_OPIC_ITERS).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Language-mixture sampling (pipeline/corpus.py: mixture_sample): the
+# multilingual data-recipe move — downsample per language so the kept
+# corpus hits a target TOKEN mixture. The recipe excludes 'de' (dropped
+# entirely) and overweights 'fr' relative to availability so the
+# binding-language math (largest feasible corpus T = min avail/w, keep
+# rate w*T/avail) is load-bearing, not all-ones. DuckDB re-derives
+# availability, T, the rates and the 16-bit thresholds from scratch;
+# any divergence in the token counts, the min, the rate arithmetic or
+# the md5 keyspace thresholding flips rows in or out of the sample.
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 0.45, "zh": 0.25, "es": 0.15, "fr": 0.15}
+
+_MIX_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         END AS n_tokens
+  FROM documents
+),
+tgt(lang, w) AS (VALUES {", ".join(f"('{l}', {w:.17e})" for l, w in sorted(_MIX_TARGETS.items()))}),
+avail AS (
+  SELECT tgt.lang, tgt.w,
+         COALESCE(SUM(n.n_tokens), 0) AS avail_tokens
+  FROM tgt LEFT JOIN n ON n.lang = tgt.lang
+  GROUP BY tgt.lang, tgt.w
+),
+tt AS (SELECT MIN(avail_tokens / w) AS t_total FROM avail),
+rates AS (
+  SELECT lang, avail_tokens,
+         LEAST({1.0:.17e}, w * tt.t_total / avail_tokens) AS rate
+  FROM avail, tt
+),
+keyed AS (
+  SELECT n.doc_id, n.lang, n.n_tokens, r.rate,
+         ('0x' || substr(md5(n.doc_id || ':corpus-v1'), 1, 4))::BIGINT AS key_int,
+         CAST(floor(r.rate * {65536.0:.17e}) AS BIGINT) AS thr
+  FROM n JOIN rates r ON n.lang = r.lang
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, key_int, rate
+FROM keyed WHERE key_int < thr ORDER BY doc_id
+"""
+
+
+@_register("corpus_mixture_sample", oracle=_MIX_ORACLE)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-token-mixture sampling: the binding language is kept whole,
+    every other target language downsampled to its share of the largest
+    feasible corpus; non-target languages dropped. One tiny per-language
+    aggregation + a broadcast rate join — map-only at corpus scale."""
+    from crawler_ai_spark.pipeline import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return CP.mixture_sample(docs, _MIX_TARGETS).orderBy("doc_id")
