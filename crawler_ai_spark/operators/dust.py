@@ -1,0 +1,134 @@
+"""DUST rule mining — Different URLs with Similar Text (Bar-Yossef,
+Keidar, Schonfeld, WWW 2007): learn URL rewrite rules from observed
+same-content URL pairs, so the crawler stops re-fetching print views,
+session-id variants and index.html aliases it has already seen.
+
+The reference crawler dedups only by exact canonical URL
+(app/services/crawler.py visited-set membership); at web scale the
+bigger waste is *structurally* duplicate URLs, and the classic answer
+is to mine substitution rules from the duplicates the crawl has already
+paid for:
+
+1. group fetched pages by (host, content fingerprint);
+2. STAR-PAIR each group: every URL pairs with the group's canonical
+   (lexicographically smallest) URL — n-1 pairs per group, linear, not
+   the quadratic all-pairs join;
+3. decompose each pair by longest common prefix/suffix into one
+   substring substitution rule  alpha -> beta  (variant -> canonical);
+4. bucket digit runs in both sides to '*' (the paper's generalization
+   move: '?sid=123' and '?sid=987' are one rule '?sid=*');
+5. aggregate by rule, keep rules supported by >= min_support distinct
+   pairs — value-dependent accidents (two pages that merely happen to
+   collide) can't accumulate support, constant affix rules can.
+
+Plan shape at 10^10 URLs: one fingerprint shuffle (groupBy host+fp,
+group lists capped at `max_group` URLs so a viral page can't build an
+unbounded array), one rule-count shuffle over short rows. The LCP/LCS
+scan is O(len^2) per pair in whole-stage codegen — URL lengths are
+~100 chars, and the identical formulation runs on the DuckDB side, so
+the cross-engine hash pins every rule byte."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIN_SUPPORT = 3
+MAX_GROUP = 16
+
+
+def _lcp_len(a: Column, b: Column) -> Column:
+    """Length of the longest common prefix: max i with equal prefixes
+    (prefix equality is monotone, so max over the matching set is the
+    boundary). NULL-free: empty match set -> 0."""
+    n = F.least(F.length(a), F.length(b))
+    return F.coalesce(
+        F.array_max(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.when(a.substr(F.lit(1), i) == b.substr(F.lit(1), i), i),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def mine_dust_rules(
+    pages: DataFrame,
+    fingerprint: Column | None = None,
+    min_support: int = MIN_SUPPORT,
+    max_group: int = MAX_GROUP,
+) -> DataFrame:
+    """pages(url, ...) + a content fingerprint column -> supported DUST
+    rules (rule_from, rule_to, support, n_hosts). `fingerprint` defaults
+    to md5 of the page's normalized text column (callers with raw html
+    should pass their extraction's fingerprint instead)."""
+    from crawler_ai_spark.functions.urls import host_expr
+
+    fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
+    groups = (
+        pages.select(
+            host_expr(F.col("url")).alias("host"),
+            fp.alias("fp"),
+            F.col("url"),
+        )
+        .groupBy("host", "fp")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("url")), 1, max_group).alias("urls")
+        )
+        .where(F.size("urls") >= 2)
+    )
+    pairs = groups.select(
+        "host",
+        F.element_at("urls", 1).alias("canon"),
+        F.explode(F.slice("urls", 2, max_group)).alias("variant"),
+    )
+    lcp = _lcp_len(F.col("canon"), F.col("variant"))
+    # suffix match on the reversed remainders, capped so prefix+suffix
+    # never overlap on the shorter string
+    rc = F.reverse(F.col("canon"))
+    rv = F.reverse(F.col("variant"))
+    lcs_raw = _lcp_len(rc, rv)
+    lcs = F.least(
+        lcs_raw,
+        F.least(F.length("canon"), F.length("variant")) - lcp,
+    )
+    mid = lambda c: F.substring(  # noqa: E731
+        c, lcp + 1, F.length(c) - lcp - lcs
+    )
+    rules = pairs.select(
+        "host",
+        F.regexp_replace(mid(F.col("variant")), "[0-9]+", "*").alias("rule_from"),
+        F.regexp_replace(mid(F.col("canon")), "[0-9]+", "*").alias("rule_to"),
+    )
+    return (
+        rules.groupBy("rule_from", "rule_to")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .where(F.col("support") >= min_support)
+    )
+
+
+def apply_dust_rules(frontier: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """Rewrite frontier URLs by the mined CONSTANT rules (no '*' in
+    either side — generalized rules need per-value matching and stay
+    advisory). Rules are few (a learned table, not data-scale) and
+    broadcast; each is applied as one literal replace, longest
+    rule_from first so more specific rewrites win. Adds
+    `canonical_url`; unmatched URLs pass through unchanged."""
+    const_rules = [
+        (r.rule_from, r.rule_to)
+        for r in rules.where(
+            ~F.col("rule_from").contains("*") & ~F.col("rule_to").contains("*")
+        ).collect()
+    ]
+    const_rules.sort(key=lambda t: (-len(t[0]), t[0], t[1]))
+    out = F.col(url_col)
+    for frm, to in const_rules:
+        out = F.replace(out, F.lit(frm), F.lit(to))
+    return frontier.withColumn("canonical_url", out)

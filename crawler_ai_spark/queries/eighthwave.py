@@ -400,3 +400,111 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return CP.mixture_sample(docs, _MIX_TARGETS).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DUST rule mining (operators/dust.py): learn URL rewrite rules from
+# same-content URL groups — star pairing against the group's canonical
+# URL, longest-common-prefix/suffix decomposition, digit-run
+# generalization, support filter. Synth corpus: every doc has a base
+# URL; even docs add a ?sessionid=<value> variant (value differs per
+# doc — only the '*' generalization lets those accumulate support) and
+# doc%3 docs add a /print variant. DuckDB re-runs the entire pipeline:
+# list aggregation + slicing, the monotone-prefix LCP via list_filter,
+# the overlap-capped suffix, bucketing and the support cut.
+# ---------------------------------------------------------------------------
+
+_DUST_ORACLE = """
+WITH pages AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.com/item/' || doc_id AS url,
+         'content-' || doc_id AS body
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example.com/item/' || doc_id
+           || '?sessionid=' || (doc_id * 31 + 7) AS url,
+         'content-' || doc_id AS body
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example.com/item/' || doc_id
+           || '/print' AS url,
+         'content-' || doc_id AS body
+  FROM documents WHERE doc_id % 3 = 0
+),
+groups AS (
+  SELECT split_part(url, '/', 3) AS host, md5(body) AS fp,
+         list_sort(list(DISTINCT url))[1:16] AS urls
+  FROM pages GROUP BY 1, 2
+),
+pairs AS (
+  SELECT host, urls[1] AS canon, unnest(urls[2:]) AS variant
+  FROM groups WHERE len(urls) >= 2
+),
+cut AS (
+  SELECT host, canon, variant,
+         len(list_filter(range(1, least(strlen(canon), strlen(variant)) + 1),
+                         i -> substr(canon, 1, i) = substr(variant, 1, i))) AS lcp,
+         least(
+           len(list_filter(range(1, least(strlen(canon), strlen(variant)) + 1),
+                           i -> substr(reverse(canon), 1, i)
+                              = substr(reverse(variant), 1, i))),
+           least(strlen(canon), strlen(variant))
+             - len(list_filter(range(1, least(strlen(canon), strlen(variant)) + 1),
+                               i -> substr(canon, 1, i) = substr(variant, 1, i)))
+         ) AS lcs
+  FROM pairs
+),
+rules AS (
+  SELECT host,
+         regexp_replace(substr(variant, lcp + 1,
+                               strlen(variant) - lcp - lcs), '[0-9]+', '*', 'g')
+           AS rule_from,
+         regexp_replace(substr(canon, lcp + 1,
+                               strlen(canon) - lcp - lcs), '[0-9]+', '*', 'g')
+           AS rule_to
+  FROM cut
+)
+SELECT rule_from, rule_to, CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM rules GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY rule_from, rule_to
+"""
+
+
+@_register("dust_rules", oracle=_DUST_ORACLE)
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST: mine URL rewrite rules (print views, session-id variants)
+    from same-content URL groups the crawl already paid for. One
+    fingerprint shuffle with capped group lists, one short-row rule
+    count — linear star pairing, never the quadratic all-pairs join."""
+    from crawler_ai_spark.operators.dust import mine_dust_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.com/item/"), d.cast("string"),
+    )
+    body = F.concat(F.lit("content-"), d.cast("string"))
+    pages = (
+        docs.select(base.alias("url"), body.alias("body"))
+        .unionAll(
+            docs.where(d % 2 == 0).select(
+                F.concat(
+                    base, F.lit("?sessionid="), (d * 31 + 7).cast("string")
+                ).alias("url"),
+                body.alias("body"),
+            )
+        )
+        .unionAll(
+            docs.where(d % 3 == 0).select(
+                F.concat(base, F.lit("/print")).alias("url"), body.alias("body")
+            )
+        )
+    )
+    return mine_dust_rules(
+        pages, fingerprint=F.md5(F.col("body"))
+    ).select(
+        "rule_from", "rule_to",
+        F.col("support").cast("long").alias("support"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+    ).orderBy("rule_from", "rule_to")
