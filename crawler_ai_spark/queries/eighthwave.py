@@ -508,3 +508,72 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("support").cast("long").alias("support"),
         F.col("n_hosts").cast("long").alias("n_hosts"),
     ).orderBy("rule_from", "rule_to")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (pipeline/dsir.py): hashed-unigram importance
+# resampling scores — ln p_target(bucket) - ln p_raw(bucket) summed
+# over each doc's bucket counts, per-token normalized. Target = three
+# of the twenty synth sources. DuckDB refits both multinomials from
+# scratch (same md5 bucket hash, same add-1 smoothing, same
+# bucket-ordered fold) — any drift in the hashing, the smoothing
+# denominators or the fold order flips weights.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512
+
+_DSIR_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+         END AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_target,
+         ('0x' || substr(md5(t.tokstr), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM toksed, unnest(toks) AS t(tokstr)
+),
+cnt AS (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY b
+),
+totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+ratio AS (
+  SELECT b,
+         ln((ct + {1.0:.17e}) / (tt + {float(_DSIR_B):.17e}))
+           - ln((cr + {1.0:.17e}) / (tr + {float(_DSIR_B):.17e})) AS lr
+  FROM cnt, totals
+),
+pdb AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b),
+w AS (
+  SELECT pdb.doc_id, SUM(pdb.c) AS n_tokens,
+         round(list_reduce(list(pdb.c * r.lr ORDER BY pdb.b),
+                           (a, x) -> a + x) / SUM(pdb.c), 4) AS logweight
+  FROM pdb JOIN ratio r USING (b) GROUP BY pdb.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       w.logweight,
+       COALESCE(w.logweight, {0.0:.17e}) > {0.0:.17e} AS selected
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("doc_dsir_weights", oracle=_DSIR_ORACLE)
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: per-doc log importance weight of target vs pool hashed-
+    unigram models, fit in-plan; selected = per-token weight > 0. Two
+    512-key count shuffles + a broadcast ratio join + one doc-keyed
+    fold — no classifier, no global sort."""
+    from crawler_ai_spark.pipeline.dsir import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_logweights(
+        docs, F.col("source").isin("src0", "src1", "src2")
+    ).orderBy("doc_id")
