@@ -41,6 +41,7 @@ def host_rank(
     iterations: int = 3,
     damping: float = DAMPING,
     deterministic_fold: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank over a host graph, fixed `iterations` power steps.
 
@@ -48,12 +49,28 @@ def host_rank(
             host MUST have >= 1 out-edge (add sink handling upstream —
             the catalog fixture guarantees it with a ring).
     hosts:  one row per host id (the rank universe).
+    teleport: optional (host, t) distribution replacing the uniform
+            restart — this is TrustRank (Gyongyi/Garcia-Molina/Pedersen
+            VLDB'04) when t is nonzero only on a curated trusted seed
+            set: trust flows OUT of the seeds along links, and a spam
+            host reachable from no seed converges to rank 0 instead of
+            collecting the (1-d)/n everyone gets under uniform restart.
+            Caller normalizes t to sum 1; broadcast (seed sets are
+            small). Init follows the teleport so iteration-0 mass
+            already sits on the seeds.
     Returns (host, rank) with sum(rank) ~= 1.
     """
-    base = (1.0 - damping) / n_hosts
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(outdeg, "src")  # iteration-invariant; persist at scale
-    r = hosts.select("host", F.lit(1.0 / n_hosts).alias("rank"))
+    if teleport is not None:
+        hosts = hosts.join(
+            F.broadcast(teleport.select("host", "t")), "host", "left"
+        ).select("host", F.coalesce("t", F.lit(0.0)).alias("t"))
+        base_col = F.lit(1.0 - damping) * F.col("t")
+        r = hosts.select("host", F.col("t").alias("rank"))
+    else:
+        base_col = F.lit((1.0 - damping) / n_hosts)
+        r = hosts.select("host", F.lit(1.0 / n_hosts).alias("rank"))
     for _ in range(iterations):
         contrib = e.join(r, e["src"] == r["host"]).select(
             e["dst"], e["src"], (r["rank"] / e["outdeg"]).alias("c")
@@ -72,12 +89,12 @@ def host_rank(
             .select(
                 hosts["host"],
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
-    return r
+    return r.select("host", "rank")
 
 
 def budget_from_rank(

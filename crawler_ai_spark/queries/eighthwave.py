@@ -577,3 +577,77 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(
         docs, F.col("source").isin("src0", "src1", "src2")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (operators/hostrank.py: host_rank(teleport=...)): biased
+# PageRank whose restart distributes only over a curated trusted seed
+# set, so hosts reachable from no seed converge to zero — the classic
+# link-spam demotion signal (Gyongyi et al. VLDB'04). Same synth graph
+# as host_rank; seeds = every 5th host with uniform trust. DuckDB
+# unrolls the iteration with the per-host teleport base and src-sorted
+# folds for bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_TR_N = 37
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+_TR_SEEDS = 8  # hosts 0,5,10,...,35
+
+
+def _trust_rank_oracle() -> str:
+    damp = f"{_TR_DAMP:.17e}"
+    oneminus = f"{1.0 - _TR_DAMP:.17e}"
+    tseed = f"{1.0 / _TR_SEEDS:.17e}"
+    zero = f"{0.0:.17e}"
+    steps = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        steps.append(
+            f"""
+i{k} AS (
+  SELECT e.dst AS host,
+         list_reduce(list(r.rank / e.outdeg ORDER BY e.src), (a, b) -> a + b)
+           AS inflow
+  FROM e JOIN {prev} r ON e.src = r.host GROUP BY e.dst),
+r{k} AS (
+  SELECT h.host, {oneminus} * h.t + {damp} * COALESCE(i{k}.inflow, {zero}) AS rank
+  FROM hosts h LEFT JOIN i{k} ON h.host = i{k}.host)"""
+        )
+        prev = f"r{k}"
+    return f"""
+WITH hosts AS (
+  SELECT range AS host,
+         CASE WHEN range % 5 = 0 THEN {tseed} ELSE {zero} END AS t
+  FROM range({_TR_N})),
+synth AS (
+  SELECT DISTINCT doc_id % {_TR_N} AS src, (doc_id // {_TR_N}) % {_TR_N} AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % {_TR_N}) != ((doc_id // {_TR_N}) % {_TR_N})),
+ring AS (SELECT host AS src, (host + 1) % {_TR_N} AS dst FROM hosts),
+edges AS (SELECT DISTINCT src, dst
+          FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT host, t AS rank FROM hosts),{",".join(steps)}
+SELECT host, rank FROM r{_TR_ITERS} ORDER BY host
+"""
+
+
+@_register("trust_rank", oracle=_trust_rank_oracle())
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the synthesized host graph: restart mass flows
+    only to the trusted seed set, demoting link-spam neighborhoods no
+    seed endorses. Same 2-shuffles-per-step shape as host_rank."""
+    from crawler_ai_spark.operators.hostrank import host_rank
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    tel = hosts.where(F.col("host") % 5 == 0).select(
+        "host", F.lit(1.0 / _TR_SEEDS).alias("t")
+    )
+    return host_rank(
+        edges, hosts, n_hosts=_TR_N, iterations=_TR_ITERS, damping=_TR_DAMP,
+        teleport=tel,
+    ).orderBy("host")
