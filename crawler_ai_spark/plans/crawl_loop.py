@@ -747,6 +747,7 @@ def next_frontier(
     blooms: DataFrame | None = None,
     trap_filter: bool = False,
     trap_quarantine_share: float | None = None,
+    dust_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Links of yield-allowed pages → scheduled child frontier rows.
 
@@ -786,6 +787,21 @@ def next_frontier(
         links = links.where(~F.col("_trap")).drop("_trap")
     seq_offsets = seed_state.select("seed_url", F.col("seq_offset"))
     candidates = FR.assign_sequence(links, seq_offsets)
+    if dust_rules is not None:
+        # learned structural-duplicate collapse: rewrite by the mined
+        # constant rules BEFORE hashing, so print-view/session-id
+        # variants share one url_hash and the first-discovery window
+        # in the seen-dedup keeps exactly one — the other variants cost
+        # zero fetches. Sequence numbers are assigned pre-rewrite: a
+        # collapsed variant still consumed its discovery slot, keeping
+        # the rules-off and rules-on orderings aligned on shared URLs.
+        from crawler_ai_spark.operators.dust import apply_dust_rules
+
+        candidates = (
+            apply_dust_rules(candidates, dust_rules, url_col="child_url")
+            .drop("child_url")
+            .withColumnRenamed("canonical_url", "child_url")
+        )
     candidates = FR.with_url_hash(candidates, "child_url")
     if use_bloom:
         from crawler_ai_spark.operators import seen as SN
@@ -1478,8 +1494,16 @@ def run_crawl(
     resume: bool = False,
     host_budgets: DataFrame | None = None,
     ip_map: DataFrame | None = None,
+    dust_rules: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) the crawl to completion; returns summary counters.
+
+    ``dust_rules``: optional mined DUST table (operators/dust.py —
+    rule_from, rule_to, support, n_hosts). Harvested candidate URLs are
+    rewritten by the CONSTANT rules before hashing, so structural
+    duplicates (print views, session-id aliases) collapse into one
+    frontier row instead of one fetch each. None (default): loop
+    byte-identical.
 
     Every batch commit is a restart point: kill the driver anywhere, call
     again with resume=True, and the remaining batches produce bit-identical
@@ -1978,6 +2002,7 @@ def run_crawl(
             cache_registry=batch_caches, blooms=blooms,
             trap_filter=cfg.trap_filter,
             trap_quarantine_share=cfg.trap_quarantine_share,
+            dust_rules=dust_rules,
         )
         fresh = fresh.persist()
         new_frontier = fresh.unionByName(deferred.select(*FRONTIER_COLS))
