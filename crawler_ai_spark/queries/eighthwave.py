@@ -651,3 +651,86 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, hosts, n_hosts=_TR_N, iterations=_TR_ITERS, damping=_TR_DAMP,
         teleport=tel,
     ).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# ANF / harmonic centrality (operators/anf.py): neighborhood-function
+# estimation with k-minimum-values sketches — the HyperANF idea with
+# integer-exact merges, so DuckDB replays every iteration bit-for-bit
+# (list_distinct+sort+slice == Spark's array ops on the same 48-bit md5
+# hashes). 37 hosts with k=8 forces the ESTIMATION regime (sketches
+# saturate), not just exact small-set counting. Output is flattened to
+# scalar columns (driver hash canonicalizer cannot sort array cells).
+# ---------------------------------------------------------------------------
+
+_ANF_N = 37
+_ANF_ITERS = 3
+_ANF_K = 8
+
+
+def _anf_oracle() -> str:
+    k = _ANF_K
+    two48 = f"{float(2**48):.17e}"
+    km1 = f"{float(k - 1):.17e}"
+    steps = []
+    prev = "s0"
+    for t in range(1, _ANF_ITERS + 1):
+        steps.append(
+            f"""
+m{t} AS (
+  SELECT e.src AS host,
+         list_sort(list_distinct(flatten(list(s.sketch))))[1:{k}] AS nsk
+  FROM e JOIN {prev} s ON e.dst = s.host GROUP BY e.src),
+s{t} AS (
+  SELECT h.host,
+         list_sort(list_distinct(
+           flatten([h.sketch, COALESCE(m{t}.nsk, CAST([] AS BIGINT[]))])
+         ))[1:{k}] AS sketch
+  FROM {prev} h LEFT JOIN m{t} ON h.host = m{t}.host)"""
+        )
+        prev = f"s{t}"
+    est = (
+        lambda s: f"CASE WHEN len({s}.sketch) < {k} THEN CAST(len({s}.sketch) AS DOUBLE)"
+        f" ELSE {km1} * {two48} / CAST({s}.sketch[{k}] AS DOUBLE) END"
+    )
+    return f"""
+WITH hosts AS (SELECT range AS host FROM range({_ANF_N})),
+synth AS (
+  SELECT DISTINCT doc_id % {_ANF_N} AS src, (doc_id // {_ANF_N}) % {_ANF_N} AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % {_ANF_N}) != ((doc_id // {_ANF_N}) % {_ANF_N})),
+ring AS (SELECT host AS src, (host + 1) % {_ANF_N} AS dst FROM hosts),
+e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+s0 AS (
+  SELECT host,
+         [('0x' || substr(md5(host || ':anf'), 1, 12))::BIGINT] AS sketch
+  FROM hosts),{",".join(steps)}
+SELECT s0.host,
+       {est("s0")} AS b0, {est("s1")} AS b1, {est("s2")} AS b2, {est("s3")} AS b3,
+       ({est("s1")} - {est("s0")}) / {1.0:.17e}
+         + ({est("s2")} - {est("s1")}) / {2.0:.17e}
+         + ({est("s3")} - {est("s2")}) / {3.0:.17e} AS harmonic
+FROM s0 JOIN s1 USING (host) JOIN s2 USING (host) JOIN s3 USING (host)
+ORDER BY host
+"""
+
+
+@_register("anf_harmonic", oracle=_anf_oracle())
+def q_anf_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality via KMV neighborhood sketches over the synth
+    host graph: T iterations = 2T shuffles, sketch state n*k longs,
+    two-phase salted merges so hub fan-in never concentrates."""
+    from crawler_ai_spark.operators.anf import anf_harmonic
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    out = anf_harmonic(edges, hosts, iterations=_ANF_ITERS, k=_ANF_K)
+    return out.select(
+        "host",
+        *[
+            F.element_at("ball_sizes", i + 1).alias(f"b{i}")
+            for i in range(_ANF_ITERS + 1)
+        ],
+        "harmonic",
+    ).orderBy("host")
