@@ -65,6 +65,10 @@ BENCH_QUERY_NAMES = [
     "media_dhash",            # perceptual dHash over real pixel decode
     "search_pipeline",        # capstone: BM25 × PageRank boost × KWIC render
     "main_content_extract",   # jusText-style boilerplate removal (row-local)
+    "anf_harmonic",           # KMV neighborhood sketches / harmonic centrality
+    "dust_rules",             # DUST rewrite-rule mining (fingerprint groups)
+    "doc_dsir_weights",       # DSIR target-vs-pool importance weights
+    "corpus_mixture_sample",  # language-mixture sampling (rate join, map-only)
 ]
 
 CANDIDATE_MULT = int(os.environ.get("BENCH_CANDIDATE_MULT", "200"))  # docs × MULT URLs

@@ -734,3 +734,72 @@ def q_anf_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "harmonic",
     ).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Change-rate estimation (operators/freshness.py): the Cho/Garcia-
+# Molina bias-corrected Poisson estimator over a synthesized revisit
+# history (8 visits/URL at daily spacing, changed bit LCG-derived per
+# (doc, visit), with doc%97 pinned always-changed and doc%89 pinned
+# never-changed so X covers both endpoints — the X=n case is
+# exactly what the naive estimator cannot handle). DuckDB recomputes
+# λ̂ and the clamped half-life interval from the same counts.
+# ---------------------------------------------------------------------------
+
+_FRESH_VISITS = 8
+_FRESH_DT = 86400.0
+
+_FRESH_ORACLE = f"""
+WITH visits AS (
+  SELECT 'https://d' || (doc_id % 11) || '.example.com/p/' || doc_id AS url,
+         (doc_id % 97 = 0) OR
+           ((doc_id % 89 != 0) AND
+            ((doc_id * 8 + v.k) * 1103515245 + 12345) % 7 < 3) AS changed
+  FROM documents, range({_FRESH_VISITS}) v(k)
+),
+agg AS (
+  SELECT url, COUNT(*) AS n_visits,
+         SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed
+  FROM visits GROUP BY url
+),
+est AS (
+  SELECT url, n_visits, n_changed,
+         round(-ln((n_visits - n_changed + {0.5:.17e}) / (n_visits + {0.5:.17e}))
+               / {_FRESH_DT:.17e}, 12) + {0.0:.17e} AS lam
+  FROM agg
+)
+SELECT url, CAST(n_visits AS BIGINT) AS n_visits,
+       CAST(n_changed AS BIGINT) AS n_changed,
+       lam AS lambda_hat,
+       CAST(floor(LEAST({30 * 86400:.17e},
+                  GREATEST({3600:.17e},
+                           CASE WHEN n_changed = 0 THEN {30 * 86400:.17e}
+                                ELSE {0.6931471805599453094:.17e} / lam END)))
+            AS BIGINT) AS revisit_s
+FROM est ORDER BY url
+"""
+
+
+@_register("change_rate_estimate", oracle=_FRESH_ORACLE)
+def q_change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho/Garcia-Molina λ̂ per URL from revisit observations, plus the
+    half-life revisit interval clamped to [1h, 30d] — the offline
+    scheduler feeding per-URL recrawl TTLs. One map-combined groupBy,
+    then row-local math."""
+    from crawler_ai_spark.operators.freshness import estimate_change_rate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    history = docs.join(
+        spark.range(_FRESH_VISITS).select(F.col("id").alias("k")),
+    ).select(
+        F.concat(
+            F.lit("https://d"), (d % 11).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        ).alias("url"),
+        (
+            (d % 97 == 0)
+            | ((d % 89 != 0) & (((d * 8 + F.col("k")) * 1103515245 + 12345) % 7 < 3))
+        ).alias("changed"),
+    )
+    return estimate_change_rate(history, interval_s=_FRESH_DT).orderBy("url")

@@ -84,6 +84,27 @@ def main() -> None:
                          "host graph of the PAGES table's links and give "
                          "each host floor(RANK_BUDGET x rank) fetch slots "
                          "per batch (clamped to [1, --host-budget or 64])")
+    ap.add_argument("--rank-algo", choices=("pagerank", "opic"),
+                    default="pagerank",
+                    help="importance estimator behind --rank-budget: "
+                         "'opic' uses the on-line cash/history estimate "
+                         "(meaningful without convergence) instead of "
+                         "power-iteration PageRank")
+    ap.add_argument("--domain-budget", type=int, default=None,
+                    help="registrant-grain politeness: max URLs per PSL "
+                         "registrable domain per batch (all subdomains of "
+                         "one registrant share the cap — subdomain-spam "
+                         "defense; composes with --host-budget/--ip-budget)")
+    ap.add_argument("--priority-aging", type=int, default=None,
+                    help="starvation-free scheduling: rank budget windows "
+                         "by priority + wait_batches // AGING so endlessly "
+                         "deferred rows eventually outrank any priority")
+    ap.add_argument("--dust-rules", default=None,
+                    help="parquet of mined DUST rules (rule_from, rule_to, "
+                         "support, n_hosts — operators/dust.py): harvested "
+                         "candidate URLs rewrite by the constant rules "
+                         "before hashing, collapsing print-view/session-id "
+                         "variants into one fetch")
     ap.add_argument("--ip-map", default=None,
                     help="parquet of (host, ip) from a resolver stage: "
                          "enables server-grain politeness with --ip-budget "
@@ -188,15 +209,21 @@ def main() -> None:
                 budget_from_rank,
                 host_edges_from_pages,
                 host_rank,
+                opic,
             )
 
             edges, hosts = host_edges_from_pages(pages)
             edges = edges.persist()  # iteration-invariant across power steps
             n_hosts = hosts.count()
             if n_hosts:
-                ranks = host_rank(
-                    edges, hosts, n_hosts=n_hosts, deterministic_fold=False
-                )
+                if args.rank_algo == "opic":
+                    ranks = opic(
+                        edges, hosts, n_hosts=n_hosts, deterministic_fold=False
+                    ).select("host", F.col("importance").alias("rank"))
+                else:
+                    ranks = host_rank(
+                        edges, hosts, n_hosts=n_hosts, deterministic_fold=False
+                    )
                 host_budgets = budget_from_rank(
                     ranks,
                     total_per_batch=args.rank_budget,
@@ -231,6 +258,8 @@ def main() -> None:
             trap_quarantine_share=args.trap_quarantine,
             robots_ttl_batches=args.robots_ttl,
             ip_budget_per_batch=args.ip_budget,
+            domain_budget_per_batch=args.domain_budget,
+            priority_aging_batches=args.priority_aging,
         )
         cfg.warc_dir = args.warc_dir
         if args.ip_map and args.resolve_ips:
@@ -257,9 +286,13 @@ def main() -> None:
             ip_map = spark.read.parquet(args.ip_map) if args.ip_map else None
         if args.ip_budget and ip_map is None:
             ap.error("--ip-budget requires --ip-map or --resolve-ips")
+        dust_rules = (
+            spark.read.parquet(args.dust_rules) if args.dust_rules else None
+        )
         summary = run_crawl(
             spark, pages, seeds, args.state, cfg,
             resume=args.resume, host_budgets=host_budgets, ip_map=ip_map,
+            dust_rules=dust_rules,
         )
         if args.compact or args.vacuum or args.compact_state:
             from crawler_ai_spark.plans.crawl_loop import CrawlStore
