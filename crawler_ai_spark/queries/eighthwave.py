@@ -803,3 +803,95 @@ def q_change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("changed"),
     )
     return estimate_change_rate(history, interval_s=_FRESH_DT).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# Luhn-gated card scrubbing (functions/pii.py): the regex-only PII pass
+# over-redacts 16-digit order ids; this one checksum-validates. Each
+# doc's text is augmented with one VALID synthetic PAN (check digit
+# computed in-plan) and one INVALID sibling (check digit bumped +1):
+# the scrub must redact exactly the valid one. DuckDB recomputes the
+# full Luhn arithmetic — position parity, doubling, the branchless
+# over-9 correction — and the fold-replace.
+# ---------------------------------------------------------------------------
+
+_LUHN_SQL_TOTAL = (
+    "list_reduce(list_transform(range(1, 15 + 1), i -> "
+    "CASE WHEN (15 - i) % 2 = 0 THEN "
+    "CAST(substr(base, i, 1) AS INT) * 2 - 9 * ((CAST(substr(base, i, 1) AS INT) * 2) // 10) "
+    "ELSE CAST(substr(base, i, 1) AS INT) END), (a, b) -> a + b)"
+)
+
+_LUHN_VALID_SQL = (
+    "((list_reduce(list_transform(range(1, 16 + 1), i -> "
+    "CASE WHEN (16 - i) % 2 = 1 THEN "
+    "CAST(substr(c, i, 1) AS INT) * 2 - 9 * ((CAST(substr(c, i, 1) AS INT) * 2) // 10) "
+    "ELSE CAST(substr(c, i, 1) AS INT) END), (a, b) -> a + b)) % 10) = 0"
+)
+
+_CARD_ORACLE = f"""
+WITH pan AS (
+  SELECT doc_id, text,
+         '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 14, '0')
+           AS base
+  FROM documents
+),
+made AS (
+  SELECT doc_id, text, base,
+         (10 - ({_LUHN_SQL_TOTAL} % 10)) % 10 AS cd
+  FROM pan
+),
+aug AS (
+  SELECT doc_id,
+         base || cd AS valid_pan,
+         base || ((cd + 1) % 10) AS invalid_pan,
+         text || ' card ' || base || cd
+              || ' order ' || base || ((cd + 1) % 10) || ' end' AS text
+  FROM made
+),
+scrubbed AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '\\b\\d{{16}}\\b'),
+                     c -> {_LUHN_VALID_SQL}) AS valid,
+         text
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(valid) AS BIGINT) AS n_cards,
+       list_reduce(
+         list_prepend(text, list_distinct(valid)),
+         (acc, c) -> replace(acc, c, '<CARD>')
+       ) AS text_scrubbed
+FROM scrubbed ORDER BY doc_id
+"""
+
+
+@_register("doc_card_scrub", oracle=_CARD_ORACLE)
+def q_doc_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII: redact 16-digit runs ONLY when they pass
+    the Luhn mod-10 check — each doc carries one valid and one invalid
+    synthetic PAN, so over- and under-redaction both flip the hash.
+    Pure JVM expressions, zero shuffle."""
+    from crawler_ai_spark.functions.pii import luhn_check_digit, scrub_card_numbers
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("4"), F.lpad(((d * 7919) % 100000000000000).cast("string"), 14, "0")
+    )
+    cd = luhn_check_digit(base)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card "), base, cd.cast("string"),
+            F.lit(" order "), base, ((cd + 1) % 10).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    n_cards, scrubbed = scrub_card_numbers(F.col("text"))
+    return aug.select(
+        "doc_id",
+        n_cards.cast("long").alias("n_cards"),
+        scrubbed.alias("text_scrubbed"),
+    ).orderBy("doc_id")
