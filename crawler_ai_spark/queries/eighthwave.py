@@ -895,3 +895,97 @@ def q_doc_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cards.cast("long").alias("n_cards"),
         scrubbed.alias("text_scrubbed"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# In-plan logistic quality classifier (pipeline/classifier.py): 3
+# full-batch GD steps over hashed-unigram features, trained and scored
+# inside one plan. DuckDB REPEATS THE ENTIRE TRAINING — feature
+# matrix, per-doc sigmoid folds, per-bucket gradient folds, the
+# 9-decimal weight quantization each step — so a drift anywhere in the
+# optimization flips scores. Labels: the DSIR target sources.
+# ---------------------------------------------------------------------------
+
+_CLF_B = 256
+_CLF_STEPS = 3
+
+
+def _clf_oracle() -> str:
+    fold = lambda items: (  # noqa: E731
+        f"list_reduce(list_prepend({0.0:.17e}, {items}), (a, v) -> a + v)"
+    )
+    steps_sql = []
+    prev = "w0"
+    for t in range(1, _CLF_STEPS + 1):
+        steps_sql.append(
+            f"""
+p{t} AS (
+  SELECT x.doc_id, x.y,
+         {1.0:.17e} / ({1.0:.17e} + exp(-({fold("list(x.x * w.w ORDER BY x.b)")})))
+           AS p
+  FROM x JOIN {prev} w ON x.b = w.b GROUP BY x.doc_id, x.y),
+g{t} AS (
+  SELECT x.b,
+         {fold("list((p.p - x.y) * x.x ORDER BY x.doc_id)")} / nt.nd AS g
+  FROM x JOIN p{t} p ON x.doc_id = p.doc_id, ntot nt GROUP BY x.b, nt.nd),
+w{t} AS (
+  SELECT w.b, round(w.w - {1.0:.17e} * COALESCE(g.g, {0.0:.17e}), 9) + {0.0:.17e} AS w
+  FROM {prev} w LEFT JOIN g{t} g ON w.b = g.b)"""
+        )
+        prev = f"w{t}"
+    return f"""
+WITH toksed AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+         END AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2') THEN {1.0:.17e}
+              ELSE {0.0:.17e} END AS y,
+         ('0x' || substr(md5(t.tokstr), 1, 4))::BIGINT % {_CLF_B} AS b
+  FROM toksed, unnest(toks) AS t(tokstr)
+),
+pdb AS (SELECT doc_id, y, b, COUNT(*) AS c FROM tok GROUP BY doc_id, y, b),
+nd AS (SELECT doc_id, SUM(c) AS n FROM pdb GROUP BY doc_id),
+x AS (
+  SELECT pdb.doc_id, pdb.y, pdb.b, CAST(pdb.c AS DOUBLE) / nd.n AS x
+  FROM pdb JOIN nd ON pdb.doc_id = nd.doc_id),
+ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+w0 AS (SELECT range AS b, {0.0:.17e} AS w FROM range({_CLF_B})),{",".join(steps_sql)},
+z AS (
+  SELECT x.doc_id, {fold("list(x.x * w.w ORDER BY x.b)")} AS z
+  FROM x JOIN w{_CLF_STEPS} w ON x.b = w.b GROUP BY x.doc_id)
+SELECT d.doc_id,
+       round({1.0:.17e} / ({1.0:.17e} + exp(-COALESCE(z.z, {0.0:.17e}))), 6) AS score
+FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("doc_quality_classifier", oracle=_clf_oracle())
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score on-cluster: 3 GD steps of logistic regression
+    over hashed features (labels = target sources), then score every
+    doc. Per step: one broadcast weight join + one doc-keyed fold + one
+    bucket-keyed gradient — weights quantized 9 dp so engines never
+    drift through the iterations."""
+    from crawler_ai_spark.pipeline.classifier import (
+        doc_features,
+        score_docs,
+        train_logreg,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    feats = doc_features(docs, buckets=_CLF_B).persist()
+    w = train_logreg(feats, labels, steps=_CLF_STEPS, buckets=_CLF_B)
+    return score_docs(docs, w, buckets=_CLF_B).orderBy("doc_id")
