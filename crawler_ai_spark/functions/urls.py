@@ -297,3 +297,37 @@ def registered_domain_expr(host: Column) -> Column:
             F.when(n >= p + 1, suffix(p + 1)),
         ).otherwise(out)
     return F.when(h == "", F.lit(None).cast("string")).otherwise(out)
+
+
+def clean_param_strip_expr(url: Column, rules: Column) -> Column:
+    """Yandex ``Clean-param`` application: ``rules`` is the host's
+    ARRAY<STRUCT<params_csv, prefix>> from sources/robots.parse_robots
+    (with_clean_param=True); each rule strips its '&'-separated query
+    parameter names from URLs whose PATH starts with the rule's prefix.
+    The rules fold left-to-right over the URL (declaration order); a URL
+    whose query empties loses its '?'. Pure JVM string/array ops — the
+    publisher-declared complement to the learned DUST rewrite rules."""
+
+    def apply_rule(acc: Column, r: Column) -> Column:
+        base = F.split_part(acc, F.lit("?"), F.lit(1))
+        qs = F.substring(acc, F.length(base) + 2, F.lit(1 << 20))
+        path = F.regexp_extract(base, r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+        path = F.when(path == "", F.lit("/")).otherwise(path)
+        names = F.split(r["params_csv"], "&")
+        kept = F.filter(
+            F.split(qs, "&"),
+            lambda kv: ~F.array_contains(
+                names, F.split_part(kv, F.lit("="), F.lit(1))
+            ),
+        )
+        rebuilt = F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))).otherwise(base)
+        applies = path.startswith(r["prefix"]) & (F.length(qs) > 0)
+        return F.when(applies, rebuilt).otherwise(acc)
+
+    return F.aggregate(
+        F.coalesce(rules, F.array().cast(
+            "array<struct<params_csv:string,prefix:string>>"
+        )),
+        url,
+        apply_rule,
+    )

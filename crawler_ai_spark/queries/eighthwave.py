@@ -989,3 +989,118 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = doc_features(docs, buckets=_CLF_B).persist()
     w = train_logreg(feats, labels, steps=_CLF_STEPS, buckets=_CLF_B)
     return score_docs(docs, w, buckets=_CLF_B).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Yandex Clean-param (sources/robots.py with_clean_param +
+# functions/urls.clean_param_strip_expr): publisher-DECLARED DUST.
+# Even hosts declare 'Clean-param: sid&ref /products' (path-scoped) and
+# 'Clean-param: utm' (global); odd hosts declare none. The Spark side
+# runs the real parser over the robots bodies and folds the rules over
+# each URL; DuckDB re-derives the strip from the declared semantics
+# directly (which params are live for this host+path) — so parse,
+# scoping and the query-string rebuild must all agree.
+# ---------------------------------------------------------------------------
+
+_CP_BODY_RULES = (
+    "User-agent: *\nDisallow: /private\n"
+    "Clean-param: sid&ref /products\nClean-param: utm\n"
+)
+_CP_BODY_NONE = "User-agent: *\nDisallow:\n"
+
+_CLEANPARAM_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id,
+         'h' || (doc_id % 5) AS host,
+         (doc_id % 5) % 2 = 0 AS has_rules,
+         CASE WHEN doc_id % 3 = 0 THEN '/products/' || doc_id
+              ELSE '/blog/' || doc_id END AS path,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'sid=' || doc_id || '&color=c' || (doc_id % 7) || '&utm=x'
+              ELSE 'ref=r' || doc_id || '&q=' || (doc_id % 13) END AS qs
+  FROM documents
+),
+u2 AS (
+  SELECT doc_id, 'https://' || host || '.example.com' || path || '?' || qs AS url,
+         has_rules, path, qs
+  FROM urls
+),
+cleaned AS (
+  SELECT doc_id, url,
+         CASE WHEN NOT has_rules THEN url
+              ELSE (
+                SELECT CASE WHEN len(kept) > 0
+                            THEN split_part(url, '?', 1) || '?' || list_aggregate(kept, 'string_agg', '&')
+                            ELSE split_part(url, '?', 1) END
+                FROM (
+                  SELECT list_filter(string_split(qs, '&'), kv ->
+                           NOT (split_part(kv, '=', 1) = 'utm'
+                                OR (path LIKE '/products/%'
+                                    AND split_part(kv, '=', 1) IN ('sid', 'ref')))
+                         ) AS kept
+                )
+              ) END AS cleaned
+  FROM u2
+)
+SELECT doc_id, url, cleaned FROM cleaned ORDER BY doc_id
+"""
+
+
+@_register("robots_clean_param", oracle=_CLEANPARAM_ORACLE)
+def q_robots_clean_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-param end to end: parse the declarations out of robots
+    bodies, broadcast the per-host rule arrays, fold them over each
+    URL's query string (path-scoped and global rules). Pure JVM; the
+    declared complement to the learned dust_rules."""
+    from crawler_ai_spark.functions.urls import clean_param_strip_expr
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"))
+    path = F.when(
+        d % 3 == 0, F.concat(F.lit("/products/"), d.cast("string"))
+    ).otherwise(F.concat(F.lit("/blog/"), d.cast("string")))
+    qs = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("sid="), d.cast("string"), F.lit("&color=c"),
+            (d % 7).cast("string"), F.lit("&utm=x"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("ref=r"), d.cast("string"), F.lit("&q="), (d % 13).cast("string")
+        )
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit(".example.com"), path, F.lit("?"), qs
+        ).alias("url"),
+    )
+    robots = (
+        urls.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.when(
+                F.substring("host", 2, 10).cast("int") % 2 == 0,
+                F.lit(_CP_BODY_RULES),
+            )
+            .otherwise(F.lit(_CP_BODY_NONE))
+            .alias("body"),
+        )
+    )
+    rules = parse_robots(robots, with_clean_param=True)
+    return (
+        urls.join(F.broadcast(rules.select("host", "clean_params")), "host", "left")
+        .select(
+            "doc_id",
+            "url",
+            clean_param_strip_expr(F.col("url"), F.col("clean_params")).alias(
+                "cleaned"
+            ),
+        )
+        .orderBy("doc_id")
+    )

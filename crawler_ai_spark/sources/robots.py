@@ -61,6 +61,14 @@ _CRAWL_DELAY_RX = r"(?im)^[^\S\n]*crawl-delay:[^\S\n]*([0-9]+(?:\.[0-9]+)?)[^\S\
 # RFC 9309 §2.2.4 "other records"): extracted from the whole body
 _SITEMAP_RX = r"(?im)^[^\S\n]*sitemap:[^\S\n]*(\S+)[^\S\n]*$"
 
+# Yandex Clean-param (published spec: "Clean-param: p1&p2 [path-prefix]")
+# — publisher-DECLARED DUST: these query params don't change the
+# resource, strip them before dedup. Inter-sectional like Sitemap, so
+# extracted from the whole body; the capture keeps "params [prefix]".
+_CLEAN_PARAM_RX = (
+    r"(?im)^[^\S\n]*clean-param:[^\S\n]*(\S+(?:[^\S\n]+\S+)?)[^\S\n]*$"
+)
+
 
 def parse_robots(
     robots: DataFrame,
@@ -69,6 +77,7 @@ def parse_robots(
     with_crawl_delay: bool = False,
     with_allow: bool = False,
     with_sitemaps: bool = False,
+    with_clean_param: bool = False,
     ua_token: str | None = None,
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
@@ -124,6 +133,30 @@ def parse_robots(
     if with_sitemaps:
         maps = F.regexp_extract_all(F.col(body_col), F.lit(_SITEMAP_RX), F.lit(1))
         cols.append(F.array_distinct(maps).alias("sitemap_urls"))
+    if with_clean_param:
+        # each entry → struct(params_csv '&'-joined names, path prefix
+        # defaulting to '/'); inter-sectional, whole-body extraction
+        lines = F.regexp_extract_all(
+            F.col(body_col), F.lit(_CLEAN_PARAM_RX), F.lit(1)
+        )
+        entries = F.transform(
+            F.array_distinct(lines),
+            lambda l: F.struct(
+                F.split_part(
+                    F.regexp_replace(l, r"\s+", " "), F.lit(" "), F.lit(1)
+                ).alias("params_csv"),
+                F.coalesce(
+                    F.nullif(
+                        F.split_part(
+                            F.regexp_replace(l, r"\s+", " "), F.lit(" "), F.lit(2)
+                        ),
+                        F.lit(""),
+                    ),
+                    F.lit("/"),
+                ).alias("prefix"),
+            ),
+        )
+        cols.append(entries.alias("clean_params"))
     return robots.select(*cols)
 
 
