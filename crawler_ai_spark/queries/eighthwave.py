@@ -1104,3 +1104,89 @@ def q_robots_clean_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit-record dedup (sources/warc.py: write_warc_dedup /
+# read_warc_dedup): ISO 28500's identical-payload-digest profile —
+# repeated payloads store one full response record plus small revisit
+# pointers; the reader joins revisits back to their referenced body.
+# Groups of 3 docs share a payload, capture time rises with doc_id, so
+# the group's lowest doc_id is the original and the other two MUST come
+# back as revisits with the original's bytes restored exactly. The
+# oracle predicts every cell (incl. is_revisit) from first principles —
+# the whole write→dedup→read pipeline must be an identity + a flag.
+# ---------------------------------------------------------------------------
+
+_RV_HTML = "'<html><body>' || (SELECT d2.text FROM documents d2 WHERE d2.doc_id = (d.doc_id - d.doc_id % 3)) || '</body></html>'"
+_RV_MICROS = "1704067200000000 + doc_id * 1000000"
+
+
+@_register(
+    "warc_revisit_roundtrip",
+    oracle=f"""
+WITH grouped AS (
+  SELECT d.doc_id,
+         d.doc_id - d.doc_id % 3 AS leader,
+         {_RV_MICROS.replace('doc_id', 'd.doc_id')} AS micros,
+         {_RV_HTML} AS html
+  FROM documents d
+  WHERE d.text IS NOT NULL
+    AND EXISTS (SELECT 1 FROM documents x
+                WHERE x.doc_id = d.doc_id - d.doc_id % 3 AND x.text IS NOT NULL)
+),
+marked AS (
+  SELECT *,
+         doc_id = min(doc_id) OVER (PARTITION BY leader) AS is_original
+  FROM grouped
+)
+SELECT 'https://rv' || (doc_id % 13) || '.example.com/p/' || doc_id AS url,
+       strftime(make_timestamp(micros), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       md5(html) AS html_md5,
+       CAST(strlen(html) AS BIGINT) AS body_bytes,
+       CAST(200 AS INT) AS status,
+       NOT is_original AS is_revisit
+FROM marked ORDER BY url
+""",
+)
+def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-level dedup end to end: write with revisit records, read
+    back with payload restoration; every byte and every revisit flag
+    predicted by the oracle. Files land in a fresh mkdtemp per run."""
+    import tempfile
+
+    from crawler_ai_spark.sources.warc import read_warc_dedup, write_warc_dedup
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL").alias("d")
+    leaders = (
+        _t(spark, sf_dir, "documents")
+        .where("text IS NOT NULL")
+        .selectExpr("doc_id AS leader_id", "text AS leader_text")
+        .alias("l")
+    )
+    pages = docs.join(
+        leaders, F.expr("d.doc_id - d.doc_id % 3") == F.col("l.leader_id")
+    ).select(
+        F.expr(
+            "'https://rv' || CAST(d.doc_id % 13 AS STRING) || '.example.com/p/'"
+            " || CAST(d.doc_id AS STRING)"
+        ).alias("url"),
+        F.expr("timestamp_micros(1704067200000000 + d.doc_id * 1000000)").alias(
+            "warc_ts"
+        ),
+        F.expr(
+            "CAST('<html><body>' || l.leader_text || '</body></html>' AS BINARY)"
+        ).alias("html"),
+        F.lit(200).cast("int").alias("status"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_rv_")
+    write_warc_dedup(pages.repartition(8, "url"), out, gzip_records=True).collect()
+    back = read_warc_dedup(spark, out)
+    return back.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.md5(F.col("html")).alias("html_md5"),
+        F.length(F.col("html")).cast("bigint").alias("body_bytes"),
+        "status",
+        "is_revisit",
+    ).orderBy("url")

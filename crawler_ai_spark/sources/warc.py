@@ -403,3 +403,191 @@ def warc_to_wat(records: DataFrame) -> DataFrame:
         "status",
         F.to_json(F.struct(envelope.alias("envelope"))).alias("wat_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revisit-record dedup (ISO 28500 / WARC 1.1 §6.7.2, the
+# identical-payload-digest profile): the archive-level dedup production
+# crawls ship — when a capture's payload digest matches an earlier
+# record, write a small `revisit` record pointing at the original
+# instead of storing the body again. A 10^10-page archive where 30% of
+# captures are unchanged recrawls saves 30% of its body bytes for two
+# cheap digest-grain hops.
+# ---------------------------------------------------------------------------
+
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def _revisit_record_bytes(
+    url: str, ts, status: int, digest: str, ref_url: str, ref_ts
+) -> bytes:
+    status = int(status) if status is not None else 200
+    reason = _REASON.get(status, "Unknown")
+    # revisit payload: the HTTP response WITHOUT its body (the spec
+    # permits truncated/omitted content; the digest names the body)
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: text/html\r\nContent-Length: 0\r\n\r\n"
+    ).encode("ascii")
+    rid = hashlib.md5((url + "|" + _warc_date(ts) + "|r").encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: revisit\r\n"
+        f"WARC-Profile: {_REVISIT_PROFILE}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Payload-Digest: md5:{digest}\r\n"
+        f"WARC-Refers-To-Target-URI: {ref_url}\r\n"
+        f"WARC-Refers-To-Date: {_warc_date(ref_ts)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc_dedup(
+    df: DataFrame, out_dir: str, gzip_records: bool = False
+) -> DataFrame:
+    """write_warc with identical-payload-digest dedup: the FIRST capture
+    of each payload (min (warc_ts, url) — deterministic) is written as a
+    full response record; every other capture becomes a revisit record
+    referencing it. Returns the manifest (path, n_records, n_bytes).
+
+    Plan shape: one digest-grain aggregation for the originals table
+    (map-side combined — a mega-duplicated payload collapses to one row
+    per map task before the exchange) + one digest-keyed join; then the
+    same one-file-per-partition writer."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+    base = df.select(
+        "url", "warc_ts", "html", F.col("status").cast("int"),
+        F.md5(F.coalesce(F.col("html"), F.lit(b""))).alias("digest"),
+    )
+    originals = base.groupBy("digest").agg(
+        F.min(F.struct("warc_ts", "url")).alias("first")
+    ).select(
+        "digest",
+        F.col("first.url").alias("ref_url"),
+        F.col("first.warc_ts").alias("ref_ts"),
+    )
+    tagged = base.join(originals, "digest").select(
+        "url", "warc_ts", "html", "status", "digest", "ref_url", "ref_ts",
+        ((F.col("url") == F.col("ref_url")) & (F.col("warc_ts") == F.col("ref_ts"))).alias(
+            "is_original"
+        ),
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.is_original:
+                    rec = _record_bytes(row.url, row.warc_ts, row.html, row.status)
+                else:
+                    rec = _revisit_record_bytes(
+                        row.url, row.warc_ts, row.status, row.digest,
+                        row.ref_url, row.ref_ts,
+                    )
+                if gzip_records:
+                    g = io.BytesIO()
+                    with gzip.GzipFile(fileobj=g, mode="wb", mtime=0) as zf:
+                        zf.write(rec)
+                    buf.write(g.getvalue())
+                else:
+                    buf.write(rec)
+                n += 1
+        data = buf.getvalue()
+        if n:
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+            )
+
+    return tagged.mapInPandas(_write, schema=MANIFEST_SCHEMA)
+
+
+_DEDUP_READ_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, status int, "
+    "rec_type string, digest string"
+)
+
+
+def read_warc_dedup(spark: SparkSession, path: str) -> DataFrame:
+    """Read a revisit-deduped archive and RESTORE every payload: revisit
+    records join the response records on the payload digest and inherit
+    the referenced body, so the result is the same (url, warc_ts, html,
+    status) table write_warc_dedup consumed — plus is_revisit for
+    accounting. One digest-keyed join; response bodies broadcast when
+    small, shuffled when not (AQE decides)."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.warc*") if os.path.isdir(path) else path
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content)
+                if row.path.endswith(".gz"):
+                    data = _gunzip_members(data)
+                pos, n = 0, len(data)
+                while pos < n:
+                    while data.startswith(_CRLF, pos):
+                        pos += 2
+                    if pos >= n:
+                        break
+                    hdr_end = data.index(b"\r\n\r\n", pos)
+                    headers = {}
+                    lines = data[pos:hdr_end].split(_CRLF)
+                    if not lines[0].startswith(b"WARC/"):
+                        raise ValueError(f"not a WARC record at {pos}")
+                    for line in lines[1:]:
+                        k, _, v = line.partition(b":")
+                        headers[k.strip().lower()] = v.strip()
+                    clen = int(headers[b"content-length"])
+                    body = data[hdr_end + 4 : hdr_end + 4 + clen]
+                    pos = hdr_end + 4 + clen
+                    rtype = headers.get(b"warc-type", b"").decode("ascii")
+                    if rtype not in ("response", "revisit"):
+                        continue
+                    url = headers[b"warc-target-uri"].decode("utf-8")
+                    ts = pd.Timestamp(
+                        headers[b"warc-date"].decode("ascii").rstrip("Z")
+                    )
+                    status_line, _, rest = body.partition(_CRLF)
+                    status = int(status_line.split(b" ")[1])
+                    _, _, html = rest.partition(b"\r\n\r\n")
+                    if rtype == "response":
+                        digest = hashlib.md5(html).hexdigest()
+                    else:
+                        digest = (
+                            headers[b"warc-payload-digest"]
+                            .decode("ascii")
+                            .split(":", 1)[1]
+                        )
+                        html = None
+                    rows.append((url, ts, html, status, rtype, digest))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "warc_ts", "html", "status", "rec_type", "digest"],
+                )
+
+    recs = files.select("path", "content").mapInPandas(_read, schema=_DEDUP_READ_SCHEMA)
+    bodies = recs.where(F.col("rec_type") == "response").select(
+        F.col("digest").alias("digest"), F.col("html").alias("ref_html")
+    ).dropDuplicates(["digest"])
+    return recs.join(bodies, "digest", "left").select(
+        "url",
+        "warc_ts",
+        F.coalesce("html", "ref_html").alias("html"),
+        "status",
+        (F.col("rec_type") == "revisit").alias("is_revisit"),
+    )
