@@ -117,7 +117,10 @@ def _budget_fn(budget: int, window_ms: int, late_windows: int):
     import json
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        (host,) = key
+        # the group key is the politeness GRAIN (host, or registrable
+        # domain); each output row reports its own host column, which
+        # coincides with the key only at host grain
+        (_grain,) = key
         if state.exists:
             max_win, counts_json = state.get
             counts = {int(k): int(v) for k, v in json.loads(counts_json).items()}
@@ -151,7 +154,7 @@ def _budget_fn(budget: int, window_ms: int, late_windows: int):
                 ok = n < budget
                 if ok:
                     counts[w] = n + 1
-            out.append([host, r.url, r.seed_url, r.priority, int(r.ts_ms), w, ok])
+            out.append([r.host, r.url, r.seed_url, r.priority, int(r.ts_ms), w, ok])
         state.update((int(max_win), json.dumps(counts)))
         yield pd.DataFrame(out, columns=[f.name for f in BUDGET_OUT_SCHEMA.fields])
 
@@ -159,22 +162,42 @@ def _budget_fn(budget: int, window_ms: int, late_windows: int):
 
 
 def host_budget_stream(
-    stream: DataFrame, budget: int, window: str = "10 minutes", late_windows: int = 2
+    stream: DataFrame,
+    budget: int,
+    window: str = "10 minutes",
+    late_windows: int = 2,
+    grain: str = "host",
 ) -> DataFrame:
-    """Per-(host, tumbling window) politeness cap; accepted = first
+    """Per-(grain, tumbling window) politeness cap; accepted = first
     ``budget`` arrivals per window, the rest flagged for re-queue (defer,
     not drop). Arrivals up to ``late_windows`` windows late still charge
     their own window's budget; beyond that horizon they are deferred
     outright. Rows with a null event time are invalid input and filtered
     before the stateful operator (one poison row would otherwise fail the
-    micro-batch and replay forever)."""
+    micro-batch and replay forever).
+
+    ``grain="domain"`` keys the state store by PSL registrable domain
+    instead of host — the streaming twin of the batch
+    apply_domain_budget (all subdomains of one registrant share one
+    window budget; bare public suffixes fall back to host grain)."""
     wm = _window_ms(window)
     cols = (
         with_frontier_cols(stream)
         .where(F.col("ts").isNotNull())
         .select("host", "url", "seed_url", "priority", "ts")
     )
-    return cols.groupBy("host").applyInPandasWithState(
+    if grain == "domain":
+        from crawler_ai_spark.functions.urls import registered_domain_expr
+
+        cols = cols.withColumn(
+            "_grain",
+            F.coalesce(registered_domain_expr(F.col("host")), F.col("host")),
+        )
+    elif grain == "host":
+        cols = cols.withColumn("_grain", F.col("host"))
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown politeness grain: {grain!r}")
+    return cols.groupBy("_grain").applyInPandasWithState(
         _budget_fn(budget, wm, late_windows),
         outputStructType=BUDGET_OUT_SCHEMA,
         stateStructType=BUDGET_STATE_SCHEMA,

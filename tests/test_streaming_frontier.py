@@ -135,7 +135,10 @@ def _drive(batches, budget=2, window_ms=60_000, late_windows=2):
     for rows in batches:
         pdf = pd.DataFrame(
             rows, columns=["url", "seed_url", "priority", "ts"]
-        ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="ms", utc=True).dt.tz_localize(None))
+        ).assign(
+            host="h0.example",  # the real pipeline always carries host
+            ts=lambda d: pd.to_datetime(d["ts"], unit="ms", utc=True).dt.tz_localize(None),
+        )
         out.extend(
             r for chunk in fn(("h0",), iter([pdf]), state) for r in chunk.itertuples(index=False)
         )
@@ -215,3 +218,62 @@ def test_trap_gate_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 18  # the 12 trap rows (2 of every 5) are gone
+
+
+@pytest.fixture(scope="module")
+def subdomain_cand_dir(spark, tmp_path_factory):
+    """Candidates whose hosts are 4 subdomains of ONE registrable domain
+    plus one unrelated registrant: the domain grain must pool the first
+    four into a single window budget."""
+    root = tmp_path_factory.mktemp("stream_dom_cand")
+    rows = []
+    for i in range(60):
+        host = (
+            f"s{i % 4}.shared.example" if i % 5 != 4 else "solo.example"
+        )
+        rows.append(
+            (
+                f"https://{host}/p{i}",
+                "https://seed.example/",
+                100,
+                T0 + datetime.timedelta(seconds=15 * i),
+            )
+        )
+    spark.createDataFrame(
+        rows, "url string, seed_url string, priority int, ts timestamp"
+    ).coalesce(1).write.parquet(str(root / "in"))
+    return str(root / "in")
+
+
+def test_domain_grain_budget_stream(spark, subdomain_cand_dir, tmp_path):
+    from crawler_ai_spark.functions.urls import registered_domain_expr
+
+    stream = SFR.stream_candidates(spark, subdomain_cand_dir, max_files=1)
+    out, ck = str(tmp_path / "dout"), str(tmp_path / "dck")
+    SE.run_to_parquet(
+        SFR.host_budget_stream(stream, BUDGET, "10 minutes", grain="domain"), out, ck
+    )
+    got = spark.read.parquet(out)
+    inp = SFR.with_frontier_cols(spark.read.parquet(subdomain_cand_dir))
+    assert got.count() == inp.count()  # defer-not-drop
+
+    # batch twin at the registrable-domain grain
+    w = Window.partitionBy(
+        F.coalesce(registered_domain_expr(F.col("host")), F.col("host")),
+        ((F.col("ts_ms") / WINDOW_MS).cast("long") * WINDOW_MS).cast("long"),
+    ).orderBy("ts_ms", "url")
+    batch = (
+        inp.withColumn("ts_ms", (F.col("ts").cast("double") * 1000).cast("long"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("want_accept", F.col("rk") <= BUDGET)
+    )
+    want = {(r.host, r.url, r.ts_ms): r.want_accept for r in batch.collect()}
+    for r in got.collect():
+        assert r.accepted == want[(r.host, r.url, r.ts_ms)], (r.host, r.url)
+    # and the pooling is real: within one window the shared registrant
+    # accepted exactly BUDGET rows across its 4 subdomains
+    first_win = got.where(
+        (F.col("win_start_ms") == got.agg(F.min("win_start_ms")).first()[0])
+        & F.col("host").endswith(".shared.example")
+    )
+    assert first_win.where("accepted").count() == BUDGET
