@@ -298,3 +298,84 @@ def opic(
         "history",
         ((F.col("history") + F.col("cash")) / F.lit(denom)).alias("importance"),
     )
+
+
+def triangle_clustering(edges: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Triangle counts + local clustering coefficient per host over the
+    UNDIRECTED host graph (direction dropped; self-loops and parallel
+    edges collapse). The mirror-farm / link-ring signal: organic
+    neighborhoods have moderate clustering, link rings are near-cliques
+    (coefficient -> 1), isolated spam spokes are 0.
+
+    The scale-standard degree-ordered wedge join (each triangle counted
+    exactly once): orient every undirected edge from the lower-(degree,
+    id) endpoint to the higher; a node's oriented out-degree is bounded
+    by ~sqrt(m) regardless of its raw degree, so the wedge self-join a
+    naive formulation explodes on hubs stays bounded. Three shuffles
+    total (degree agg, wedge join, closing-edge join).
+
+    Returns (host, degree, triangles, clustering) with clustering =
+    2*T / (d*(d-1)) and 0.0 for degree < 2."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient low-(degree, id) -> high-(degree, id)
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
+    e2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "p").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("lo", "hi").alias("x2"), F.greatest("lo", "hi").alias("y2")
+    ).unionAll(
+        # the closing edge may be oriented either way relative to (x, y)
+        oriented.select(
+            F.greatest("lo", "hi").alias("x2"), F.least("lo", "hi").alias("y2")
+        )
+    ).distinct()
+    tris = wedges.join(
+        closing,
+        (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2")),
+    ).select("p", "x", "y")
+    per_node = (
+        tris.select(F.col("p").alias("v"))
+        .unionAll(tris.select(F.col("x").alias("v")))
+        .unionAll(tris.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        hosts.join(deg, hosts["host"] == deg["v"], "left")
+        .join(per_node, hosts["host"] == per_node["v"], "left")
+        .select(
+            hosts["host"],
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -1190,3 +1190,72 @@ def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "is_revisit",
     ).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts / clustering coefficient (operators/hostrank.py:
+# triangle_clustering): the link-ring signal — near-clique neighbor-
+# hoods cluster toward 1, organic hosts sit lower, spokes at 0. DuckDB
+# re-runs the degree-ordered wedge join from scratch; the coefficient
+# is an exact integer ratio so no rounding is needed.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH hosts AS (SELECT range AS host FROM range(37)),
+synth AS (
+  SELECT DISTINCT doc_id % 37 AS src, (doc_id // 37) % 37 AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % 37) != ((doc_id // 37) % 37)),
+ring AS (SELECT host AS src, (host + 1) % 37 AS dst FROM hosts),
+e0 AS (SELECT DISTINCT src, dst FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src != dst),
+deg AS (SELECT v, COUNT(*) AS degree FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+orient AS (
+  SELECT CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND und.a < und.b)
+              THEN und.a ELSE und.b END AS lo,
+         CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND und.a < und.b)
+              THEN und.b ELSE und.a END AS hi
+  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+wedges AS (
+  SELECT e1.lo AS p, e1.hi AS x, e2.hi AS y
+  FROM orient e1 JOIN orient e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+closing AS (
+  SELECT DISTINCT x2, y2 FROM (
+    SELECT LEAST(lo, hi) AS x2, GREATEST(lo, hi) AS y2 FROM orient
+    UNION ALL
+    SELECT GREATEST(lo, hi) AS x2, LEAST(lo, hi) AS y2 FROM orient)),
+tris AS (
+  SELECT p, x, y FROM wedges JOIN closing ON x = x2 AND y = y2),
+per_node AS (
+  SELECT v, COUNT(*) AS triangles FROM (
+    SELECT p AS v FROM tris UNION ALL SELECT x AS v FROM tris
+    UNION ALL SELECT y AS v FROM tris) GROUP BY v)
+SELECT h.host,
+       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN COALESCE(deg.degree, 0) >= 2
+            THEN 2.0 * COALESCE(pn.triangles, 0)
+                 / (deg.degree * (deg.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM hosts h
+LEFT JOIN deg ON h.host = deg.v
+LEFT JOIN per_node pn ON h.host = pn.v
+ORDER BY h.host
+"""
+
+
+@_register("host_triangles", oracle=_TRI_ORACLE)
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts + local clustering coefficient via the
+    degree-ordered wedge join (oriented out-degree bounded ~sqrt(m), so
+    hubs never explode the self-join). Three shuffles total."""
+    from crawler_ai_spark.operators.hostrank import triangle_clustering
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    return triangle_clustering(edges, hosts).orderBy("host")
