@@ -256,3 +256,44 @@ def readability_columns(text: Column) -> dict[str, Column]:
         "n_syllables": n_syllables,
         "flesch": flesch,
     }
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection — the signal the n-gram language heuristic
+# is blind to: 'ру́сский' vs 'english' is decidable from the script
+# alone, and production langid stacks gate on script before any model
+# runs (wrong-script text short-circuits). Counts per Unicode script
+# property via JVM regexp_count (\p{script=X}; RE2 spells it \p{X} —
+# the oracle uses its own dialect), ratios over total non-space chars.
+# ---------------------------------------------------------------------------
+
+SCRIPTS = (
+    "Latin", "Cyrillic", "Han", "Arabic", "Devanagari",
+    "Hangul", "Hiragana", "Katakana", "Greek", "Hebrew", "Thai",
+)
+
+
+def script_columns(text: Column) -> dict[str, Column]:
+    """{script_latin: ratio, ..., script_chars: n, dominant_script: s}.
+    Ratios are exact integer-count divisions over the non-space total
+    (0.0 when the text has none); dominant = argmax ratio with
+    alphabetical tie-break, 'none' for empty text."""
+    nonspace = F.regexp_count(text, F.lit(r"\S"))
+    counts = {
+        s: F.regexp_count(text, F.lit(rf"\p{{script={s}}}")) for s in SCRIPTS
+    }
+    cols: dict[str, Column] = {
+        f"script_{s.lower()}": F.when(nonspace > 0, counts[s] / nonspace)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        for s in SCRIPTS
+    }
+    cols["script_chars"] = nonspace.cast("long")
+    best = F.greatest(*[counts[s] for s in SCRIPTS])
+    # alphabetical tie-break: build the chain in reverse-sorted order so
+    # the alphabetically FIRST tied script ends up as the outermost WHEN
+    dom = F.lit("none")
+    for s in sorted(SCRIPTS, reverse=True):
+        dom = F.when((counts[s] == best) & (best > 0), F.lit(s.lower())).otherwise(dom)
+    cols["dominant_script"] = dom
+    return cols

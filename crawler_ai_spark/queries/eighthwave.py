@@ -1259,3 +1259,114 @@ def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges, hosts = synth_host_edges(spark, sf_dir)
     return triangle_clustering(edges, hosts).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection (pipeline/textstats.py: script_columns):
+# per-script character ratios + dominant script. Each doc's ASCII text
+# gets a doc_id-selected non-Latin snippet appended so every script
+# class and the mixed-script ratios are exercised; DuckDB counts with
+# RE2's \p{Script} dialect (Spark uses Java's \p{script=...}) — the
+# counts must agree exactly across regex engines.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SNIPPETS = [
+    ("Cyrillic", "привет мир статья"),
+    ("Han", "你好世界文章"),
+    ("Arabic", "مرحبا بالعالم"),
+    ("Devanagari", "नमस्ते दुनिया"),
+    ("Hangul", "안녕하세요 세계"),
+    ("Hiragana", "こんにちは"),
+    ("Katakana", "コンニチハ"),
+    ("Greek", "γεια σου κόσμε"),
+    ("Hebrew", "שלום עולם"),
+    ("Thai", "สวัสดีชาวโลก"),
+]
+
+
+def _script_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{snip}'" for i, (_, snip) in enumerate(_SCRIPT_SNIPPETS)
+    )
+    return f"CASE doc_id % {len(_SCRIPT_SNIPPETS)} {whens} END"
+
+
+_SCRIPT_COUNT_COLS = ", ".join(
+    "len(regexp_extract_all(t, '" + "\\p{" + s + "}" + "')) AS c_" + s.lower()
+    for s in ("Latin", "Cyrillic", "Han", "Arabic", "Devanagari",
+              "Hangul", "Hiragana", "Katakana", "Greek", "Hebrew", "Thai")
+)
+
+
+_SCRIPT_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text || ' ' || {_script_case_sql()} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '\\S')) AS ns,
+         {_SCRIPT_COUNT_COLS}
+  FROM aug
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS script_chars,
+       CAST(c_latin AS DOUBLE) / ns AS script_latin,
+       CAST(c_cyrillic AS DOUBLE) / ns AS script_cyrillic,
+       CAST(c_han AS DOUBLE) / ns AS script_han,
+       CAST(c_arabic AS DOUBLE) / ns AS script_arabic,
+       CASE (
+         SELECT s FROM (VALUES
+           ('latin', c_latin), ('cyrillic', c_cyrillic), ('han', c_han),
+           ('arabic', c_arabic), ('devanagari', c_devanagari),
+           ('hangul', c_hangul), ('hiragana', c_hiragana),
+           ('katakana', c_katakana), ('greek', c_greek),
+           ('hebrew', c_hebrew), ('thai', c_thai)) AS v(s, c)
+         WHERE c = GREATEST(c_latin, c_cyrillic, c_han, c_arabic,
+                            c_devanagari, c_hangul, c_hiragana,
+                            c_katakana, c_greek, c_hebrew, c_thai)
+           AND c > 0
+         ORDER BY s LIMIT 1
+       ) WHEN NULL THEN 'none' ELSE COALESCE((
+         SELECT s FROM (VALUES
+           ('latin', c_latin), ('cyrillic', c_cyrillic), ('han', c_han),
+           ('arabic', c_arabic), ('devanagari', c_devanagari),
+           ('hangul', c_hangul), ('hiragana', c_hiragana),
+           ('katakana', c_katakana), ('greek', c_greek),
+           ('hebrew', c_hebrew), ('thai', c_thai)) AS v(s, c)
+         WHERE c = GREATEST(c_latin, c_cyrillic, c_han, c_arabic,
+                            c_devanagari, c_hangul, c_hiragana,
+                            c_katakana, c_greek, c_hebrew, c_thai)
+           AND c > 0
+         ORDER BY s LIMIT 1
+       ), 'none') END AS dominant_script
+FROM counted ORDER BY doc_id
+"""
+
+
+@_register("doc_script_detect", oracle=_SCRIPT_ORACLE)
+def q_doc_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script ratios + dominant script per doc — the gate in
+    front of any language model in a langid stack. Row-local JVM
+    regexp_count; zero shuffle."""
+    from crawler_ai_spark.pipeline.textstats import script_columns
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    snippet = F.lit("")
+    for i, (_, snip) in enumerate(_SCRIPT_SNIPPETS):
+        snippet = F.when(
+            F.col("doc_id") % len(_SCRIPT_SNIPPETS) == i, F.lit(snip)
+        ).otherwise(snippet)
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), snippet).alias("t")
+    )
+    cols = script_columns(F.col("t"))
+    return aug.select(
+        "doc_id",
+        cols["script_chars"].alias("script_chars"),
+        cols["script_latin"].alias("script_latin"),
+        cols["script_cyrillic"].alias("script_cyrillic"),
+        cols["script_han"].alias("script_han"),
+        cols["script_arabic"].alias("script_arabic"),
+        cols["dominant_script"].alias("dominant_script"),
+    ).orderBy("doc_id")
