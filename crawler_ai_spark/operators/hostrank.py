@@ -379,3 +379,50 @@ def triangle_clustering(edges: DataFrame, hosts: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def ucb_host_scores(history: DataFrame, c: float = 1.4142135623730951) -> DataFrame:
+    """Adaptive crawl allocation as a bandit: each host is an arm, each
+    fetch a pull, a "useful" fetch (career page found, job extracted —
+    caller defines the success column) the reward. UCB1 (Auer et al.
+    2002) scores every host
+
+        score = success_rate + c * sqrt(ln(N_total) / n_host)
+
+    so budget flows to hosts that HAVE paid off (exploit) and hosts the
+    crawl has barely tried (explore) — the focused-crawler refinement of
+    static rank-proportional budgets, and the mechanism that keeps a
+    new, unproven host from starving behind established ones.
+
+    history(host, success boolean), one row per completed fetch.
+    Returns (host, n_fetches, successes, score, rank) where rank is the
+    score normalized to sum 1 — drop-in for budget_from_rank. One
+    map-combined groupBy + a one-row total broadcast; scores quantized
+    to 9 dp (ln/sqrt are libm calls — the established cross-engine
+    discipline)."""
+    agg = history.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.col("success").cast("long")).cast("long").alias("successes"),
+    )
+    totals = agg.agg(F.sum("n_fetches").cast("double").alias("n_total"))
+    scored = agg.crossJoin(F.broadcast(totals)).select(
+        "host",
+        "n_fetches",
+        "successes",
+        (
+            F.round(
+                F.col("successes") / F.col("n_fetches")
+                + F.lit(c) * F.sqrt(F.log(F.col("n_total")) / F.col("n_fetches")),
+                9,
+            )
+            + F.lit(0.0)
+        ).alias("score"),
+    )
+    ssum = scored.agg(F.sum("score").alias("ssum"))
+    return scored.crossJoin(F.broadcast(ssum)).select(
+        "host",
+        "n_fetches",
+        "successes",
+        "score",
+        (F.col("score") / F.col("ssum")).alias("rank"),
+    )

@@ -1370,3 +1370,65 @@ def q_doc_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["script_arabic"].alias("script_arabic"),
         cols["dominant_script"].alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# UCB adaptive host allocation (operators/hostrank.py: ucb_host_scores):
+# bandit scoring over fetch outcomes — exploit hosts that pay off,
+# explore barely-tried ones. Synth history: 19 hosts with LCG-derived
+# per-fetch success and doc-dependent fetch counts, so rates AND pull
+# counts both vary; DuckDB recomputes rate + c*sqrt(ln(N)/n) and the
+# normalization from scratch.
+# ---------------------------------------------------------------------------
+
+_UCB_C = 1.4142135623730951
+
+_UCB_ORACLE = f"""
+WITH history AS (
+  SELECT 'u' || (doc_id % 19) || '.example' AS host,
+         ((doc_id * 4 + v.k) * 1103515245 + 12345) % 5 < 2 AS success
+  FROM documents, range(4) v(k)
+  WHERE (doc_id % 19) + v.k < 21
+),
+agg AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN success THEN 1 ELSE 0 END) AS successes
+  FROM history GROUP BY host
+),
+tot AS (SELECT CAST(SUM(n_fetches) AS DOUBLE) AS n_total FROM agg),
+scored AS (
+  SELECT host, n_fetches, successes,
+         round(CAST(successes AS DOUBLE) / n_fetches
+               + {_UCB_C:.17e} * sqrt(ln(tot.n_total) / n_fetches), 9)
+           + {0.0:.17e} AS score
+  FROM agg, tot
+),
+ssum AS (SELECT SUM(score) AS s FROM scored)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(successes AS BIGINT) AS successes,
+       score, score / ssum.s AS rank
+FROM scored, ssum ORDER BY host
+"""
+
+
+@_register("ucb_host_allocation", oracle=_UCB_ORACLE)
+def q_ucb_host_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 over per-host fetch outcomes: normalized scores feed
+    budget_from_rank, so crawl budget balances exploitation of
+    productive hosts against exploration of untried ones. One
+    map-combined groupBy + two one-row broadcasts."""
+    from crawler_ai_spark.operators.hostrank import ucb_host_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    history = (
+        docs.join(spark.range(4).select(F.col("id").alias("k")))
+        .where((d % 19) + F.col("k") < 21)
+        .select(
+            F.concat(F.lit("u"), (d % 19).cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            (((d * 4 + F.col("k")) * 1103515245 + 12345) % 5 < 2).alias("success"),
+        )
+    )
+    return ucb_host_scores(history, c=_UCB_C).orderBy("host")
