@@ -54,6 +54,7 @@ from crawler_ai_spark.queries import fifthwave as _fifthwave  # noqa: E402,F401
 from crawler_ai_spark.queries import sixthwave as _sixthwave  # noqa: E402,F401
 from crawler_ai_spark.queries import seventhwave as _seventhwave  # noqa: E402,F401
 from crawler_ai_spark.queries import eighthwave as _eighthwave  # noqa: E402,F401
+from crawler_ai_spark.queries import ninthwave as _ninthwave  # noqa: E402,F401
 
 # test_container_parity drives the template fixtures directly
 from crawler_ai_spark.queries.extended import _CONTAINER_TEMPLATES  # noqa: E402,F401

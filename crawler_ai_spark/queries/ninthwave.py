@@ -1,0 +1,160 @@
+"""Ninth-wave catalog queries (round 4, continued): declared mirror
+preference, corpus diversity metrics.
+
+Inputs are synthesized deterministically from documents.doc_id (no
+external data); each DuckDB oracle re-derives the full computation
+independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_ai_spark.queries._shared import _register, _t
+
+# ---------------------------------------------------------------------------
+# Corpus diversity metrics: the recipe-QA numbers a data team reads
+# before training — per-source token share, Shannon entropy of the
+# source distribution, and the effective source count exp(H) ("this
+# 20-source corpus behaves like N equally-sized sources"). A corpus
+# dominated by one crawl slice has low effective count no matter how
+# many sources are nominally present. One map-combined groupBy; the
+# entropy folds over sources in name order (unique key) and rounds 9 dp
+# to absorb libm ln ulp skew.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = f"""
+WITH toksed AS (
+  SELECT source,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         END AS n
+  FROM documents
+),
+per AS (SELECT source, SUM(n) AS tokens FROM toksed GROUP BY source),
+tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS t FROM per),
+sh AS (
+  SELECT source, tokens, tokens / tot.t AS share FROM per, tot
+),
+ent AS (
+  SELECT round(-list_reduce(
+           list_prepend({0.0:.17e},
+                        list(share * ln(share) ORDER BY source)),
+           (a, v) -> a + v), 9) + {0.0:.17e} AS entropy
+  FROM sh WHERE share > 0
+)
+SELECT sh.source,
+       CAST(sh.tokens AS BIGINT) AS tokens,
+       sh.share,
+       ent.entropy,
+       round(exp(ent.entropy), 9) AS effective_sources
+FROM sh, ent ORDER BY sh.source
+"""
+
+
+@_register("corpus_diversity", oracle=_DIVERSITY_ORACLE)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-distribution diversity: token share per source, Shannon
+    entropy, effective source count exp(H). The corpus-level fields
+    repeat per row so the whole report is one scan + one tiny agg."""
+    from crawler_ai_spark.pipeline.corpus import _toks
+    from crawler_ai_spark.pipeline.textstats import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(norm_text(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(_toks(F.col("text")))
+    )
+    per = (
+        docs.select("source", n_tok.cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    tot = per.agg(F.sum("tokens").cast("double").alias("t"))
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source", "tokens", (F.col("tokens") / F.col("t")).alias("share")
+    )
+    ent = sh.where(F.col("share") > 0).agg(
+        (
+            F.round(
+                -F.expr(
+                    "aggregate(array_sort(collect_list(struct(source, share))),"
+                    " cast(0.0 as double),"
+                    " (acc, x) -> acc + x.share * ln(x.share))"
+                ),
+                9,
+            )
+            + F.lit(0.0)
+        ).alias("entropy")
+    )
+    return (
+        sh.crossJoin(F.broadcast(ent))
+        .select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            "share",
+            "entropy",
+            F.round(F.exp("entropy"), 9).alias("effective_sources"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yandex Host directive (sources/robots.py with_host_directive): the
+# publisher's DECLARED canonical mirror — the config-side complement to
+# content-fingerprint mirror detection (operators/mirrors.py). First
+# syntactically plausible Host line wins (the published behavior);
+# bodies without one yield NULL and the crawler falls back to detected
+# mirrors. DuckDB re-derives the expected host from the synth body
+# construction directly.
+# ---------------------------------------------------------------------------
+
+_HOSTDIR_ORACLE = """
+SELECT 'm' || (doc_id % 23) || '.example' AS host,
+       CASE WHEN (doc_id % 23) % 3 = 0
+            THEN 'www.m' || (doc_id % 23) || '.example'
+            WHEN (doc_id % 23) % 3 = 1
+            THEN NULL
+            ELSE 'm' || (doc_id % 23) || '.example'
+       END AS preferred_host
+FROM (SELECT DISTINCT doc_id % 23 AS doc_id FROM documents)
+ORDER BY host
+"""
+
+
+@_register("robots_host_directive", oracle=_HOSTDIR_ORACLE)
+def q_robots_host_directive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-directive extraction through the real parser: class-0 bodies
+    declare a www mirror, class-1 declare none (NULL — detected mirrors
+    decide), class-2 declare themselves (and a second Host line that
+    must lose to the first)."""
+    from crawler_ai_spark.sources.robots import parse_robots
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 23).alias("n")
+    ).distinct()
+    host = F.concat(F.lit("m"), F.col("n").cast("string"), F.lit(".example"))
+    body = (
+        F.when(
+            F.col("n") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\nHost: www.m"),
+                F.col("n").cast("string"),
+                F.lit(".example\n"),
+            ),
+        )
+        .when(F.col("n") % 3 == 1, F.lit("User-agent: *\nDisallow:\n"))
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: *\nHost: m"),
+                F.col("n").cast("string"),
+                F.lit(".example\nHost: other.example\n"),
+            )
+        )
+    )
+    parsed = parse_robots(
+        docs.select(host.alias("host"), body.alias("body")),
+        with_host_directive=True,
+    )
+    return parsed.select("host", "preferred_host").orderBy("host")

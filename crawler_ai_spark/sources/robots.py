@@ -69,6 +69,10 @@ _CLEAN_PARAM_RX = (
     r"(?im)^[^\S\n]*clean-param:[^\S\n]*(\S+(?:[^\S\n]+\S+)?)[^\S\n]*$"
 )
 
+# Yandex Host directive: the publisher's declared canonical mirror.
+# Inter-sectional; published behavior takes the FIRST valid line.
+_HOST_DIRECTIVE_RX = r"(?im)^[^\S\n]*host:[^\S\n]*(\S+)[^\S\n]*$"
+
 
 def parse_robots(
     robots: DataFrame,
@@ -78,6 +82,7 @@ def parse_robots(
     with_allow: bool = False,
     with_sitemaps: bool = False,
     with_clean_param: bool = False,
+    with_host_directive: bool = False,
     ua_token: str | None = None,
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes ARRAY<STRING>[,
@@ -157,6 +162,16 @@ def parse_robots(
             ),
         )
         cols.append(entries.alias("clean_params"))
+    if with_host_directive:
+        # first valid Host line wins (Yandex behavior); absent → NULL
+        hosts_found = F.regexp_extract_all(
+            F.col(body_col), F.lit(_HOST_DIRECTIVE_RX), F.lit(1)
+        )
+        cols.append(
+            F.when(F.size(hosts_found) > 0, F.element_at(hosts_found, 1))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("preferred_host")
+        )
     return robots.select(*cols)
 
 
