@@ -158,3 +158,98 @@ def q_robots_host_directive(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_host_directive=True,
     )
     return parsed.select("host", "preferred_host").orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Microdata extraction (functions/microdata.py): the third structured-
+# data channel (JSON-LD and OG/Twitter are the other two). The synth
+# page per doc carries one JobPosting item with meta/a/time/data/text
+# props, a multi-name itemprop, a nested Organization item, and a
+# stray itemprop OUTSIDE any scope that must NOT extract. The Spark
+# side parses real HTML through the stdlib DOM; DuckDB predicts every
+# (item_idx, itemtype, prop, value) row from the construction.
+# ---------------------------------------------------------------------------
+
+_MD_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+rows_ AS (
+  SELECT doc_id, * FROM d, (VALUES
+    (0, 'https://schema.org/JobPosting', 'title', 'title'),
+    (1, 'https://schema.org/JobPosting', 'datePosted', 'date'),
+    (2, 'https://schema.org/JobPosting', 'url', 'url'),
+    (3, 'https://schema.org/JobPosting', 'validThrough', 'vt'),
+    (4, 'https://schema.org/JobPosting', 'employmentType', 'et'),
+    (5, 'https://schema.org/JobPosting', 'workHours', 'et'),
+    (6, 'https://schema.org/JobPosting', 'hiringOrganization', 'org'),
+    (7, 'https://schema.org/Organization', 'name', 'name')
+  ) v(ord, itemtype, prop, kind)
+)
+SELECT 'https://md' || (doc_id % 9) || '.example/p/' || doc_id AS url,
+       CAST(CASE WHEN itemtype LIKE '%Organization' THEN 1 ELSE 0 END AS INT)
+         AS item_idx,
+       itemtype, prop,
+       CASE kind
+         WHEN 'title' THEN 'Engineer ' || doc_id
+         WHEN 'date'  THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         WHEN 'url'   THEN '/jobs/' || doc_id
+         WHEN 'vt'    THEN '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         WHEN 'et'    THEN CASE WHEN doc_id % 2 = 0 THEN 'FULL_TIME' ELSE 'PART_TIME' END
+         WHEN 'org'   THEN '[item:https://schema.org/Organization]'
+         WHEN 'name'  THEN 'Acme ' || (doc_id % 7)
+       END AS value,
+       CAST(ord AS INT) AS ord
+FROM rows_
+ORDER BY url, ord
+"""
+
+
+@_register("microdata_extract", oracle=_MD_ORACLE)
+def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata over real HTML parse: JobPosting + nested Organization
+    per page; value resolution per element type, multi-name itemprops,
+    out-of-scope itemprops dropped. One mapInPandas pass, no shuffle."""
+    from crawler_ai_spark.functions.microdata import microdata_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    day1 = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    et = F.when(d % 2 == 0, F.lit("FULL_TIME")).otherwise(F.lit("PART_TIME"))
+    html = F.concat(
+        F.lit('<html><body><div itemscope itemtype="https://schema.org/JobPosting">'),
+        F.lit('<h1 itemprop="title">Engineer '), d.cast("string"), F.lit("</h1>"),
+        F.lit('<meta itemprop="datePosted" content="2024-01-'), day1, F.lit('">'),
+        F.lit('<a itemprop="url" href="/jobs/'), d.cast("string"), F.lit('">go</a>'),
+        F.lit('<time itemprop="validThrough" datetime="2024-02-'), day1,
+        F.lit('">Feb</time>'),
+        F.lit('<span itemprop="employmentType workHours">'), et, F.lit("</span>"),
+        F.lit('<div itemprop="hiringOrganization" itemscope'
+              ' itemtype="https://schema.org/Organization">'
+              '<span itemprop="name">Acme '),
+        (d % 7).cast("string"),
+        F.lit("</span></div></div>"
+              '<p itemprop="stray">never extracted</p></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://md"), (d % 9).cast("string"), F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    rows = microdata_rows(pages)
+    # a stable within-page ordinal for the hash compare: position of the
+    # prop in the fixed construction (prop names are unique per item)
+    ord_col = (
+        F.when(F.col("prop") == "title", 0)
+        .when(F.col("prop") == "datePosted", 1)
+        .when(F.col("prop") == "url", 2)
+        .when(F.col("prop") == "validThrough", 3)
+        .when(F.col("prop") == "employmentType", 4)
+        .when(F.col("prop") == "workHours", 5)
+        .when(F.col("prop") == "hiringOrganization", 6)
+        .otherwise(7)
+    )
+    return rows.select(
+        "url", "item_idx", "itemtype", "prop", "value",
+        ord_col.cast("int").alias("ord"),
+    ).orderBy("url", "ord")
