@@ -763,3 +763,101 @@ def sq8_topk(
         "cosine", F.round(_cosine_expr(F.col("q_vec"), F.col("dq_vec")), 6)
     )
     return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance (Carbonell & Goldstein, SIGIR'98):
+# diversity-aware top-k. Plain top-k returns near-duplicates of the
+# best hit; MMR greedily selects argmax λ·rel(c) − (1−λ)·max_sim(c,
+# selected), so each pick balances relevance against redundancy — the
+# standard rerank for retrieval UIs and for picking DIVERSE exemplars
+# out of a training corpus.
+# ---------------------------------------------------------------------------
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    q_id: str = "query_id",
+) -> DataFrame:
+    """(query_id, pos, neighbor_id, mmr_score): greedy MMR over each
+    query's relevance shortlist.
+
+    Determinism discipline: BOTH the relevance cosines and the
+    candidate-pair cosines are computed in-plan by the sequential-fold
+    expression and rounded to 6 dp, so the greedy (which runs per query
+    in an Arrow-batched applyInPandas over those already-quantized
+    doubles — pure comparisons, no recomputation) makes bit-identical
+    decisions in any engine; ties break by neighbor_id.
+
+    Scale shape: relevance = the existing cosine_topk (crossJoin at
+    sandbox SF; swap the ANN paths in at 10^10 vectors — the MMR stage
+    only consumes (id, rel) pairs), pair sims = shortlist² per query
+    (bounded by construction, one self-join), greedy = one pass per
+    query over ≤ shortlist² cached sims."""
+    import pandas as pd
+
+    from crawler_ai_spark.pipeline.dedup import _cosine_expr
+
+    rel = cosine_topk(queries, corpus, k=shortlist, q_id=q_id).select(
+        q_id, "neighbor_id", F.col("cosine").alias("rel")
+    )
+    emb = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+    )
+    cand = rel.join(emb, "neighbor_id")
+    a = cand.select(q_id, F.col("neighbor_id").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = cand.select(
+        F.col(q_id).alias("_q2"), F.col("neighbor_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+    )
+    sims = (
+        a.join(b, (F.col(q_id) == F.col("_q2")) & (F.col("a_id") < F.col("b_id")))
+        .select(
+            q_id, "a_id", "b_id",
+            F.round(_cosine_expr(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+    )
+    # ship rel + sims into one grouped frame: y = -1 tags relevance rows
+    packed = cand.select(
+        q_id, F.col("neighbor_id").alias("x"), F.lit(-1).cast("long").alias("y"),
+        F.col("rel").alias("v"),
+    ).unionByName(
+        sims.select(
+            q_id, F.col("a_id").alias("x"), F.col("b_id").cast("long").alias("y"),
+            F.col("sim").alias("v"),
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[q_id].iloc[0]
+        rels = {int(r.x): float(r.v) for r in pdf[pdf.y < 0].itertuples()}
+        sim = {}
+        for r in pdf[pdf.y >= 0].itertuples():
+            sim[(int(r.x), int(r.y))] = float(r.v)
+            sim[(int(r.y), int(r.x))] = float(r.v)
+        selected: list[tuple[int, float]] = []
+        remaining = set(rels)
+        while remaining and len(selected) < k:
+            best = None
+            for c in sorted(remaining):  # id-asc scan: ties keep lowest id
+                ms = max((sim.get((c, s), 0.0) for s, _ in selected), default=0.0)
+                score = round(lam * rels[c] - (1.0 - lam) * ms, 6)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best)
+            remaining.discard(best[0])
+        return pd.DataFrame(
+            {
+                q_id: [qid] * len(selected),
+                "pos": range(1, len(selected) + 1),
+                "neighbor_id": [s for s, _ in selected],
+                "mmr_score": [v for _, v in selected],
+            }
+        )
+
+    out_schema = f"{q_id} long, pos int, neighbor_id long, mmr_score double"
+    return packed.groupBy(q_id).applyInPandas(_greedy, schema=out_schema)

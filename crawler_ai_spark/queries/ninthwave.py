@@ -253,3 +253,106 @@ def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "item_idx", "itemtype", "prop", "value",
         ord_col.cast("int").alias("ord"),
     ).orderBy("url", "ord")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (pipeline/similarity.py: mmr_topk): greedy
+# λ·rel − (1−λ)·max-sim-to-selected over each query's shortlist. Both
+# relevance and pair similarities are 6-dp-quantized sequential-fold
+# cosines, so the greedy compares identical doubles in every engine;
+# DuckDB unrolls all 4 selection steps (argmax + accumulated selected
+# set + max-sim join per step) from scratch.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 4
+_MMR_SHORT = 8
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    from crawler_ai_spark.queries.embeddings import _COS_SQL
+
+    lam = f"{_MMR_LAM:.17e}"
+    one_m = f"{1.0 - _MMR_LAM:.17e}"
+    cos_ab = _COS_SQL.replace("a.embedding", "e1.embedding").replace(
+        "b.embedding", "e2.embedding"
+    )
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        prev_acc = " UNION ALL ".join(
+            f"SELECT query_id, sel FROM p{i}" for i in range(1, t)
+        )
+        steps.append(
+            f"""
+acc{t - 1} AS ({prev_acc}),
+m{t} AS (
+  SELECT r.query_id, r.neighbor_id, MAX(s.sim) AS ms
+  FROM rel r
+  JOIN acc{t - 1} p ON r.query_id = p.query_id
+  JOIN sims s ON s.query_id = r.query_id
+   AND ((s.a_id = r.neighbor_id AND s.b_id = p.sel)
+     OR (s.b_id = r.neighbor_id AND s.a_id = p.sel))
+  WHERE r.neighbor_id NOT IN (SELECT sel FROM acc{t - 1} a2
+                              WHERE a2.query_id = r.query_id)
+  GROUP BY r.query_id, r.neighbor_id),
+s{t} AS (
+  SELECT m{t}.query_id, m{t}.neighbor_id,
+         round({lam} * r.rel - {one_m} * m{t}.ms, 6) AS score,
+         row_number() OVER (
+           PARTITION BY m{t}.query_id
+           ORDER BY round({lam} * r.rel - {one_m} * m{t}.ms, 6) DESC,
+                    m{t}.neighbor_id) AS rk
+  FROM m{t} JOIN rel r ON r.query_id = m{t}.query_id
+                      AND r.neighbor_id = m{t}.neighbor_id),
+p{t} AS (SELECT query_id, neighbor_id AS sel, score FROM s{t} WHERE rk = 1)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS pos, sel AS neighbor_id, score AS mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+allcos AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM q a, embeddings b),
+rel AS (
+  SELECT query_id, neighbor_id, cosine AS rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM allcos) WHERE rk <= {_MMR_SHORT}),
+sims AS (
+  SELECT r1.query_id, r1.neighbor_id AS a_id, r2.neighbor_id AS b_id,
+         {cos_ab} AS sim
+  FROM rel r1
+  JOIN rel r2 ON r1.query_id = r2.query_id AND r1.neighbor_id < r2.neighbor_id
+  JOIN embeddings e1 ON e1.vec_id = r1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = r2.neighbor_id),
+s1 AS (
+  SELECT query_id, neighbor_id, round({lam} * rel, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({lam} * rel, 6) DESC, neighbor_id) AS rk
+  FROM rel),
+p1 AS (SELECT query_id, neighbor_id AS sel, score FROM s1 WHERE rk = 1),{",".join(steps)}
+SELECT query_id, pos, neighbor_id, mmr_score FROM ({selects})
+ORDER BY query_id, pos
+"""
+
+
+@_register("emb_mmr_topk", oracle=_mmr_oracle())
+def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware reranking: 4 greedy MMR picks per query over an
+    8-candidate shortlist, λ=0.7. Relevance shortlist + pair sims in
+    the plan (quantized), greedy over the quantized values per query."""
+    from crawler_ai_spark.pipeline.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_topk(
+        queries,
+        emb,
+        k=_MMR_K,
+        shortlist=_MMR_SHORT,
+        lam=_MMR_LAM,
+    ).orderBy("query_id", "pos")
