@@ -132,3 +132,61 @@ def apply_dust_rules(frontier: DataFrame, rules: DataFrame, url_col: str = "url"
     for frm, to in const_rules:
         out = F.replace(out, F.lit(frm), F.lit(to))
     return frontier.withColumn("canonical_url", out)
+
+
+def elect_canonical(members: DataFrame) -> DataFrame:
+    """Canonical-URL election per duplicate cluster — the integration
+    point of the dedup signals: content fingerprints put URLs in one
+    cluster (exact dedup / MinHash closure / mirror detection), pages
+    may DECLARE a canonical (rel=canonical — functions/urls.py:
+    canonical_link_expr; robots Host directive at host grain), and the
+    archive still needs exactly ONE representative per cluster.
+
+    members(cluster_id, url, declared) — declared = the page's own
+    canonical claim (NULL when silent). Precedence per cluster:
+
+    1. the most-declared URL among declarations that point AT a cluster
+       member (external declarations can't hijack the cluster; ties by
+       count break lexicographically);
+    2. no valid declarations -> the shortest member URL (the classic
+       index.html/print-variant heuristic);
+    3. length ties -> lexicographic.
+
+    Plan: one cluster-grain aggregation for valid declaration counts +
+    one for the fallback minimum + a members join — three shuffles on
+    the cluster key, no windows over raw pages. Returns (cluster_id,
+    url, canonical_url, is_canonical)."""
+    m = members.select("cluster_id", "url", "declared")
+    urls = m.select("cluster_id", "url").distinct()
+    # a declaration is valid only when it names a cluster member
+    valid_decl = (
+        m.where(F.col("declared").isNotNull())
+        .join(
+            urls.select(
+                F.col("cluster_id").alias("_c"), F.col("url").alias("_u")
+            ),
+            (F.col("cluster_id") == F.col("_c")) & (F.col("declared") == F.col("_u")),
+        )
+        .select("cluster_id", F.col("declared").alias("cand"))
+    )
+    # most-declared wins; count ties break to the lexicographically
+    # smallest candidate (min_by over the orderable (-n, cand) struct)
+    decl_winner = (
+        valid_decl.groupBy("cluster_id", "cand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster_id")
+        .agg(F.expr("min_by(cand, struct(-n, cand))").alias("decl_url"))
+    )
+    fallback = urls.groupBy("cluster_id").agg(
+        F.expr("min_by(url, struct(length(url), url))").alias("short_url")
+    )
+    chosen = fallback.join(decl_winner, "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce("decl_url", "short_url").alias("canonical_url"),
+    )
+    return urls.join(chosen, "cluster_id").select(
+        "cluster_id",
+        "url",
+        "canonical_url",
+        (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
+    )

@@ -356,3 +356,97 @@ def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_MMR_SHORT,
         lam=_MMR_LAM,
     ).orderBy("query_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Canonical election (operators/dust.py: elect_canonical): one
+# representative per duplicate cluster from declared rel=canonical
+# claims with deterministic fallbacks. Synth clusters of 4 URLs
+# (groups by doc_id//4): cluster class 0 has two members declaring the
+# same member (majority wins), class 1 has ONE declaration pointing
+# OUTSIDE the cluster (invalid — shortest-URL fallback must kick in),
+# class 2 is silent (pure fallback incl. a length tie broken
+# lexicographically). DuckDB re-runs the precedence from scratch.
+# ---------------------------------------------------------------------------
+
+_ELECT_ORACLE = """
+WITH g AS (
+  SELECT doc_id, doc_id // 4 AS cid, doc_id % 4 AS k, (doc_id // 4) % 3 AS cls
+  FROM documents
+),
+m AS (
+  SELECT cid, cls, k,
+         'https://c' || cid || '.example/' ||
+           CASE k WHEN 0 THEN 'p'
+                  WHEN 1 THEN 'p/print'
+                  WHEN 2 THEN 'q'
+                  ELSE 'p?sid=' || doc_id END AS url,
+         CASE WHEN cls = 0 AND k IN (1, 3)
+              THEN 'https://c' || cid || '.example/p'
+              WHEN cls = 1 AND k = 1
+              THEN 'https://outside.example/x'
+              ELSE NULL END AS declared
+  FROM g
+),
+valid AS (
+  SELECT m.cid, m.declared AS cand
+  FROM m JOIN m u ON m.cid = u.cid AND m.declared = u.url
+  WHERE m.declared IS NOT NULL
+),
+decl AS (
+  SELECT cid, cand, COUNT(*) AS n FROM valid GROUP BY cid, cand
+),
+decl_w AS (
+  SELECT cid, cand AS decl_url FROM (
+    SELECT cid, cand,
+           row_number() OVER (PARTITION BY cid ORDER BY n DESC, cand) AS rk
+    FROM decl) WHERE rk = 1
+),
+fb AS (
+  SELECT cid, url AS short_url FROM (
+    SELECT cid, url,
+           row_number() OVER (PARTITION BY cid ORDER BY strlen(url), url) AS rk
+    FROM (SELECT DISTINCT cid, url FROM m)) WHERE rk = 1
+),
+chosen AS (
+  SELECT fb.cid, COALESCE(decl_w.decl_url, fb.short_url) AS canonical_url
+  FROM fb LEFT JOIN decl_w ON fb.cid = decl_w.cid
+)
+SELECT m.cid AS cluster_id, m.url, c.canonical_url,
+       m.url = c.canonical_url AS is_canonical
+FROM (SELECT DISTINCT cid, url FROM m) m JOIN chosen c ON m.cid = c.cid
+ORDER BY cluster_id, url
+"""
+
+
+@_register("canonical_election", oracle=_ELECT_ORACLE)
+def q_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical per duplicate cluster: majority of member-valid
+    rel=canonical declarations, else shortest member URL, ties
+    lexicographic. Three cluster-key shuffles, no windows."""
+    from crawler_ai_spark.operators.dust import elect_canonical
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    cid = (d / 4).cast("long")
+    k = d % 4
+    cls = cid % 3
+    url = F.concat(
+        F.lit("https://c"), cid.cast("string"), F.lit(".example/"),
+        F.when(k == 0, F.lit("p"))
+        .when(k == 1, F.lit("p/print"))
+        .when(k == 2, F.lit("q"))
+        .otherwise(F.concat(F.lit("p?sid="), d.cast("string"))),
+    )
+    declared = (
+        F.when(
+            (cls == 0) & k.isin(1, 3),
+            F.concat(F.lit("https://c"), cid.cast("string"), F.lit(".example/p")),
+        )
+        .when((cls == 1) & (k == 1), F.lit("https://outside.example/x"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    members = docs.select(
+        cid.alias("cluster_id"), url.alias("url"), declared.alias("declared")
+    )
+    return elect_canonical(members).orderBy("cluster_id", "url")
