@@ -24,7 +24,7 @@ integer inputs with identical expression shape, rounded to 6)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_ai_spark.pipeline.dedup import tokens_col
@@ -179,4 +179,48 @@ def kwic_snippets(
             (F.col("_first") - 1).alias("match_pos"),
             F.array_join(F.slice("_toks", lo, ln), " ").alias("snippet"),
         )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-doc top-k TF-IDF keywords — the classic doc-tagging signal
+    (what is this page ABOUT, corpus-relatively): weight = tf * ln(N /
+    df), stop-terms self-suppress because corpus-wide terms have ~zero
+    idf. Ranked (weight desc, term asc); weight rounded 6 dp so the
+    rank and the hash are engine-portable (ln is libm).
+
+    Shapes: the postings shuffle (doc,term), one term-keyed df
+    aggregation (map-combined), a broadcast of the one-row N, and a
+    bounded per-doc window over ≤ |vocab ∩ doc| rows. min_df prunes
+    hapax noise before the window at corpus scale."""
+    p = postings(docs, text_col, id_col)
+    df_tbl = p.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        df_tbl = df_tbl.where(F.col("df") >= min_df)
+    n_docs = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    scored = (
+        p.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("weight"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"), "weight")
     )

@@ -450,3 +450,48 @@ def q_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
         cid.alias("cluster_id"), url.alias("url"), declared.alias("declared")
     )
     return elect_canonical(members).orderBy("cluster_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keywords (pipeline/retrieval.py: tfidf_keywords): what a
+# page is ABOUT, corpus-relatively — corpus-wide boilerplate terms
+# self-suppress through near-zero idf. DuckDB rebuilds postings, df, N
+# and the ranked window from scratch; the ln-weighted scores round 6 dp
+# so both regex/libm dialects hash identically.
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM toksed),
+post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM toksed),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf,
+         round(p.tf * ln(n.n_docs / dft.df), 6) AS weight
+  FROM post p JOIN dft USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, weight
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+@_register("doc_tfidf_keywords", oracle=_KW_ORACLE)
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per doc: the postings shuffle + a
+    term-keyed df aggregate + a bounded per-doc window."""
+    from crawler_ai_spark.pipeline.retrieval import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, k=5).orderBy("doc_id", "rank")
