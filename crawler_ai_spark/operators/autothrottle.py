@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,35 @@ def budget_from_delay(delays: DataFrame, batch_interval_s: int) -> DataFrame:
         .cast("int")
         .alias("host_budget"),
     )
+
+
+def host_latency_percentiles(
+    fetches: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Exact discrete latency percentiles per host — the ops view behind
+    politeness tuning: AutoThrottle reacts to the MEAN, but a host whose
+    p95 is 10x its p50 (overloaded origin, flaky edge) deserves a wider
+    delay even when the mean looks fine.
+
+    Exact and deterministic by construction: percentile p = the value at
+    1-based rank ceil(p * n) in (latency, url)-sorted order — no
+    t-digest/approx sketch whose merge order could shift a cross-engine
+    bit. One window over each host's fetches; at 10^10-fetch scale run
+    it per batch or windowed, not over all history.
+
+    fetches(host, url, fetch_ms) -> (host, n_fetches, p50_ms, p95_ms,
+    ...) with one column per requested percentile."""
+    w = Window.partitionBy("host").orderBy(F.col("fetch_ms").asc(), F.col("url").asc())
+    ranked = fetches.select("host", "url", "fetch_ms").withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    n = fetches.groupBy("host").agg(F.count(F.lit(1)).alias("n_fetches"))
+    out = n
+    for p in percentiles:
+        col = f"p{int(round(p * 100))}_ms"
+        tgt = ranked.join(n, "host").where(
+            F.col("_rk") == F.ceil(F.lit(p) * F.col("n_fetches"))
+        ).select("host", F.col("fetch_ms").alias(col))
+        out = out.join(tgt, "host")
+    return out

@@ -495,3 +495,63 @@ def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_keywords(docs, k=5).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact latency percentiles per host (operators/autothrottle.py:
+# host_latency_percentiles): p = the value at rank ceil(p*n) in sorted
+# order — exact discrete quantiles, no sketch whose merge order could
+# drift cross-engine. Synth latencies are LCG-spread with a heavy tail
+# every 13th fetch so p95 actually separates from p50.
+# ---------------------------------------------------------------------------
+
+_LAT_ORACLE = """
+WITH f AS (
+  SELECT 'lat' || (doc_id % 7) || '.example' AS host,
+         'https://lat' || (doc_id % 7) || '.example/p/' || doc_id AS url,
+         CAST(50 + (doc_id * 1103515245 + 12345) % 400
+              + CASE WHEN doc_id % 13 = 0 THEN 5000 ELSE 0 END AS BIGINT)
+           AS fetch_ms
+  FROM documents
+),
+ranked AS (
+  SELECT host, fetch_ms,
+         row_number() OVER (PARTITION BY host ORDER BY fetch_ms, url) AS rk,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM f
+)
+SELECT host,
+       CAST(MAX(n) AS BIGINT) AS n_fetches,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN fetch_ms END) AS BIGINT) AS p50_ms,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN fetch_ms END) AS BIGINT) AS p95_ms
+FROM ranked GROUP BY host ORDER BY host
+"""
+
+
+@_register("host_latency_percentiles", oracle=_LAT_ORACLE)
+def q_host_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 fetch latency per host, exact rank-based quantiles —
+    the tail-latency complement to AutoThrottle's mean reaction."""
+    from crawler_ai_spark.operators.autothrottle import host_latency_percentiles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    fetches = docs.select(
+        F.concat(F.lit("lat"), (d % 7).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://lat"), (d % 7).cast("string"), F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        (
+            50
+            + (d * 1103515245 + 12345) % 400
+            + F.when(d % 13 == 0, 5000).otherwise(0)
+        )
+        .cast("long")
+        .alias("fetch_ms"),
+    )
+    return host_latency_percentiles(fetches).orderBy("host")
