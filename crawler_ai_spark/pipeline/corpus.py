@@ -1062,3 +1062,58 @@ def mixture_sample(
         )
         .where(F.col("key_int") < F.col("thr"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis & Spirakis (IPL
+# 2006), the one-pass distributed algorithm: give every row the key
+# u^(1/w) for u uniform in (0,1) and take the top-k keys; the result is
+# distributed exactly as sequential weighted sampling without
+# replacement. Here u derives from the deterministic md5 keyspace, so
+# the "random" sample is reproducible and resumable like every other
+# sampling decision in this pipeline.
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "es-v1",
+) -> DataFrame:
+    """Top-k weighted sample without replacement: key = u^(1/w), u =
+    (md5_48(id:salt) + 1) / (2^48 + 1) in (0, 1) exclusive. Non-positive
+    weights never sample. Keys are quantized to 12 dp before ranking
+    (pow is libm; the established cross-engine discipline) with id as
+    the final tie-break.
+
+    One global top-k: expressed as a rank-1..k filter over a single
+    ordered window — at corpus scale replace with orderBy(...).limit(k)
+    (TakeOrdered, no single-partition window); the semantics are
+    identical, the catalog-gated window keeps the plan deterministic
+    for the oracle."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**48 + 1))
+    key = F.round(F.pow(u, F.lit(1.0) / weight), 12)
+    scored = docs.where(weight > 0).select(
+        id_col, weight.alias("w"), key.alias("es_key")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("pick", F.row_number().over(w_rank))
+        .where(F.col("pick") <= k)
+        .select(id_col, "w", "es_key", F.col("pick").cast("int").alias("pick"))
+    )

@@ -555,3 +555,44 @@ def q_host_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fetch_ms"),
     )
     return host_latency_percentiles(fetches).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling (pipeline/corpus.py:
+# weighted_sample): top-k of u^(1/w) over the deterministic md5
+# keyspace — reproducible weighted sampling without replacement.
+# Weights = n_chars so long docs sample more; DuckDB recomputes u, the
+# pow keys and the global rank from scratch.
+# ---------------------------------------------------------------------------
+
+_WS_K = 25
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         round(pow(
+           (('0x' || substr(md5(doc_id || ':es-v1'), 1, 12))::BIGINT + {1.0:.17e})
+             / {float(2**48 + 1):.17e},
+           {1.0:.17e} / n_chars), 12) AS es_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS pick
+  FROM keyed
+)
+SELECT doc_id, w, es_key, CAST(pick AS INT) AS pick
+FROM ranked WHERE pick <= {_WS_K} ORDER BY pick
+"""
+
+
+@_register("corpus_weighted_sample", oracle=_WS_ORACLE)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible weighted sampling without replacement (top-25 by
+    u^(1/w), w = n_chars): the one-pass distributed algorithm, keys on
+    the same deterministic md5 keyspace as every sampling decision."""
+    from crawler_ai_spark.pipeline.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, F.col("n_chars").cast("double"), k=_WS_K
+    ).orderBy("pick")
