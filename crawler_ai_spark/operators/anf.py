@@ -112,3 +112,44 @@ def anf_harmonic(
         / t.cast("double"),
     )
     return out.select("host", "ball_sizes", harmonic.alias("harmonic"))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salts: int = ANF_SALTS,
+) -> DataFrame:
+    """Mergeable distinct-count estimation per group — the KMV sketch
+    (Bar-Yossef et al. 2002) the ANF iteration is built on, exposed as
+    its own operator: exact countDistinct shuffles every (group, value)
+    pair; the sketch ships k longs per group and MERGES (union of
+    per-batch sketches = sketch of the union), which is what incremental
+    crawl accounting needs — per-host distinct-URL counts that update
+    batch over batch without re-reading history.
+
+    Exact below k (the sketch IS the distinct set), (k-1)*2^48/kth_min
+    above. Integer-exact merges: bit-identical in any engine. Two-phase
+    salted aggregation keyed (group, hash-salt) then group, so a hot
+    group's values never collect into one task.
+
+    Returns (group, sketch array<long>, n_exact_or_estimate as
+    distinct_est double)."""
+    h = node_hash(F.col(value_col))
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salts))
+    partial = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"), salt.alias("_s"))
+        .groupBy("g", "_s")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch")
+        )
+    )
+    merged = partial.groupBy("g").agg(
+        _merge(F.collect_list("sketch"), k).alias("sketch")
+    )
+    return merged.select(
+        F.col("g").alias(group_col),
+        "sketch",
+        _estimate(F.col("sketch"), k).alias("distinct_est"),
+    )

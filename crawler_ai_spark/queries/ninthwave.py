@@ -596,3 +596,74 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, F.col("n_chars").cast("double"), k=_WS_K
     ).orderBy("pick")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketches (operators/anf.py: kmv_distinct):
+# mergeable per-host distinct-URL estimation — exact below k,
+# (k-1)*2^48/kth above. The oracle computes the k smallest hashes per
+# host in ONE pass; the Spark side's salted two-phase merge is provably
+# identical (any global top-k hash is in its own salt's top-k). Hosts
+# span both regimes: small hosts stay exact, one hot host saturates.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+_KMV_ORACLE = f"""
+WITH urls AS (
+  SELECT 'kv' || (doc_id % 11) || '.example' AS host,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'https://kv0.example/p/' || doc_id
+              ELSE 'https://kv' || (doc_id % 11) || '.example/p/' || (doc_id % 17)
+         END AS url
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT host,
+         ('0x' || substr(md5(url || ':anf'), 1, 12))::BIGINT AS h
+  FROM urls
+),
+ranked AS (
+  SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY host) AS nd
+  FROM hashed
+)
+SELECT host,
+       CASE WHEN MAX(nd) < {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+            ELSE {float(_KMV_K - 1):.17e} * {float(2**48):.17e}
+                 / CAST(MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS DOUBLE)
+       END AS distinct_est
+FROM ranked GROUP BY host ORDER BY host
+"""
+
+
+@_register("host_distinct_kmv", oracle=_KMV_ORACLE)
+def q_host_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL estimates from mergeable KMV sketches —
+    the incremental-crawl accounting primitive (union of per-batch
+    sketches = sketch of the union). Two salted short-row shuffles."""
+    from crawler_ai_spark.operators.anf import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("kv"), (d % 11).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit("https://kv0.example/p/"), d.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://kv"), (d % 11).cast("string"),
+                F.lit(".example/p/"), (d % 17).cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    return (
+        kmv_distinct(urls, "host", "url", k=_KMV_K)
+        .select("host", "distinct_est")
+        .orderBy("host")
+    )
