@@ -121,6 +121,13 @@ class CrawlConfig:
     # (Common-Crawl layout, sources/warc.py) under warc_dir/batch-NNNNN/.
     # None disables; the crawl state store is unaffected either way.
     warc_dir: str | None = None
+    # Cross-batch archive dedup (requires warc_dir): a persistent
+    # digest index (state table warc_digests) makes repeated payloads —
+    # unchanged recrawls, mirrored pages fetched batches apart — write
+    # small revisit records referencing the ORIGINAL capture instead of
+    # re-storing bodies (ISO 28500 identical-payload-digest profile).
+    # read_warc_dedup over all batch dirs restores every body.
+    warc_dedup: bool = False
     # W4 at HOST granularity — failure circuit breaker: a host whose
     # attempted batch produced only failures (≥1 attempt, 0 successes)
     # for `host_failure_threshold` consecutive attempted batches is
@@ -263,7 +270,7 @@ FRONTIER_COLS = [
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff")
+    TABLES = ("frontier", "seen_delta", "visited", "career_pages", "job_urls", "metrics", "seed_state", "bloom_delta", "cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff", "warc_digests")
 
     def __init__(self, spark: SparkSession, root: str | pathlib.Path):
         from crawler_ai_spark.sources.snapshots import SnapshotLog
@@ -424,7 +431,7 @@ class CrawlStore:
 
     # tables that write a FULL state snapshot every batch (only the
     # latest is ever read; older copies are replay history, not a log)
-    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff")
+    STATE_TABLES = ("cache_blobs", "cache_ledger", "robots_cache", "host_breaker", "at_delays", "host_backoff", "warc_digests")
 
     def compact_state(self, table: str) -> int | None:
         """Rewrite a state table's LATEST snapshot as a replace at the
@@ -1441,6 +1448,17 @@ def _restore_at_delays(spark: SparkSession, store: CrawlStore, prev: int) -> Dat
     return spark.createDataFrame([], _AT_DELAYS_SCHEMA)
 
 
+def _restore_warc_digests(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
+    """Latest committed WARC digest-index snapshot (one row per distinct
+    payload ever archived), or an empty table for a fresh crawl."""
+    state = _read_latest_state(store, "warc_digests", prev)
+    if state is not None:
+        return state[0]
+    return spark.createDataFrame(
+        [], "digest string, ref_url string, ref_ts timestamp"
+    )
+
+
 def _restore_robots_cache(spark: SparkSession, store: CrawlStore, prev: int) -> DataFrame:
     """Latest committed robots_cache snapshot (live-robots mode state:
     one row per host ever seen, rules parsed from its fetched
@@ -1596,6 +1614,12 @@ def run_crawl(
                 "is what measures per-request latency"
             )
         at_state = _restore_at_delays(spark, store, start - 1)
+
+    warc_digests = None
+    if cfg.warc_dedup:
+        if cfg.warc_dir is None:
+            raise ValueError("warc_dedup requires warc_dir")
+        warc_digests = _restore_warc_digests(spark, store, start - 1)
 
     ttl_batches = None
     cache_blobs = None
@@ -1891,7 +1915,10 @@ def run_crawl(
             # re-run after resume rewrites its own directory; readers
             # see whole batches only). warc_ts falls back to the
             # batch's logical clock for pages the corpus didn't stamp.
-            from crawler_ai_spark.sources.warc import write_warc
+            from crawler_ai_spark.sources.warc import (
+                write_warc,
+                write_warc_dedup_with_index,
+            )
 
             archive = gated.where(F.col("fetched")).select(
                 "url",
@@ -1902,11 +1929,19 @@ def run_crawl(
                 "html",
                 F.col("status").cast("int").alias("status"),
             )
-            write_warc(
-                archive,
-                str(pathlib.Path(cfg.warc_dir) / f"batch-{batch_id:05d}"),
-                gzip_records=True,
-            ).collect()  # manifest rows only (one per partition)
+            out_dir = str(pathlib.Path(cfg.warc_dir) / f"batch-{batch_id:05d}")
+            if cfg.warc_dedup:
+                # cross-batch revisit dedup against the carried digest
+                # index; fresh digests append to the index snapshot
+                manifest, new_digests = write_warc_dedup_with_index(
+                    archive, warc_digests, out_dir, gzip_records=True
+                )
+                manifest.collect()  # manifest rows only (one/partition)
+                warc_digests = warc_digests.unionByName(new_digests)
+                store.write(batch_id, "warc_digests", warc_digests)
+                warc_digests = store.read("warc_digests", batch_id)  # lineage reset
+            else:
+                write_warc(archive, out_dir, gzip_records=True).collect()
 
         if ttl_batches is not None:
             # incremental ledger snapshot: fold THIS batch's visited into

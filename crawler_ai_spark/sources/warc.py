@@ -71,7 +71,9 @@ def _warc_date(ts) -> str:
 
 def _record_bytes(url: str, ts, html: bytes, status: int) -> bytes:
     html = bytes(html or b"")
-    status = int(status) if status is not None else 200
+    # pandas renders a nullable int column as float64 with NaN — treat
+    # missing status (corpora without one) as 200 either way
+    status = 200 if status is None or pd.isna(status) else int(status)
     reason = _REASON.get(status, "Unknown")
     http = (
         f"HTTP/1.1 {status} {reason}\r\n"
@@ -421,7 +423,7 @@ _REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-di
 def _revisit_record_bytes(
     url: str, ts, status: int, digest: str, ref_url: str, ref_ts
 ) -> bytes:
-    status = int(status) if status is not None else 200
+    status = 200 if status is None or pd.isna(status) else int(status)
     reason = _REASON.get(status, "Unknown")
     # revisit payload: the HTTP response WITHOUT its body (the spec
     # permits truncated/omitted content; the digest names the body)
@@ -478,39 +480,9 @@ def write_warc_dedup(
         ),
     )
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        n = 0
-        buf = io.BytesIO()
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if row.is_original:
-                    rec = _record_bytes(row.url, row.warc_ts, row.html, row.status)
-                else:
-                    rec = _revisit_record_bytes(
-                        row.url, row.warc_ts, row.status, row.digest,
-                        row.ref_url, row.ref_ts,
-                    )
-                if gzip_records:
-                    g = io.BytesIO()
-                    with gzip.GzipFile(fileobj=g, mode="wb", mtime=0) as zf:
-                        zf.write(rec)
-                    buf.write(g.getvalue())
-                else:
-                    buf.write(rec)
-                n += 1
-        data = buf.getvalue()
-        if n:
-            with open(path, "wb") as f:
-                f.write(data)
-            yield pd.DataFrame(
-                {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
-            )
-
-    return tagged.mapInPandas(_write, schema=MANIFEST_SCHEMA)
+    return tagged.mapInPandas(
+        _tagged_writer(out_dir, ext, gzip_records), schema=MANIFEST_SCHEMA
+    )
 
 
 _DEDUP_READ_SCHEMA = (
@@ -591,3 +563,105 @@ def read_warc_dedup(spark: SparkSession, path: str) -> DataFrame:
         "status",
         (F.col("rec_type") == "revisit").alias("is_revisit"),
     )
+
+
+
+def _tagged_writer(out_dir: str, ext: str, gzip_records: bool):
+    """mapInPandas fn writing tagged rows (is_original + revisit refs)
+    as one WARC file per partition — shared by the batch-local and the
+    index-aware dedup writers."""
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.is_original:
+                    rec = _record_bytes(row.url, row.warc_ts, row.html, row.status)
+                else:
+                    rec = _revisit_record_bytes(
+                        row.url, row.warc_ts, row.status, row.digest,
+                        row.ref_url, row.ref_ts,
+                    )
+                if gzip_records:
+                    g = io.BytesIO()
+                    with gzip.GzipFile(fileobj=g, mode="wb", mtime=0) as zf:
+                        zf.write(rec)
+                    buf.write(g.getvalue())
+                else:
+                    buf.write(rec)
+                n += 1
+        data = buf.getvalue()
+        if n:
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+            )
+
+    return _write
+
+
+def write_warc_dedup_with_index(
+    df: DataFrame,
+    index: DataFrame,
+    out_dir: str,
+    gzip_records: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch revisit dedup: ``index(digest, ref_url, ref_ts)``
+    carries every payload digest archived by PRIOR batches; this batch's
+    rows matching a known digest become revisit records referencing the
+    ORIGINAL capture (possibly batches ago), unknown digests dedup
+    batch-locally exactly like write_warc_dedup. Returns (manifest,
+    new_index_rows) — union new_index_rows into the carried index for
+    the next batch; at a 10^10-page archive the index is one row per
+    distinct payload, digest-keyed, and both hops here are digest-grain
+    joins with map-side-combined aggregation.
+
+    The write happens when the MANIFEST is consumed; collect it before
+    using new_index_rows (which is derived from the same lineage)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+    base = df.select(
+        "url", "warc_ts", "html", F.col("status").cast("int"),
+        F.md5(F.coalesce(F.col("html"), F.lit(b""))).alias("digest"),
+    )
+    idx = index.select(
+        "digest", F.col("ref_url").alias("_iurl"), F.col("ref_ts").alias("_its")
+    )
+    # plain digest join: AQE broadcasts the index at runtime when small
+    joined = base.join(idx, "digest", "left")
+    fresh_first = (
+        joined.where(F.col("_iurl").isNull())
+        .groupBy("digest")
+        .agg(F.min(F.struct("warc_ts", "url")).alias("first"))
+        .select(
+            "digest",
+            F.col("first.url").alias("_burl"),
+            F.col("first.warc_ts").alias("_bts"),
+        )
+    )
+    tagged = joined.join(fresh_first, "digest", "left").select(
+        "url", "warc_ts", "html", "status", "digest",
+        F.coalesce("_iurl", "_burl").alias("ref_url"),
+        F.coalesce("_its", "_bts").alias("ref_ts"),
+        # original only when the digest is NEW to the archive and this
+        # row is the batch-first capture; anything matching the carried
+        # index is a revisit even if url+ts collide with the original
+        (
+            F.col("_iurl").isNull()
+            & (F.col("url") == F.col("_burl"))
+            & (F.col("warc_ts") == F.col("_bts"))
+        ).alias("is_original"),
+    )
+    manifest = tagged.mapInPandas(
+        _tagged_writer(out_dir, ext, gzip_records), schema=MANIFEST_SCHEMA
+    )
+    new_index = fresh_first.select(
+        "digest", F.col("_burl").alias("ref_url"), F.col("_bts").alias("ref_ts")
+    )
+    return manifest, new_index

@@ -70,6 +70,10 @@ def main() -> None:
                          "robots.txt in-loop (RFC 9309 Allow precedence, "
                          "Crawl-delay budgets) instead of a static "
                          "host_rules table")
+    ap.add_argument("--warc-dedup", action="store_true",
+                    help="cross-batch WARC revisit dedup (requires "
+                         "--warc-dir): repeated payloads write pointer "
+                         "records against a persistent digest index")
     ap.add_argument("--warc-dir", default=None,
                     help="archive every batch's fetched pages as "
                          "per-record-gzip WARC under this dir "
@@ -262,6 +266,7 @@ def main() -> None:
             priority_aging_batches=args.priority_aging,
         )
         cfg.warc_dir = args.warc_dir
+        cfg.warc_dedup = args.warc_dedup
         if args.ip_map and args.resolve_ips:
             ap.error("--ip-map and --resolve-ips are mutually exclusive")
         if args.resolve_ips:
