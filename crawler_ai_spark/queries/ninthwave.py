@@ -667,3 +667,67 @@ def q_host_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "distinct_est")
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-graph summary (one-row report over the synth graph): edge and
+# host counts, reciprocity (share of edges whose reverse exists — link
+# exchanges reciprocate, organic linking mostly doesn't), max/mean
+# out-degree. All integer-exact except mean (exact division).
+# ---------------------------------------------------------------------------
+
+_GSTAT_ORACLE = """
+WITH hosts AS (SELECT range AS host FROM range(37)),
+synth AS (
+  SELECT DISTINCT doc_id % 37 AS src, (doc_id // 37) % 37 AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % 37) != ((doc_id // 37) % 37)),
+ring AS (SELECT host AS src, (host + 1) % 37 AS dst FROM hosts),
+e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+recip AS (
+  SELECT count(*) AS n_recip
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM hosts) AS BIGINT) AS n_hosts,
+       CAST((SELECT n_recip FROM recip) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT n_recip FROM recip) AS DOUBLE)
+         / (SELECT count(*) FROM e) AS reciprocity,
+       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_outdeg,
+       CAST((SELECT count(*) FROM e) AS DOUBLE)
+         / (SELECT count(*) FROM deg) AS mean_outdeg
+"""
+
+
+@_register("host_graph_stats", oracle=_GSTAT_ORACLE)
+def q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row host-graph report: edges, hosts, reciprocity (the
+    link-exchange signal), max/mean out-degree. Self-join on the edge
+    key + two tiny aggregates."""
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    edges = edges.persist()
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    n_recip = edges.join(rev, ["src", "dst"]).count()
+    n_edges = edges.count()
+    n_hosts = hosts.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.max("d").alias("max_outdeg"), F.count(F.lit(1)).alias("n_src")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_edges,
+                n_hosts,
+                n_recip,
+                float(n_recip) / n_edges,
+                stats.max_outdeg,
+                float(n_edges) / stats.n_src,
+            )
+        ],
+        "n_edges long, n_hosts long, n_reciprocal long, reciprocity double,"
+        " max_outdeg long, mean_outdeg double",
+    )
