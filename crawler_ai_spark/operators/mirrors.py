@@ -93,3 +93,55 @@ def mirror_canonical(pairs: DataFrame) -> DataFrame:
             "host", F.least(F.col("host"), F.col("min_peer")).alias("canonical_host")
         )
     )
+
+
+def mirror_canonical_declared(
+    pairs: DataFrame, host_prefs: DataFrame | None
+) -> DataFrame:
+    """mirror_canonical with the publisher's say: ``host_prefs(host,
+    preferred_host)`` from robots Host directives (sources/robots.py
+    with_host_directive). Precedence per mirror pair-neighborhood:
+
+    1. if any member DECLARES a preferred host that is itself a member
+       of the neighborhood (the host itself or a direct partner), the
+       lexicographically-smallest such declaration wins — a foreign
+       declaration cannot hijack the group;
+    2. otherwise the heuristic lexicographic minimum (mirror_canonical).
+
+    host_prefs is host-grain (small) and broadcast; one extra join over
+    the base operator."""
+    base = mirror_canonical(pairs)
+    if host_prefs is None:
+        return base
+    edges = pairs.select(
+        F.col("host_a").alias("host"), F.col("host_b").alias("peer")
+    ).unionByName(
+        pairs.select(F.col("host_b").alias("host"), F.col("host_a").alias("peer"))
+    )
+    # self-edge so a host's own declaration naming ITSELF is in scope
+    scope = edges.unionByName(
+        edges.select("host", F.col("host").alias("peer")).distinct()
+    )
+    prefs = host_prefs.where(F.col("preferred_host").isNotNull()).select(
+        F.col("host").alias("declarer"), "preferred_host"
+    )
+    # a declaration is valid for `host` when some neighborhood member
+    # (host or peer) declared a host that is ALSO in the neighborhood
+    declared = (
+        scope.join(
+            F.broadcast(prefs), scope["peer"] == F.col("declarer")
+        )
+        .join(
+            scope.select(
+                F.col("host").alias("_h"), F.col("peer").alias("_member")
+            ),
+            (F.col("host") == F.col("_h"))
+            & (F.col("preferred_host") == F.col("_member")),
+        )
+        .groupBy("host")
+        .agg(F.min("preferred_host").alias("declared_host"))
+    )
+    return base.join(declared, "host", "left").select(
+        "host",
+        F.coalesce("declared_host", "canonical_host").alias("canonical_host"),
+    )

@@ -731,3 +731,60 @@ def q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges long, n_hosts long, n_reciprocal long, reciprocity double,"
         " max_outdeg long, mean_outdeg double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared mirror election (operators/mirrors.py:
+# mirror_canonical_declared): robots Host directives override the
+# lexicographic mirror heuristic — pair class 0 declares its www
+# partner canonical (beating the heuristic, which would pick the bare
+# host), class 1 declares a FOREIGN host (invalid: heuristic stands),
+# class 2 declares nothing. DuckDB re-runs the precedence.
+# ---------------------------------------------------------------------------
+
+_MC_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'm' || (doc_id % 29) || '.example' AS host_a,
+         'www.m' || (doc_id % 29) || '.example' AS host_b,
+         (doc_id % 29) % 3 AS cls
+  FROM documents
+),
+edges AS (
+  SELECT host_a AS host, host_b AS peer, cls FROM pairs
+  UNION ALL
+  SELECT host_b AS host, host_a AS peer, cls FROM pairs
+),
+base AS (
+  SELECT host, LEAST(host, MIN(peer)) AS heuristic, MIN(cls) AS cls
+  FROM edges GROUP BY host
+)
+SELECT host,
+       CASE WHEN cls = 0 THEN 'www.' || CASE WHEN host LIKE 'www.%'
+                                             THEN substr(host, 5) ELSE host END
+            ELSE heuristic END AS canonical_host
+FROM base ORDER BY host
+"""
+
+
+@_register("mirror_declared_canonical", oracle=_MC_ORACLE)
+def q_mirror_declared_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host election with publisher declarations: valid Host
+    directives (naming a neighborhood member) win, foreign claims are
+    ignored, silence falls back to the lexicographic heuristic."""
+    from crawler_ai_spark.operators.mirrors import mirror_canonical_declared
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 29).alias("n")
+    ).distinct()
+    bare = F.concat(F.lit("m"), F.col("n").cast("string"), F.lit(".example"))
+    www = F.concat(F.lit("www.m"), F.col("n").cast("string"), F.lit(".example"))
+    pairs = docs.select(bare.alias("host_a"), www.alias("host_b"))
+    cls = F.col("n") % 3
+    prefs = docs.select(
+        bare.alias("host"),
+        F.when(cls == 0, www)
+        .when(cls == 1, F.lit("foreign.example"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("preferred_host"),
+    )
+    return mirror_canonical_declared(pairs, prefs).orderBy("host")
