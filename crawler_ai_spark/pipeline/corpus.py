@@ -1117,3 +1117,51 @@ def weighted_sample(
         .where(F.col("pick") <= k)
         .select(id_col, "w", "es_key", F.col("pick").cast("int").alias("pick"))
     )
+
+
+def cut_token_budget(
+    manifest: DataFrame,
+    token_budget: int,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Cut a shuffled training manifest at EXACTLY the token budget: keep
+    the longest prefix of the deterministic shuffle order whose running
+    token total stays <= budget (the last doc that would overflow is
+    excluded; the cut is reproducible because the order is).
+
+    manifest(shard_id, position, ..., n_tokens) — the shuffle_shards
+    layout. TWO-PHASE cumulative sum, no single-partition window:
+    per-shard token totals (a tiny aggregate) turn into per-shard
+    offsets via a running sum over the SHARD table (n_shards rows,
+    broadcast), then each row's global running total = shard offset +
+    within-shard cumsum — the within-shard window is bounded by shard
+    size, which the shuffle sized to fit an executor. Adds
+    running_total; filters to the budget."""
+    from pyspark.sql import Window as W
+
+    shard_tot = (
+        manifest.groupBy("shard_id")
+        .agg(F.sum(tokens_col).alias("_st"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_st").over(
+                    W.orderBy("shard_id").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard_id", "_offset")
+    )
+    w_in = W.partitionBy("shard_id").orderBy("position").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = (
+        manifest.join(F.broadcast(shard_tot), "shard_id")
+        .withColumn(
+            "running_total",
+            (F.col("_offset") + F.sum(tokens_col).over(w_in)).cast("long"),
+        )
+        .drop("_offset")
+    )
+    return out.where(F.col("running_total") <= token_budget)

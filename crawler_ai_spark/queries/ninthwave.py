@@ -788,3 +788,80 @@ def q_mirror_declared_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("preferred_host"),
     )
     return mirror_canonical_declared(pairs, prefs).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget manifest cut (pipeline/corpus.py: cut_token_budget):
+# keep the longest prefix of the deterministic shuffle order totaling
+# <= budget tokens — the final act of a data recipe ("train on the
+# first N tokens of the shuffled corpus"). DuckDB re-derives the
+# shuffle keys, the two-phase running totals and the cut.
+# ---------------------------------------------------------------------------
+
+_CUT_BUDGET = 8000
+
+_CUT_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         END AS n_tokens,
+         md5(doc_id || ':shuffle-v1') AS skey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens, skey,
+         ('0x' || substr(skey, 1, 4))::BIGINT % 8 AS shard_id
+  FROM toksed
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY shard_id ORDER BY skey) AS position
+  FROM sharded
+),
+run AS (
+  SELECT doc_id, shard_id, position, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY shard_id, position) AS running_total
+  FROM pos
+)
+SELECT doc_id, CAST(shard_id AS INT) AS shard_id,
+       CAST(position AS INT) AS position,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(running_total AS BIGINT) AS running_total
+FROM run WHERE running_total <= {_CUT_BUDGET}
+ORDER BY shard_id, position
+"""
+
+
+@_register("corpus_token_budget_cut", oracle=_CUT_ORACLE)
+def q_corpus_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut the shuffled corpus at an 8k-token budget: two-phase running
+    totals (per-shard offsets broadcast + bounded within-shard
+    cumsum), no single-partition window."""
+    from crawler_ai_spark.pipeline.corpus import _toks, cut_token_budget
+    from crawler_ai_spark.pipeline.textstats import norm_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.when(F.length(norm_text(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(_toks(F.col("text")))
+    )
+    skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-v1")))
+    sharded = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        skey.alias("skey"),
+        (F.conv(F.substring(skey, 1, 4), 16, 10).cast("long") % 8)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    from pyspark.sql import Window as W
+
+    pos = sharded.withColumn(
+        "position",
+        F.row_number().over(W.partitionBy("shard_id").orderBy("skey")).cast("int"),
+    ).drop("skey")
+    return (
+        cut_token_budget(pos, _CUT_BUDGET)
+        .select("doc_id", "shard_id", "position", "n_tokens", "running_total")
+        .orderBy("shard_id", "position")
+    )
