@@ -158,3 +158,58 @@ def host_latency_percentiles(
         ).select("host", F.col("fetch_ms").alias(col))
         out = out.join(tgt, "host")
     return out
+
+
+def size_anomalies(
+    fetches: DataFrame,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-host response-size outliers: modified z-score over the
+    median absolute deviation (|x - median| / MAD, scaled 0.6745 — the
+    Iglewicz-Hoaglin rule). Catches what averages hide: a host whose
+    pages run ~40 KB serving a 300-byte "OK" error page (soft-404's
+    size-side complement) or a 10 MB tarpit response. Median and MAD are
+    EXACT rank statistics (lower-median of the sorted multiset — same
+    convention both engines), so flags are deterministic.
+
+    fetches(host, url, n_bytes) -> per-fetch rows + (host_median,
+    host_mad, mod_z rounded 6, anomalous). Hosts with MAD = 0 (all
+    sizes identical) flag only exact deviants (mod_z = infinity is
+    expressed as the `anomalous` bool; mod_z NULL there)."""
+    w = Window.partitionBy("host").orderBy(F.col("n_bytes").asc(), F.col("url").asc())
+    n = Window.partitionBy("host")
+    ranked = fetches.select("host", "url", "n_bytes").withColumn(
+        "_rk", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(n))
+    med = ranked.where(
+        F.col("_rk") == F.ceil(F.col("_n") / 2)  # lower median
+    ).select("host", F.col("n_bytes").alias("host_median"))
+    dev = fetches.join(med, "host").withColumn(
+        "_adev", F.abs(F.col("n_bytes") - F.col("host_median"))
+    )
+    wd = Window.partitionBy("host").orderBy(F.col("_adev").asc(), F.col("url").asc())
+    dd = dev.withColumn("_dk", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(n)
+    )
+    mad = dd.where(F.col("_dk") == F.ceil(F.col("_n") / 2)).select(
+        "host", F.col("_adev").alias("host_mad")
+    )
+    out = dev.join(mad, "host").select(
+        "host",
+        "url",
+        "n_bytes",
+        "host_median",
+        "host_mad",
+        F.when(
+            F.col("host_mad") > 0,
+            F.round(
+                F.lit(0.6745) * F.col("_adev") / F.col("host_mad"), 6
+            ),
+        ).alias("mod_z"),
+    )
+    return out.withColumn(
+        "anomalous",
+        F.when(F.col("host_mad") > 0, F.col("mod_z") > threshold).otherwise(
+            F.col("n_bytes") != F.col("host_median")
+        ),
+    )

@@ -865,3 +865,80 @@ def q_corpus_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard_id", "position", "n_tokens", "running_total")
         .orderBy("shard_id", "position")
     )
+
+
+# ---------------------------------------------------------------------------
+# Response-size anomaly flags (operators/autothrottle.py:
+# size_anomalies): Iglewicz-Hoaglin modified z-score over exact
+# rank-based median/MAD — the size-side complement to the soft-404
+# content gate. Synth sizes cluster per host with planted error-page
+# and tarpit outliers plus one ZERO-MAD host; DuckDB recomputes the
+# lower-medians, MAD and flags.
+# ---------------------------------------------------------------------------
+
+_SZ_ORACLE = """
+WITH f AS (
+  SELECT 'sz' || (doc_id % 5) || '.example' AS host,
+         'https://sz' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+         CAST(CASE WHEN doc_id % 5 = 4 THEN 5000
+                   WHEN doc_id % 37 = 0 THEN 300
+                   WHEN doc_id % 41 = 0 THEN 9000000
+                   ELSE 40000 + (doc_id % 7) * 100 END AS BIGINT) AS n_bytes
+  FROM documents
+),
+med AS (
+  SELECT host, n_bytes AS host_median FROM (
+    SELECT host, n_bytes,
+           row_number() OVER (PARTITION BY host ORDER BY n_bytes, url) AS rk,
+           count(*) OVER (PARTITION BY host) AS n
+    FROM f) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT f.host, f.url, f.n_bytes, m.host_median,
+         abs(f.n_bytes - m.host_median) AS adev
+  FROM f JOIN med m ON f.host = m.host
+),
+mad AS (
+  SELECT host, adev AS host_mad FROM (
+    SELECT host, adev, url,
+           row_number() OVER (PARTITION BY host ORDER BY adev, url) AS dk,
+           count(*) OVER (PARTITION BY host) AS n
+    FROM dev) WHERE dk = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.host, d.url, d.n_bytes,
+       CAST(d.host_median AS BIGINT) AS host_median,
+       CAST(m.host_mad AS BIGINT) AS host_mad,
+       CASE WHEN m.host_mad > 0
+            THEN round(0.6745 * d.adev / m.host_mad, 6) END AS mod_z,
+       CASE WHEN m.host_mad > 0
+            THEN round(0.6745 * d.adev / m.host_mad, 6) > 3.5
+            ELSE d.n_bytes != d.host_median END AS anomalous
+FROM dev d JOIN mad m ON d.host = m.host
+ORDER BY d.url
+"""
+
+
+@_register("fetch_size_anomalies", oracle=_SZ_ORACLE)
+def q_fetch_size_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fetch size anomaly flags via exact median/MAD modified
+    z-scores — deterministic rank statistics, two bounded windows."""
+    from crawler_ai_spark.operators.autothrottle import size_anomalies
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    fetches = docs.select(
+        F.concat(F.lit("sz"), (d % 5).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://sz"), (d % 5).cast("string"), F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.when(d % 5 == 4, 5000)
+        .when(d % 37 == 0, 300)
+        .when(d % 41 == 0, 9000000)
+        .otherwise(40000 + (d % 7) * 100)
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    return size_anomalies(fetches).orderBy("url")
