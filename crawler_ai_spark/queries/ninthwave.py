@@ -942,3 +942,62 @@ def q_fetch_size_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bytes"),
     )
     return size_anomalies(fetches).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# Power-law tail exponent of the in-degree distribution — the Hill
+# estimator alpha = 1 + n / sum(ln(d_i / d_min)) over degrees >= d_min:
+# the classic scale-free-web diagnostic (alpha ~ 2.1 for real web
+# in-degrees; a link farm's synthetic graph deviates). Deterministic:
+# the ln-sum folds in (degree, host)-sorted order and rounds 6 dp.
+# ---------------------------------------------------------------------------
+
+_HILL_DMIN = 2
+
+_HILL_ORACLE = f"""
+WITH hosts AS (SELECT range AS host FROM range(37)),
+synth AS (
+  SELECT DISTINCT doc_id % 37 AS src, (doc_id // 37) % 37 AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % 37) != ((doc_id // 37) % 37)),
+ring AS (SELECT host AS src, (host + 1) % 37 AS dst FROM hosts),
+e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+deg AS (SELECT dst AS host, count(*) AS d FROM e GROUP BY dst),
+tail AS (SELECT host, d FROM deg WHERE d >= {_HILL_DMIN})
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_hosts_linked,
+       CAST((SELECT count(*) FROM tail) AS BIGINT) AS n_tail,
+       round({1.0:.17e} + (SELECT count(*) FROM tail)
+             / (SELECT list_reduce(
+                    list_prepend({0.0:.17e},
+                                 list(ln(CAST(d AS DOUBLE) / {float(_HILL_DMIN):.17e})
+                                      ORDER BY d, host)),
+                    (a, v) -> a + v) FROM tail), 6) AS alpha
+"""
+
+
+@_register("host_indegree_powerlaw", oracle=_HILL_ORACLE)
+def q_host_indegree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-exponent estimate over host in-degrees: one degree
+    aggregation + one sorted ln-fold."""
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "dst", "host"
+    )
+    tail = deg.where(F.col("d") >= _HILL_DMIN)
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(d, host))),"
+            f" cast(0.0 as double),"
+            f" (acc, x) -> acc + ln(cast(x.d as double) / {float(_HILL_DMIN)!r}))"
+        ).alias("lnsum"),
+    )
+    n_linked = deg.count()
+    return agg.select(
+        F.lit(n_linked).cast("long").alias("n_hosts_linked"),
+        "n_tail",
+        F.round(F.lit(1.0) + F.col("n_tail") / F.col("lnsum"), 6).alias("alpha"),
+    )
