@@ -224,3 +224,87 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"), "weight")
     )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, float],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F (Robertson/Zaragoza's simple variant) — the production
+    retrieval default: a term hit in the TITLE is worth more than one in
+    the body. Field term frequencies are length-normalized per field,
+    weighted, and POOLED before the single saturation:
+
+        tf~(t, d) = sum_f w_f * tf_f / (1 - b + b * dl_f / avgdl_f)
+        score(d)  = sum_t idf(t) * tf~ / (k1 + tf~)
+
+    (pooling before saturation is what makes BM25F different from — and
+    better than — a weighted sum of per-field BM25 scores: a term
+    matching in every field saturates once, not once per field).
+    ``fields`` maps column name -> weight. idf counts a document once no
+    matter which fields match. Deterministic: rounded scores, doc-id
+    ties. Same shuffle shape as bm25_topk, once per field."""
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    per_field = []
+    for fcol, w in sorted(fields.items()):
+        p = postings(docs, fcol, id_col).join(F.broadcast(qt), "term")
+        dl = doc_lengths(docs, fcol, id_col).withColumnRenamed("dl", "dl_f")
+        avg = dl.agg(F.avg("dl_f").alias("avgdl_f"))
+        pf = (
+            p.join(dl, id_col)
+            .crossJoin(F.broadcast(avg))
+            .select(
+                id_col,
+                "term",
+                (
+                    F.lit(float(w))
+                    * F.col("tf").cast("double")
+                    / (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl_f") / F.col("avgdl_f")
+                    )
+                ).alias("wtf"),
+                F.lit(fcol).alias("_field"),
+            )
+        )
+        per_field.append(pf)
+    pooled = per_field[0]
+    for pf in per_field[1:]:
+        pooled = pooled.unionByName(pf)
+    # deterministic pooled tf~: fold per (doc, term) in field order
+    tft = pooled.groupBy(id_col, "term").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(_field, wtf))),"
+            " cast(0.0 as double), (acc, x) -> acc + x.wtf)"
+        ).alias("tft")
+    )
+    df_t = tft.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = tft.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(n_docs))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * F.col("tft") / (F.lit(k1) + F.col("tft"))
+    return (
+        scored.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(term, _c))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x._c)"
+                ),
+                6,
+            ).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1001,3 +1001,99 @@ def q_host_indegree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tail",
         F.round(F.lit(1.0) + F.col("n_tail") / F.col("lnsum"), 6).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25F field-weighted retrieval (pipeline/retrieval.py: bm25f_topk):
+# title hits outweigh body hits via pooled, per-field-normalized term
+# frequencies saturated ONCE (the Robertson/Zaragoza construction).
+# Synth titles = 'guide' + the doc's first 3 body tokens at weight 3 vs
+# body weight 1; the query includes 'guide' (title-only) and two body
+# terms. DuckDB rebuilds both field indexes, the pooled tf~, idf and
+# the saturated fold.
+# ---------------------------------------------------------------------------
+
+_BM25F_TERMS = ("guide", "spark", "window")
+_BM25F_K1, _BM25F_B = 1.2, 0.75
+_BM25F_WT, _BM25F_WB = 3.0, 1.0
+
+_BM25F_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS btoks
+  FROM documents WHERE text IS NOT NULL
+),
+fields AS (
+  SELECT doc_id, btoks,
+         list_prepend('guide', btoks[1:3]) AS ttoks
+  FROM toksed
+),
+q AS (SELECT unnest({list(_BM25F_TERMS)!r}) AS term),
+bpost AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(btoks) AS term FROM fields)
+  JOIN q USING (term) GROUP BY doc_id, term),
+tpost AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ttoks) AS term FROM fields)
+  JOIN q USING (term) GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, len(btoks) AS dl FROM fields),
+tdl AS (SELECT doc_id, len(ttoks) AS dl FROM fields),
+bavg AS (SELECT avg(dl) AS avgdl FROM bdl),
+tavg AS (SELECT avg(dl) AS avgdl FROM tdl),
+bw AS (
+  SELECT p.doc_id, p.term,
+         {_BM25F_WB:.17e} * CAST(p.tf AS DOUBLE)
+           / ({1.0 - _BM25F_B:.17e} + {_BM25F_B:.17e} * d.dl / a.avgdl) AS wtf
+  FROM bpost p JOIN bdl d USING (doc_id), bavg a),
+tw AS (
+  SELECT p.doc_id, p.term,
+         {_BM25F_WT:.17e} * CAST(p.tf AS DOUBLE)
+           / ({1.0 - _BM25F_B:.17e} + {_BM25F_B:.17e} * d.dl / a.avgdl) AS wtf
+  FROM tpost p JOIN tdl d USING (doc_id), tavg a),
+tft AS (
+  SELECT COALESCE(bw.doc_id, tw.doc_id) AS doc_id,
+         COALESCE(bw.term, tw.term) AS term,
+         {0.0:.17e} + COALESCE(bw.wtf, {0.0:.17e}) + COALESCE(tw.wtf, {0.0:.17e})
+           AS tft
+  FROM bw FULL OUTER JOIN tw ON bw.doc_id = tw.doc_id AND bw.term = tw.term),
+dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id,
+       round(list_reduce(
+         list_prepend({0.0:.17e},
+           list(ln({1.0:.17e} + (nd.n_docs - dft.df + {0.5:.17e}) / (dft.df + {0.5:.17e}))
+                * tft.tft / ({_BM25F_K1:.17e} + tft.tft)
+                ORDER BY tft.term)),
+         (a, v) -> a + v), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM tft JOIN dft USING (term), nd
+GROUP BY doc_id, nd.n_docs
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@_register("bm25f_topk", oracle=_BM25F_ORACLE)
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted retrieval over (title x3, body x1): pooled
+    per-field-normalized tf saturated once per term."""
+    from crawler_ai_spark.pipeline.retrieval import _clean_tokens, bm25f_topk
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    btoks = _clean_tokens(F.col("text"))
+    docs2 = docs.select(
+        "doc_id",
+        "text",
+        F.array_join(
+            F.concat(F.array(F.lit("guide")), F.slice(btoks, 1, 3)), " "
+        ).alias("title"),
+    )
+    return bm25f_topk(
+        docs2,
+        list(_BM25F_TERMS),
+        fields={"title": _BM25F_WT, "text": _BM25F_WB},
+        k=20,
+        k1=_BM25F_K1,
+        b=_BM25F_B,
+    ).orderBy(F.desc("score"), "doc_id")
