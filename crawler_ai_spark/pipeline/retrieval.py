@@ -308,3 +308,49 @@ def bm25f_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher SIGIR'09) — the
+    hybrid-search standard for combining heterogeneous rankings (BM25 ×
+    embedding × anything) without score calibration:
+
+        rrf(d) = sum_i 1 / (k + rank_i(d))
+
+    Each input needs (id_col, rank); documents absent from a ranking
+    simply contribute nothing. Deterministic: the per-doc fold sums in
+    ranking-index order, scores round 9 dp, ties break by id. Inputs are
+    top-N lists (small) — unions and one id-keyed aggregation."""
+    tagged = []
+    for i, r in enumerate(rankings):
+        tagged.append(
+            r.select(
+                id_col,
+                F.lit(i).alias("_ri"),
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
+            )
+        )
+    all_ = tagged[0]
+    for t in tagged[1:]:
+        all_ = all_.unionByName(t)
+    fused = all_.groupBy(id_col).agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(_ri, _c))),"
+                " cast(0.0 as double), (acc, x) -> acc + x._c)"
+            ),
+            9,
+        ).alias("rrf_score"),
+        F.count("*").alias("n_rankings"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= top)
+        .select(id_col, "fused_rank", "rrf_score", F.col("n_rankings").cast("long").alias("n_rankings"))
+    )

@@ -1097,3 +1097,99 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25F_K1,
         b=_BM25F_B,
     ).orderBy(F.desc("score"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (pipeline/retrieval.py: rrf_fuse): hybrid
+# search — fuse a BM25 lexical ranking with an embedding ranking, no
+# score calibration. Lexical side = bm25 over documents for fixed
+# terms; vector side = cosine ranks for query vec 0 mapped onto doc ids
+# (vec_id shares the id space at this SF). DuckDB rebuilds both
+# rankings and the fused fold.
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("spark", "window", "join")
+
+def _rrf_oracle() -> str:
+    from crawler_ai_spark.queries.embeddings import _COS_SQL
+    from crawler_ai_spark.queries.seventhwave import _BM25_ORACLE  # noqa: F401
+
+    return f"""
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM toksed),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toksed),
+post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+q AS (SELECT unnest({list(_RRF_TERMS)!r}) AS term),
+m AS (SELECT p.doc_id, p.term, p.tf FROM post p JOIN q USING (term)),
+dft AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT m.doc_id,
+           round(sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * CAST(tf AS DOUBLE) * 2.2
+             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY m.doc_id ORDER BY score DESC, m.doc_id LIMIT 20)
+),
+vec AS (
+  SELECT neighbor_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) a,
+         embeddings b
+    ORDER BY cosine DESC, neighbor_id LIMIT 20)
+),
+uni AS (
+  SELECT doc_id, 0 AS ri, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1 AS ri, 1.0 / (60.0 + rank) AS c FROM vec
+),
+fused AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend({0.0:.17e}, list(c ORDER BY ri)),
+                           (a, v) -> a + v), 9) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_rankings
+  FROM uni GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank,
+       rrf_score, n_rankings
+FROM fused
+QUALIFY fused_rank <= 20
+ORDER BY fused_rank
+"""
+
+
+@_register("hybrid_rrf_topk", oracle=_rrf_oracle())
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with the cosine top-20 of
+    query vector 0 by reciprocal rank — no score calibration needed."""
+    from crawler_ai_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+    from crawler_ai_spark.pipeline.similarity import cosine_topk
+
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, list(_RRF_TERMS), k=20)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = lex.withColumn("rank", F.row_number().over(w)).select("doc_id", "rank")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = (
+        cosine_topk(queries, emb, k=20, q_id="query_id")
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, vec], k=60, top=20).orderBy("fused_rank")
