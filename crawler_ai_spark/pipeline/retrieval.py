@@ -354,3 +354,65 @@ def rrf_fuse(
         .where(F.col("fused_rank") <= top)
         .select(id_col, "fused_rank", "rrf_score", F.col("n_rankings").cast("long").alias("n_rankings"))
     )
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation at corpus scale: nDCG@k per query.
+    runs(query_id, doc_id, rank), qrels(query_id, doc_id, rel graded
+    gain >= 0). DCG = sum gain_i / log2(rank_i + 1) over the top k;
+    ideal DCG re-ranks the query's qrels by gain (ties by doc_id); the
+    quotient is 1.0 for a perfect ranking. Queries with no positive
+    qrels return NULL (undefined, not zero). Folds are rank-sorted,
+    scores round 6 dp — deterministic in any engine. Shapes: two
+    query-keyed aggregations over top-k-bounded rows."""
+    gained = (
+        runs.where(F.col("rank") <= k)
+        .join(qrels, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            (
+                F.coalesce(F.col("rel"), F.lit(0.0))
+                / F.log2(F.col("rank") + F.lit(1.0))
+            ).alias("_g"),
+        )
+    )
+    dcg = gained.groupBy("query_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rank, _g))),"
+            " cast(0.0 as double), (acc, x) -> acc + x._g)"
+        ).alias("dcg")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col("doc_id"))
+    ideal = (
+        qrels.where(F.col("rel") > 0)
+        .withColumn("irank", F.row_number().over(w))
+        .where(F.col("irank") <= k)
+        .select(
+            "query_id",
+            "irank",
+            (F.col("rel") / F.log2(F.col("irank") + F.lit(1.0))).alias("_g"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(irank, _g))),"
+                " cast(0.0 as double), (acc, x) -> acc + x._g)"
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+            ).alias("ndcg"),
+        )
+    )

@@ -1193,3 +1193,82 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex, vec], k=60, top=20).orderBy("fused_rank")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 (pipeline/retrieval.py: ndcg_at_k): ranking-quality
+# evaluation — DCG over the produced ranking vs the ideal gain-sorted
+# ranking. Synth runs: 7 queries whose rankings interleave relevant and
+# irrelevant docs deterministically; one query has NO positive qrels
+# (nDCG undefined -> NULL). DuckDB recomputes both folds.
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH runs AS (
+  SELECT doc_id % 7 AS query_id, doc_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS INT)
+           AS rank
+  FROM documents
+),
+qrels AS (
+  SELECT doc_id % 7 AS query_id, doc_id,
+         CASE WHEN doc_id % 7 = 6 THEN 0.0
+              WHEN doc_id % 3 = 0 THEN 2.0
+              WHEN doc_id % 5 = 0 THEN 1.0
+              ELSE 0.0 END AS rel
+  FROM documents
+),
+gained AS (
+  SELECT r.query_id, r.rank,
+         COALESCE(q.rel, 0.0) / log2(r.rank + 1.0) AS g
+  FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)
+  WHERE r.rank <= 10
+),
+dcg AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0, list(g ORDER BY rank)), (a, v) -> a + v)
+           AS dcg
+  FROM gained GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0, list(rel / log2(irank + 1.0) ORDER BY irank)),
+                     (a, v) -> a + v) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id)
+             AS irank
+    FROM qrels WHERE rel > 0)
+  WHERE irank <= 10 GROUP BY query_id
+)
+SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
+FROM dcg d LEFT JOIN ideal i USING (query_id)
+ORDER BY d.query_id
+"""
+
+
+@_register("retrieval_ndcg", oracle=_NDCG_ORACLE)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per query over synthesized runs/qrels — the evaluation
+    loop a retrieval stack at scale needs next to its indexes."""
+    from pyspark.sql import Window
+
+    from crawler_ai_spark.pipeline.retrieval import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = Window.partitionBy((d % 7)).orderBy("doc_id")
+    runs = docs.select(
+        (d % 7).alias("query_id"), "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    qrels = docs.select(
+        (d % 7).alias("query_id"), "doc_id",
+        F.when(d % 7 == 6, 0.0)
+        .when(d % 3 == 0, 2.0)
+        .when(d % 5 == 0, 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(runs, qrels, k=10).orderBy("query_id")
