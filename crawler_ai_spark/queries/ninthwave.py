@@ -1272,3 +1272,76 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
     )
     return ndcg_at_k(runs, qrels, k=10).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): the Pearson correlation of
+# out-degrees across edge endpoints — organic webs are DISassortative
+# (hubs link to leaves, r < 0), link farms assort (r ~ 1). Exact
+# integer sums (degrees are ints, moments are integer sums folded
+# (src,dst)-sorted) with one final rounded division.
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH hosts AS (SELECT range AS host FROM range(37)),
+synth AS (
+  SELECT DISTINCT doc_id % 37 AS src, (doc_id // 37) % 37 AS dst
+  FROM documents
+  WHERE ((doc_id * 1103515245 + 12345) % 101) < 29
+    AND (doc_id % 37) != ((doc_id // 37) % 37)),
+ring AS (SELECT host AS src, (host + 1) % 37 AS dst FROM hosts),
+e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM synth UNION ALL SELECT * FROM ring)),
+deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+pairs AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM e JOIN deg ds ON e.src = ds.v JOIN deg dd ON e.dst = dd.v),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pairs)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       round((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+         AS assortativity
+FROM mom
+"""
+
+
+@_register("host_assortativity", oracle=_ASSORT_ORACLE)
+def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree assortativity over edges both of whose endpoints have
+    out-degree (the ring guarantees all do): integer moment sums, one
+    rounded Pearson quotient."""
+    from crawler_ai_spark.queries.crawl import synth_host_edges
+
+    edges, hosts = synth_host_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "src", "v"
+    )
+    pairs = (
+        edges.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "x"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "y"), "dst")
+        .select("x", "y")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return mom.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
