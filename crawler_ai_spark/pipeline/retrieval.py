@@ -416,3 +416,57 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def mrr_map_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The other two standard ranking metrics next to nDCG: per query,
+    the reciprocal rank of the FIRST relevant hit (MRR's per-query term)
+    and average precision at k (MAP's). Binary relevance: rel > 0.
+    Queries with no relevant doc in the top k score 0 for both (the
+    trec_eval convention). Rank-sorted folds, 6-dp rounding."""
+    hits = (
+        runs.where(F.col("rank") <= k)
+        .join(qrels.where(F.col("rel") > 0), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.col("rel").isNotNull().cast("int").alias("is_rel"),
+        )
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rank, is_rel))),"
+            " struct(cast(0.0 as double) as rr, cast(0.0 as double) as psum,"
+            "        cast(0 as int) as nrel, cast(0 as int) as seen),"
+            " (acc, x) -> struct("
+            "   CASE WHEN acc.nrel = 0 AND x.is_rel = 1"
+            "        THEN cast(1.0 as double) / x.rank ELSE acc.rr END as rr,"
+            "   acc.psum + CASE WHEN x.is_rel = 1"
+            "        THEN cast(acc.nrel + 1 as double) / x.rank"
+            "        ELSE cast(0.0 as double) END as psum,"
+            "   acc.nrel + x.is_rel as nrel,"
+            "   acc.seen + 1 as seen))"
+        ).alias("s")
+    )
+    n_rel = qrels.where(F.col("rel") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.col("s.rr"), 6).alias("mrr"),
+            F.round(
+                F.when(
+                    F.coalesce("n_rel_total", F.lit(0)) > 0,
+                    F.col("s.psum")
+                    / F.least(F.lit(k), F.col("n_rel_total")).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ap"),
+        )
+    )

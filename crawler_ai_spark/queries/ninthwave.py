@@ -1345,3 +1345,88 @@ def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR + MAP@10 (pipeline/retrieval.py: mrr_map_at_k): same runs/qrels
+# shape as retrieval_ndcg — together the standard evaluation trio.
+# The per-query fold carries (first-hit reciprocal, precision sum,
+# hits-so-far) through the rank-sorted stream; DuckDB re-runs the
+# identical stateful fold.
+# ---------------------------------------------------------------------------
+
+_MRR_ORACLE = """
+WITH runs AS (
+  SELECT doc_id % 7 AS query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS INT)
+           AS rank
+  FROM documents
+),
+qrels AS (
+  SELECT doc_id % 7 AS query_id, doc_id,
+         CASE WHEN doc_id % 7 = 6 THEN 0.0
+              WHEN doc_id % 3 = 0 THEN 2.0
+              WHEN doc_id % 5 = 0 THEN 1.0
+              ELSE 0.0 END AS rel
+  FROM documents
+),
+hits AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM runs r
+  LEFT JOIN (SELECT query_id, doc_id, rel FROM qrels WHERE rel > 0) q
+    USING (query_id, doc_id)
+  WHERE r.rank <= 10
+),
+folded AS (
+  SELECT query_id,
+         list_reduce(
+           list_prepend({'rr': 0.0, 'psum': 0.0, 'nrel': 0},
+             list({'rr': CAST(NULL AS DOUBLE), 'psum': CAST(is_rel AS DOUBLE),
+                   'nrel': rank} ORDER BY rank)),
+           (acc, x) -> {
+             'rr': CASE WHEN acc.nrel = 0 AND x.psum = 1.0
+                        THEN 1.0 / x.nrel ELSE acc.rr END,
+             'psum': acc.psum + CASE WHEN x.psum = 1.0
+                        THEN CAST(acc.nrel + 1 AS DOUBLE) / x.nrel ELSE 0.0 END,
+             'nrel': acc.nrel + CAST(x.psum AS INT)
+           }) AS s
+  FROM hits GROUP BY query_id
+),
+nrel AS (
+  SELECT query_id, count(*) AS n_rel_total FROM qrels WHERE rel > 0 GROUP BY query_id
+)
+SELECT f.query_id,
+       round(COALESCE(f.s.rr, 0.0), 6) AS mrr,
+       round(CASE WHEN COALESCE(n.n_rel_total, 0) > 0
+                  THEN f.s.psum / LEAST(10, n.n_rel_total)
+                  ELSE 0.0 END, 6) AS ap
+FROM folded f LEFT JOIN nrel n USING (query_id)
+ORDER BY f.query_id
+"""
+
+
+@_register("retrieval_mrr_map", oracle=_MRR_ORACLE)
+def q_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 per query over the same synthesized runs/qrels as
+    retrieval_ndcg — one rank-sorted stateful fold per query."""
+    from pyspark.sql import Window
+
+    from crawler_ai_spark.pipeline.retrieval import mrr_map_at_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = Window.partitionBy((d % 7)).orderBy("doc_id")
+    runs = docs.select(
+        (d % 7).alias("query_id"), "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    qrels = docs.select(
+        (d % 7).alias("query_id"), "doc_id",
+        F.when(d % 7 == 6, 0.0)
+        .when(d % 3 == 0, 2.0)
+        .when(d % 5 == 0, 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+    return mrr_map_at_k(runs, qrels, k=10).orderBy("query_id")
