@@ -1430,3 +1430,69 @@ def q_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
     )
     return mrr_map_at_k(runs, qrels, k=10).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio + hapax share): the curation
+# signal quality scores miss — keyword-stuffed spam repeats a tiny
+# vocabulary (low TTR), template boilerplate has few hapaxes. Pure
+# row-local array arithmetic; exact integer ratios.
+# ---------------------------------------------------------------------------
+
+_LEX_ORACLE = """
+WITH toksed AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+         END AS toks
+  FROM documents
+),
+per AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         len(list_filter(list_distinct(toks),
+             t -> len(list_filter(toks, u -> u = t)) = 1)) AS n_hapax
+  FROM toksed
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr,
+       CASE WHEN n_types > 0 THEN CAST(n_hapax AS DOUBLE) / n_types END AS hapax_share
+FROM per ORDER BY doc_id
+"""
+
+
+@_register("doc_lexical_diversity", oracle=_LEX_ORACLE)
+def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax share per doc — zero shuffle, exact
+    integer ratios (keyword stuffing scores low TTR, templates few
+    hapaxes)."""
+    from crawler_ai_spark.pipeline.corpus import _toks
+    from crawler_ai_spark.pipeline.textstats import norm_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.when(
+        F.length(norm_text(F.col("text"))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(_toks(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    types = F.array_distinct("toks")
+    n_types = F.size(types)
+    n_hapax = F.size(
+        F.filter(
+            types,
+            lambda t: F.size(F.filter(F.col("toks"), lambda u: u == t)) == 1,
+        )
+    )
+    return base.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        n_hapax.cast("long").alias("n_hapax"),
+        F.when(n_tokens > 0, n_types.cast("double") / n_tokens).alias("ttr"),
+        F.when(n_types > 0, n_hapax.cast("double") / n_types).alias("hapax_share"),
+    ).orderBy("doc_id")
