@@ -1496,3 +1496,64 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_tokens > 0, n_types.cast("double") / n_tokens).alias("ttr"),
         F.when(n_types > 0, n_hapax.cast("double") / n_types).alias("hapax_share"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail exponent over the corpus term-frequency distribution —
+# the Hill estimator again, on the text side: natural corpora sit near
+# alpha ~ 2 (Zipf s ~ 1); machine-generated/boilerplate-heavy corpora
+# deviate. One vocabulary-grain count shuffle + one sorted ln-fold.
+# ---------------------------------------------------------------------------
+
+_ZIPF_FMIN = 3
+
+_ZIPF_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT term, count(*) AS f
+  FROM (SELECT unnest(toks) AS term FROM toksed) GROUP BY term
+),
+tail AS (SELECT term, f FROM tf WHERE f >= {_ZIPF_FMIN})
+SELECT CAST((SELECT count(*) FROM tf) AS BIGINT) AS vocab,
+       CAST((SELECT count(*) FROM tail) AS BIGINT) AS n_tail,
+       round({1.0:.17e} + (SELECT count(*) FROM tail)
+             / (SELECT list_reduce(
+                    list_prepend({0.0:.17e},
+                        list(ln(CAST(f AS DOUBLE) / {float(_ZIPF_FMIN):.17e})
+                             ORDER BY f, term)),
+                    (a, v) -> a + v) FROM tail), 6) AS alpha
+"""
+
+
+@_register("corpus_zipf_alpha", oracle=_ZIPF_ORACLE)
+def q_corpus_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail exponent of the term-frequency distribution: vocab
+    size, tail size at f >= 3, and alpha."""
+    from crawler_ai_spark.pipeline.retrieval import _clean_tokens
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    tf = (
+        docs.select(F.explode(_clean_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = tf.count()
+    tail = tf.where(F.col("f") >= _ZIPF_FMIN)
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(f, term))),"
+            f" cast(0.0 as double),"
+            f" (acc, x) -> acc + ln(cast(x.f as double) / {float(_ZIPF_FMIN)!r}))"
+        ).alias("lnsum"),
+    )
+    return agg.select(
+        F.lit(vocab).cast("long").alias("vocab"),
+        "n_tail",
+        F.round(F.lit(1.0) + F.col("n_tail") / F.col("lnsum"), 6).alias("alpha"),
+    )
