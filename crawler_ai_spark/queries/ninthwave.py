@@ -1557,3 +1557,84 @@ def q_corpus_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tail",
         F.round(F.lit(1.0) + F.col("n_tail") / F.col("lnsum"), 6).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V = K * N^beta, estimated by
+# ordinary least squares on (ln N, ln V) per-source points (each
+# source contributes its token count and distinct-type count). Natural
+# text sits near beta ~ 0.5; templated corpora flatten. Completes the
+# corpus-law trio next to Zipf alpha and the degree power law. Sorted
+# folds over the 20 source points; slope/intercept rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH toksed AS (
+  SELECT source,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ntok AS (SELECT source, CAST(sum(len(toks)) AS DOUBLE) AS n FROM toksed GROUP BY source),
+vtyp AS (
+  SELECT source, CAST(count(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT source, unnest(toks) AS term FROM toksed) GROUP BY source
+),
+per AS (SELECT ntok.source, ntok.n, vtyp.v FROM ntok JOIN vtyp USING (source)),
+pts AS (SELECT source, ln(n) AS x, ln(v) AS y FROM per WHERE n > 0),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         list_reduce(list_prepend(0.0, list(x ORDER BY source)), (a,b) -> a+b) AS sx,
+         list_reduce(list_prepend(0.0, list(y ORDER BY source)), (a,b) -> a+b) AS sy,
+         list_reduce(list_prepend(0.0, list(x*y ORDER BY source)), (a,b) -> a+b) AS sxy,
+         list_reduce(list_prepend(0.0, list(x*x ORDER BY source)), (a,b) -> a+b) AS sxx
+  FROM pts)
+SELECT CAST(m AS BIGINT) AS n_points,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+       round(exp((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m), 6)
+         AS k_coef
+FROM mom
+"""
+
+
+@_register("corpus_heaps_law", oracle=_HEAPS_ORACLE)
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law OLS over per-source (tokens, types) points: beta and
+    K. One token-grain distinct aggregation per source + a 20-point
+    sorted-fold regression."""
+    from crawler_ai_spark.pipeline.retrieval import _clean_tokens
+
+    docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
+    ex = docs.select("source", F.explode(_clean_tokens(F.col("text"))).alias("term"))
+    per = ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("term").cast("double").alias("v"),
+    )
+    pts = per.where(F.col("n") > 0).select(
+        "source", F.log("n").alias("x"), F.log("v").alias("y")
+    )
+    fold = lambda e: F.expr(  # noqa: E731
+        f"aggregate(array_sort(collect_list(struct(source, {e}))),"
+        f" cast(0.0 as double), (acc, t) -> acc + t.{e})"
+    )
+    mom = pts.select(
+        "source", "x", "y",
+        (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("m").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("m")), 6).alias(
+            "k_coef"
+        ),
+    )
