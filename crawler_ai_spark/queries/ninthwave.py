@@ -1638,3 +1638,65 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_coef"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the per-host fetch allocation — scheduler
+# fairness in one number: 0 = every host got equal fetches, -> 1 = one
+# host took everything (exactly what politeness budgets exist to
+# prevent; a rising Gini flags budget-starvation regressions). Exact:
+# G = 2*sum(i * x_(i)) / (n * sum x) - (n + 1)/n over rank-sorted
+# integer counts — a sorted fold, one rounded division.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH alloc AS (
+  SELECT 'g' || (doc_id % 13) || '.example' AS host, count(*) AS fetches
+  FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS doc_id
+        FROM documents)
+  GROUP BY host
+),
+ranked AS (
+  SELECT fetches,
+         row_number() OVER (ORDER BY fetches, host) AS i,
+         count(*) OVER () AS n,
+         sum(fetches) OVER () AS tot
+  FROM alloc
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_hosts,
+       CAST(MAX(tot) AS BIGINT) AS total_fetches,
+       round(2.0 * sum(CAST(i AS DOUBLE) * fetches) / (MAX(n) * MAX(tot))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked
+"""
+
+
+@_register("crawl_allocation_gini", oracle=_GINI_ORACLE)
+def q_crawl_allocation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness of the fetch allocation across hosts (synth allocation
+    with a deliberately hot host): exact rank-weighted Gini."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    skewed = docs.select(
+        F.when(d % 3 == 0, F.lit(0)).otherwise(d % 13).alias("hslot")
+    )
+    alloc = skewed.select(
+        F.concat(F.lit("g"), F.col("hslot").cast("string"), F.lit(".example")).alias(
+            "host"
+        )
+    ).groupBy("host").agg(F.count(F.lit(1)).alias("fetches"))
+    w = Window.orderBy(F.col("fetches").asc(), F.col("host").asc())
+    ranked = alloc.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("fetches").cast("long").alias("total_fetches"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("double") * F.col("fetches"))
+            / (F.count(F.lit(1)) * F.sum("fetches"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
