@@ -1700,3 +1700,80 @@ def q_crawl_allocation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL structure histogram: path-depth x has-query distribution over a
+# synthesized frontier — the crawl-shape diagnostic (a depth
+# distribution with a fat deep tail means trap subspaces; a high
+# query-string share means parameter churn for the DUST/Clean-param
+# machinery). Exact integer counts and shares.
+# ---------------------------------------------------------------------------
+
+_URLHIST_ORACLE = """
+WITH urls AS (
+  SELECT 'https://u' || (doc_id % 9) || '.example' ||
+         repeat('/seg', CAST(doc_id % 5 AS INT)) ||
+         CASE WHEN doc_id % 4 = 0 THEN '/p?id=' || doc_id
+              ELSE '/p' || doc_id END AS url
+  FROM documents
+),
+feat AS (
+  SELECT len(string_split(split_part(split_part(url, '://', 2), '?', 1), '/')) - 1
+           AS path_depth,
+         contains(url, '?') AS has_query
+  FROM urls
+),
+hist AS (
+  SELECT path_depth, has_query, count(*) AS n FROM feat GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hist)
+SELECT CAST(path_depth AS INT) AS path_depth, has_query,
+       CAST(n AS BIGINT) AS n, n / tot.t AS share
+FROM hist, tot ORDER BY path_depth, has_query
+"""
+
+
+@_register("url_structure_histogram", oracle=_URLHIST_ORACLE)
+def q_url_structure_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-depth x query-string histogram over the synth frontier —
+    one map pass + a tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://u"), (d % 9).cast("string"), F.lit(".example"),
+        F.repeat(F.lit("/seg"), (d % 5).cast("int")),
+        F.when(
+            d % 4 == 0, F.concat(F.lit("/p?id="), d.cast("string"))
+        ).otherwise(F.concat(F.lit("/p"), d.cast("string"))),
+    )
+    feat = docs.select(
+        (
+            F.size(
+                F.split(
+                    F.split_part(
+                        F.split_part(url, F.lit("://"), F.lit(2)),
+                        F.lit("?"),
+                        F.lit(1),
+                    ),
+                    "/",
+                )
+            )
+            - 1
+        ).alias("path_depth"),
+        url.contains("?").alias("has_query"),
+    )
+    hist = feat.groupBy("path_depth", "has_query").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hist.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("path_depth").cast("int").alias("path_depth"),
+            "has_query",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") / F.col("t")).alias("share"),
+        )
+        .orderBy("path_depth", "has_query")
+    )
