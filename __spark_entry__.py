@@ -25,18 +25,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["priority_schedule"](spark, "/root/testdata/sf0.001")
 
 
-# Across rounds 1-3 every query registered through round 3 has been
-# drawn at least once by the official 50-per-round gate (union of
-# CORRECTNESS_r01..r03 == the round-3 catalog). Fronted this round, per
-# the round-3 verdict's item 4 ("every catalog query has at least one
-# official green row"):
-#   1. the two queries whose round-3 rows were red for a now-fixed
-#      serialization reason (ARRAY output columns, unhashable by the
-#      driver's canonicalizer; both now project '|'-joined text) —
-#      fronting them asks the gate to RE-validate known-red rows;
-#   2. every round-4 addition, which no driver round has sampled yet.
-# Everything else follows in natural registration order.
-_REDRAW_FIXED = ["job_analyzers", "robots_parse"]
+# Round-5 gate ordering (per the round-4 verdict items 1, 2 and 8):
+#   1. _REDRAW_FIXED — queries whose only red/stale driver history is a
+#      now-fixed oracle-serialization issue: `autothrottle_delays`
+#      (r4 HASH-FAIL — DuckDB SUM() HUGEINT landed as float64; oracle now
+#      CASTs delay_ms/n_ok/n_err to BIGINT) and `description_summarize`
+#      (stale r1 `no_oracle` row; its oracle has existed since r2).
+#      Fronting them asks the gate to RE-validate.
+#   2. the 58 queries no driver round ever sampled (judge-verified green
+#      in the r4 session), riskiest first so any leftovers past the
+#      50-draw cutoff are the lowest-risk single-expression diagnostics
+#      (_LOW_RISK_TAIL).
+# Everything else follows in natural registration order. Catalog growth
+# is frozen this round until the backlog clears (verdict item 2).
+_REDRAW_FIXED = ["autothrottle_delays", "description_summarize"]
+
+# Single-aggregate / single-expression corpus+graph diagnostics: one
+# groupBy or one fold over one table, engine-portable integer or %.9g-
+# stable math, judge-verified green — safest to leave past the cutoff.
+_LOW_RISK_TAIL = [
+    "corpus_zipf_alpha",
+    "corpus_heaps_law",
+    "corpus_diversity",
+    "doc_lexical_diversity",
+    "host_distinct_kmv",
+    "host_graph_stats",
+    "host_indegree_powerlaw",
+    "host_assortativity",
+    "crawl_allocation_gini",
+    "url_structure_histogram",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -51,8 +69,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sampled |= set(json.loads(p.read_text()))
         except (OSError, ValueError):  # pragma: no cover - defensive
             continue
+    tail = set(_LOW_RISK_TAIL)
     out = {n: QUERIES[n] for n in _REDRAW_FIXED if n in QUERIES}
-    out.update({n: q for n, q in QUERIES.items() if n not in sampled})
+    out.update(
+        {n: q for n, q in QUERIES.items() if n not in sampled and n not in tail}
+    )
+    out.update({n: QUERIES[n] for n in _LOW_RISK_TAIL if n in QUERIES and n not in sampled})
     out.update(QUERIES)
     return out
 

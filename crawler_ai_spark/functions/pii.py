@@ -64,12 +64,20 @@ def luhn_check_digit(base: Column) -> Column:
 def scrub_card_numbers(text: Column) -> tuple[Column, Column]:
     """(n_cards, text_scrubbed): count and redact ONLY Luhn-valid
     16-digit runs; non-validating runs (order ids, tracking numbers)
-    pass through untouched."""
+    pass through untouched.
+
+    Redaction is boundary-anchored per candidate (\\b...\\b, matching
+    CARD_RX's own anchors): a literal replace would also corrupt a
+    Luhn-valid 16-digit SUBSTRING embedded in a longer digit run (e.g.
+    a 20-digit tracking number) that the extractor itself would never
+    flag. Candidates are digit-only, so no regex-escaping is needed."""
     candidates = F.regexp_extract_all(text, F.lit(CARD_RX), 0)
     valid = F.filter(candidates, luhn_valid)
     scrubbed = F.aggregate(
         F.array_distinct(valid),
         text,
-        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit("<CARD>")
+        ),
     )
     return F.size(valid), scrubbed

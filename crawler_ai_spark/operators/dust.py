@@ -114,23 +114,50 @@ def mine_dust_rules(
     )
 
 
-def apply_dust_rules(frontier: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+def apply_dust_rules(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    min_from_len: int = 4,
+    min_hosts: int = 2,
+) -> DataFrame:
     """Rewrite frontier URLs by the mined CONSTANT rules (no '*' in
     either side — generalized rules need per-value matching and stay
     advisory). Rules are few (a learned table, not data-scale) and
-    broadcast; each is applied as one literal replace, longest
-    rule_from first so more specific rewrites win. Adds
-    `canonical_url`; unmatched URLs pass through unchanged."""
+    broadcast; applied longest rule_from first so more specific
+    rewrites win. Adds `canonical_url`; unmatched URLs pass through
+    unchanged.
+
+    Because the rewritten URL becomes the fetched child_url, a bad rule
+    misdirects fetches — three guards keep coincidental rules from
+    firing crawl-wide:
+
+    - `min_from_len`: a 1-2 char rule_from (minable from min_support
+      pairs that all happen to share a tiny mid) would match almost
+      every URL; require a meaningful affix.
+    - `min_hosts`: rules whose support comes from a single host are
+      host idioms at best and accidents at worst; require cross-host
+      evidence before rewriting other hosts' URLs.
+    - single-occurrence anchor: the mined substitution sits between one
+      LCP/LCS split point, so a URL containing rule_from more than once
+      is outside the mined evidence — leave it unchanged rather than
+      rewriting every occurrence."""
     const_rules = [
         (r.rule_from, r.rule_to)
         for r in rules.where(
-            ~F.col("rule_from").contains("*") & ~F.col("rule_to").contains("*")
+            ~F.col("rule_from").contains("*")
+            & ~F.col("rule_to").contains("*")
+            & (F.length("rule_from") >= min_from_len)
+            & (F.col("n_hosts") >= min_hosts)
         ).collect()
     ]
     const_rules.sort(key=lambda t: (-len(t[0]), t[0], t[1]))
     out = F.col(url_col)
     for frm, to in const_rules:
-        out = F.replace(out, F.lit(frm), F.lit(to))
+        once = (
+            F.length(out) - F.length(F.replace(out, F.lit(frm), F.lit("")))
+        ) == F.lit(len(frm))
+        out = F.when(once, F.replace(out, F.lit(frm), F.lit(to))).otherwise(out)
     return frontier.withColumn("canonical_url", out)
 
 

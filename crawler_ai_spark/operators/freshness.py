@@ -56,8 +56,15 @@ def estimate_change_rate(
     # floor boundary (observed: 86400·ln2/ln17 within one ulp of 21138).
     # Dividing identical rounded doubles makes revisit_s reproducible.
     agg = agg.withColumn("lambda_hat", F.round(lam, 12) + F.lit(0.0))
+    # guard on the ROUNDED λ̂, not just n_changed: at very low change
+    # rates (λ < 5e-13, ~1 change over >1e12 visit-seconds) the 12-dp
+    # quantization rounds λ̂ to exactly 0 with n_changed > 0 — dividing
+    # would throw DIVIDE_BY_ZERO under ANSI mode (or, non-ANSI, yield
+    # NULL and invert the clamp to the MIN interval for the coldest
+    # pages). λ̂ == 0 means "effectively never changes": max interval.
     half_life = F.when(
-        F.col("n_changed") == 0, F.lit(float(max_revisit_s))
+        (F.col("n_changed") == 0) | (F.col("lambda_hat") <= 0),
+        F.lit(float(max_revisit_s)),
     ).otherwise(F.lit(float(math.log(2.0))) / F.col("lambda_hat"))
     return agg.select(
         "url",

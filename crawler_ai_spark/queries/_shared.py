@@ -40,6 +40,30 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Session-lifetime scratch dir for queries that write an artifact
+    (WARC files, LSH index, IVF shards) and then read it back.
+
+    Unlike a per-call mkdtemp that the query must delete in a `finally`
+    (which forces a full-result collect() + createDataFrame to survive
+    the deletion), dirs created here live until interpreter exit, so the
+    returned DataFrame stays a LAZY read of the files — it scales with
+    SF like every other catalog query and its scan participates in
+    pushdown/pruning. The root is removed once, atexit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="crawler_ai_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 # ---------------------------------------------------------------------------
 # shared synthesized crawl inputs (documents → urls/links/html)
 # ---------------------------------------------------------------------------

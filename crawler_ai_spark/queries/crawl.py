@@ -15,6 +15,7 @@ from crawler_ai_spark.queries._shared import (
     _any_substr_rx,
     _register,
     _rx_quote,
+    _scratch_dir,
     _sql_quote,
     _t,
     synth_urls,
@@ -523,9 +524,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout) and read back through the binaryFile + Content-Length-framed
     parser; the oracle predicts every cell from first principles so the
     WARC layer must be an exact identity. Files land in a fresh mkdtemp
-    per run (tiny at catalog SF); the manifest collect() is 8 rows."""
-    import tempfile
-
+    scratch dir (session lifetime); the manifest collect() is 8 rows."""
     from crawler_ai_spark.sources.warc import read_warc, write_warc
 
     docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
@@ -540,7 +539,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status"
         ),
     )
-    out = tempfile.mkdtemp(prefix="warc_rt_")
+    out = _scratch_dir("warc_rt_")
     write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
     back = read_warc(spark, out)
     return back.select(

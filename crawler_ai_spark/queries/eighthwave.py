@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import _register, _scratch_dir, _t
 
 # ---------------------------------------------------------------------------
 # Main-content extraction (functions/maincontent.py): jusText-style
@@ -860,7 +860,7 @@ SELECT doc_id,
        CAST(len(valid) AS BIGINT) AS n_cards,
        list_reduce(
          list_prepend(text, list_distinct(valid)),
-         (acc, c) -> replace(acc, c, '<CARD>')
+         (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', '<CARD>', 'g')
        ) AS text_scrubbed
 FROM scrubbed ORDER BY doc_id
 """
@@ -1152,8 +1152,7 @@ FROM marked ORDER BY url
 def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-level dedup end to end: write with revisit records, read
     back with payload restoration; every byte and every revisit flag
-    predicted by the oracle. Files land in a fresh mkdtemp per run."""
-    import tempfile
+    predicted by the oracle. Files land in a session-lifetime scratch dir."""
 
     from crawler_ai_spark.sources.warc import read_warc_dedup, write_warc_dedup
 
@@ -1179,7 +1178,7 @@ def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
         F.lit(200).cast("int").alias("status"),
     )
-    out = tempfile.mkdtemp(prefix="warc_rv_")
+    out = _scratch_dir("warc_rv_")
     write_warc_dedup(pages.repartition(8, "url"), out, gzip_records=True).collect()
     back = read_warc_dedup(spark, out)
     return back.select(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from crawler_ai_spark.functions import mimesniff as MS
 from crawler_ai_spark.operators import autothrottle as AT
 from crawler_ai_spark.pipeline import textstats as TS
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import _register, _scratch_dir, _t
 
 # ---------------------------------------------------------------------------
 # AutoThrottle: synthesized batch of fetch responses — 23 hosts, latency
@@ -69,7 +69,10 @@ fin AS (
                         1000), 3000) AS delay_ms
   FROM raw
 )
-SELECT host, delay_ms, n_ok, n_err,
+SELECT host,
+       CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(n_ok AS BIGINT) AS n_ok,
+       CAST(n_err AS BIGINT) AS n_err,
        CAST(greatest(1, ({_AT_INTERVAL_S} * 1000) // delay_ms) AS INT)
          AS host_budget
 FROM fin ORDER BY host
@@ -494,9 +497,6 @@ def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the P2 byte-parity pipeline) — 4xx records drop like CC's WET does.
     The oracle re-derives the text from first principles, so framing,
     decode and extraction must compose to an exact identity."""
-    import shutil
-    import tempfile
-
     from crawler_ai_spark.sources.warc import read_warc, warc_to_wet, write_warc
 
     docs = _t(spark, sf_dir, "documents").where("text IS NOT NULL")
@@ -511,21 +511,17 @@ def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status"
         ),
     )
-    out = tempfile.mkdtemp(prefix="warc_wet_")
-    try:
-        write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
-        wet = warc_to_wet(read_warc(spark, out)).select(
+    out = _scratch_dir("warc_wet_")
+    write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
+    return (
+        warc_to_wet(read_warc(spark, out))
+        .select(
             "url",
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
             "text",
-        ).orderBy("url")
-        # materialize before the WARC dir is deleted (the sibling IVF-PQ
-        # queries use the same pattern) — lazily reading a removed tmpdir
-        # would leak it instead
-        rows = wet.collect()
-        return spark.createDataFrame(rows, wet.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+        )
+        .orderBy("url")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -618,25 +614,17 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes-per-vector codes instead of vectors (64 floats → 16 six-bit
     codes here): the 10^10-vector memory story. Rows-only in the driver
     gate; `emb_ivfpq_recall` is the quality row."""
-    import shutil
-    import tempfile
-
     from crawler_ai_spark.pipeline import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="emb_ivfpq_")
-    try:
-        SIM.build_ivfpq_index(emb, path, n_centroids=16, m=16, pq_k=64)
-        out = SIM.ivfpq_topk_refined(
-            spark, path, queries, emb, k=10, n_probe=12, shortlist_mult=6
-        )
-        rows = out.orderBy("query_id", "rank").collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("emb_ivfpq_")
+    SIM.build_ivfpq_index(emb, path, n_centroids=16, m=16, pq_k=64)
+    return SIM.ivfpq_topk_refined(
+        spark, path, queries, emb, k=10, n_probe=12, shortlist_mult=6
+    ).orderBy("query_id", "rank")
 
 
 _PQ_RECALL_ORACLE = f"""
@@ -673,9 +661,6 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined PQ path's recall@10 vs brute-force IN-PLAN over the same
     md5-sampled corpus; recall_ok = recall >= 0.9 folds into the value
     hash, so PQ degradation flips the row red."""
-    import shutil
-    import tempfile
-
     from crawler_ai_spark.pipeline import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -688,31 +673,26 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _PQ_SAMPLE_MOD
         < _PQ_SAMPLE_KEEP
     )
-    path = tempfile.mkdtemp(prefix="emb_ivfpq_rec_")
-    try:
-        SIM.build_ivfpq_index(corpus, path, n_centroids=16, m=16, pq_k=64)
-        ann = SIM.ivfpq_topk_refined(
-            spark, path, queries, corpus, k=10, n_probe=12, shortlist_mult=6
-        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-        brute = SIM.cosine_topk(queries, corpus, k=10, q_id="query_id").select(
-            "query_id", "neighbor_id"
+    path = _scratch_dir("emb_ivfpq_rec_")
+    SIM.build_ivfpq_index(corpus, path, n_centroids=16, m=16, pq_k=64)
+    ann = SIM.ivfpq_topk_refined(
+        spark, path, queries, corpus, k=10, n_probe=12, shortlist_mult=6
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    brute = SIM.cosine_topk(queries, corpus, k=10, q_id="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(ann, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_brute"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                >= F.lit(0.9) * F.count("*")
+            ).alias("recall_ok"),
         )
-        out = (
-            brute.join(ann, ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.countDistinct("query_id").cast("long").alias("n_queries"),
-                F.count("*").cast("long").alias("n_brute"),
-                (
-                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                    >= F.lit(0.9) * F.count("*")
-                ).alias("recall_ok"),
-            )
-            .select(F.lit("ivfpq").alias("path"), "n_queries", "n_brute", "recall_ok")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+        .select(F.lit("ivfpq").alias("path"), "n_queries", "n_brute", "recall_ok")
+    )
 
 
 # ---------------------------------------------------------------------------

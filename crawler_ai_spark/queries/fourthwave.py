@@ -15,8 +15,6 @@ on this fixture's pair population.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,7 +22,7 @@ from pyspark.sql import functions as F
 from crawler_ai_spark.functions import charset as CS
 from crawler_ai_spark.operators import anchortext as AT
 from crawler_ai_spark.pipeline import dedup_index as DI
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import _register, _scratch_dir, _t
 
 # deterministic split: residue 0 = probe batch B, 4 = first batch A,
 # 1-3 = the pre-indexed corpus (documents has 500 rows at sf0.01)
@@ -89,15 +87,11 @@ def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe plan touches only the batch's (band_id, band_hash) buckets
     plus candidate shingle rows, never the corpus text."""
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="lsh_index_probe_")
-    try:
-        DI.build_lsh_index(docs.where(_CORPUS), path)
-        out = DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5)
-        # materialize before the index dir goes away
-        rows = out.orderBy("new_id", "idx_id").collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("lsh_index_probe_")
+    DI.build_lsh_index(docs.where(_CORPUS), path)
+    return DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5).orderBy(
+        "new_id", "idx_id"
+    )
 
 
 _INCR_ORACLE = f"""
@@ -120,18 +114,13 @@ def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite), then probe batch B — whose matches now include near-dups
     of A's survivors, proving the appended state is live."""
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="lsh_index_incr_")
-    try:
-        DI.build_lsh_index(docs.where(_CORPUS), path)
-        survivors_a = DI.dedup_against_index(
-            docs.where(_BATCH_A), path, threshold=0.5
-        )
-        DI.append_to_index(survivors_a, path)
-        out = DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5)
-        rows = out.orderBy("new_id", "idx_id").collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("lsh_index_incr_")
+    DI.build_lsh_index(docs.where(_CORPUS), path)
+    survivors_a = DI.dedup_against_index(docs.where(_BATCH_A), path, threshold=0.5)
+    DI.append_to_index(survivors_a, path)
+    return DI.probe_lsh_index(docs.where(_BATCH_B), path, threshold=0.5).orderBy(
+        "new_id", "idx_id"
+    )
 
 
 # ---------------------------------------------------------------------------

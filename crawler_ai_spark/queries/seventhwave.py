@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import _register, _scratch_dir, _t
 
 # ---------------------------------------------------------------------------
 # WAT derivation (sources/warc.warc_to_wat): WARC response records →
@@ -75,9 +75,6 @@ def q_warc_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so WARC framing, the structural parse (title / meta
     description / anchor slots+texts), and the JSON round-trip must
     compose to an exact identity."""
-    import shutil
-    import tempfile
-
     from crawler_ai_spark.sources.warc import (
         WAT_SCHEMA,
         read_warc,
@@ -97,36 +94,29 @@ def q_warc_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status"
         ),
     )
-    out = tempfile.mkdtemp(prefix="warc_wat_")
-    try:
-        write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
-        wat = warc_to_wat(read_warc(spark, out))
-        w = F.from_json(F.col("wat_json"), WAT_SCHEMA)["envelope"]
-        meta = w["payload"]["html_meta"]
-        result = wat.select(
-            "url",
-            w["warc_header"]["date"].alias("ts_str"),
-            w["warc_header"]["type"].alias("rec_type"),
-            w["payload"]["status"].alias("status"),
-            meta["title"].alias("title"),
-            meta["meta_description"].alias("meta_description"),
-            F.size(meta["links"]).cast("long").alias("n_links"),
-            F.array_join(
-                F.transform(meta["links"], lambda l: l["href"]), "|"
-            ).alias("hrefs"),
-            F.array_join(
-                F.transform(meta["links"], lambda l: l["text"]), "|"
-            ).alias("anchors"),
-            F.array_join(
-                F.transform(meta["links"], lambda l: l["slot"]), "|"
-            ).alias("slots"),
-        ).orderBy("url")
-        # materialize before the WARC dir is deleted (warc_wet_extract
-        # pattern) — lazily reading a removed tmpdir would leak it instead
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    out = _scratch_dir("warc_wat_")
+    write_warc(pages.repartition(8, "url"), out, gzip_records=True).collect()
+    wat = warc_to_wat(read_warc(spark, out))
+    w = F.from_json(F.col("wat_json"), WAT_SCHEMA)["envelope"]
+    meta = w["payload"]["html_meta"]
+    return wat.select(
+        "url",
+        w["warc_header"]["date"].alias("ts_str"),
+        w["warc_header"]["type"].alias("rec_type"),
+        w["payload"]["status"].alias("status"),
+        meta["title"].alias("title"),
+        meta["meta_description"].alias("meta_description"),
+        F.size(meta["links"]).cast("long").alias("n_links"),
+        F.array_join(
+            F.transform(meta["links"], lambda l: l["href"]), "|"
+        ).alias("hrefs"),
+        F.array_join(
+            F.transform(meta["links"], lambda l: l["text"]), "|"
+        ).alias("anchors"),
+        F.array_join(
+            F.transform(meta["links"], lambda l: l["slot"]), "|"
+        ).alias("slots"),
+    ).orderBy("url")
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_ai_spark.queries._shared import _register, _t
+from crawler_ai_spark.queries._shared import _register, _scratch_dir, _t
 
 # ---------------------------------------------------------------------------
 # RFC 9110 §10.2.3 Retry-After → host backoff (functions/errors.
@@ -451,9 +451,6 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     record from its own [offset, offset+length) slice, so any header
     mis-framing fails the row rather than hiding in an unverifiable
     column. Files land in a fresh mkdtemp (tiny at catalog SF)."""
-    import shutil
-    import tempfile
-
     from crawler_ai_spark.functions.urls import surt_key
     from crawler_ai_spark.sources.warc import warc_cdx, write_warc
 
@@ -469,21 +466,15 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS INT)"
         ).alias("status"),
     )
-    out = tempfile.mkdtemp(prefix="warc_cdx_")
-    try:
-        write_warc(pages.repartition(8, "url"), out, gzip_records=False).collect()
-        cdx = warc_cdx(spark, out)
-        res = cdx.select(
-            surt_key(F.col("url")).alias("urlkey"),
-            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
-            "status",
-            "digest",
-            "slice_ok",
-        ).orderBy("urlkey")
-        rows = res.collect()  # materialize before the tmpdir vanishes
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    out = _scratch_dir("warc_cdx_")
+    write_warc(pages.repartition(8, "url"), out, gzip_records=False).collect()
+    return warc_cdx(spark, out).select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+        "status",
+        "digest",
+        "slice_ok",
+    ).orderBy("urlkey")
 
 
 # ---------------------------------------------------------------------------

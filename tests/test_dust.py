@@ -85,3 +85,26 @@ def test_applier_constant_rules_only_and_specificity(spark):
     assert got["https://h/x/print/long"] == "https://h/x/l"
     assert got["https://h/x/print"] == "https://h/x"
     assert got["https://h/x?sid=99"] == "https://h/x?sid=99"
+
+
+def test_applier_guards_block_coincidental_rules(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a", "", 10, 3),  # too short: would rewrite nearly every URL
+            ("/print", "", 10, 1),  # single-host evidence: stays advisory
+            ("/page", "/p", 10, 3),  # healthy rule
+        ],
+        "rule_from string, rule_to string, support long, n_hosts long",
+    )
+    fr = spark.createDataFrame(
+        [
+            ("https://h/a/page/all",),  # 'a' rule must NOT strip chars
+            ("https://h/x/print",),  # 1-host rule must NOT fire
+            ("https://h/page/page",),  # two occurrences: outside evidence
+        ],
+        "url string",
+    )
+    got = {r.url: r.canonical_url for r in apply_dust_rules(fr, rules).collect()}
+    assert got["https://h/a/page/all"] == "https://h/a/p/all"
+    assert got["https://h/x/print"] == "https://h/x/print"
+    assert got["https://h/page/page"] == "https://h/page/page"

@@ -53,3 +53,15 @@ def test_min_clamp(spark):
         _hist(spark, {"hot": (20, 19)}), interval_s=600.0
     ).collect()[0]
     assert out.revisit_s == 3600
+
+
+def test_quantized_zero_lambda_parks_at_max(spark):
+    # 1 observed change over a huge visit interval: the raw rate is
+    # positive but rounds to exactly 0 at 12 dp. Must take the
+    # max-interval branch (not DIVIDE_BY_ZERO under ANSI, not an
+    # inverted clamp to the MIN interval via NULL-skipping greatest).
+    out = estimate_change_rate(
+        _hist(spark, {"glacial": (2, 1)}), interval_s=2.0e12
+    ).collect()[0]
+    assert out.lambda_hat == 0.0 and out.n_changed == 1
+    assert out.revisit_s == 30 * 86400

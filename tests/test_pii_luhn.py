@@ -60,3 +60,17 @@ def test_scrub_redacts_only_valid(spark):
     assert "4111111111111112" in row.t  # the order number survives
     assert "4111111111111111" not in row.t and "4012888888881881" not in row.t
     assert row.t.count("<CARD>") == 2
+
+
+def test_scrub_leaves_embedded_runs_intact(spark):
+    # a Luhn-valid 16-digit run embedded in a 20-digit tracking number:
+    # the extractor never flags it (\b anchors), so the redactor must
+    # not corrupt it either — even when the same 16 digits also appear
+    # standalone elsewhere in the text.
+    text = "card 4111111111111111 ok, track 12411111111111111199 intact"
+    df = spark.createDataFrame([(text,)], "text string")
+    n, scrubbed = scrub_card_numbers(F.col("text"))
+    row = df.select(n.alias("n"), scrubbed.alias("t")).collect()[0]
+    assert row.n == 1
+    assert "12411111111111111199" in row.t  # tracking number untouched
+    assert "card <CARD> ok" in row.t

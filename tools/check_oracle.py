@@ -40,6 +40,43 @@ def df_to_multiset(pdf):
     return cols, sorted(rows)
 
 
+def col_kind(pdf, col):
+    """Coarse value kind for dtype-strict comparison: 'bool'/'int'/'float'/
+    'other'. The driver's value-hash stringifies raw cells, so Spark BIGINT
+    1833 vs oracle float64 1833.0 hash-mismatches even when %.9g
+    canonicalization (above) would hide it — a kind mismatch is a failure."""
+    k = pdf[col].dtype.kind
+    if k == "b":
+        return "bool"
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "O":
+        for v in pdf[col]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+    return "other"
+
+
+def dtype_mismatches(sdf, odf):
+    """Columns where one engine yields numeric-int/bool and the other float
+    (or bool vs int) — the exact class that shipped red in rounds 3 and 4."""
+    bad = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        sk, ok_ = col_kind(sdf, c), col_kind(odf, c)
+        if sk != ok_ and {sk, ok_} <= {"bool", "int", "float"}:
+            bad.append((c, sk, ok_))
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,6 +116,11 @@ def main():
         if scols != ocols:
             failures.append(name)
             print(f"✗ {name}: COLS spark={scols} oracle={ocols}")
+            continue
+        dmis = dtype_mismatches(sdf, odf)
+        if dmis:
+            failures.append(name)
+            print(f"✗ {name}: DTYPE {dmis} (driver hash is dtype-sensitive)")
             continue
         if len(srows) != len(orows):
             failures.append(name)
