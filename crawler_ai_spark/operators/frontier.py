@@ -238,6 +238,46 @@ def salted_budget_rank(
     )
 
 
+def _politeness_order(aging_batches: int | None) -> list:
+    """The one total order every politeness window (host, registrable-
+    domain, IP grain) ranks by, so the scheduled/deferred split composes
+    deterministically across grains.
+
+    (url, seed_url) is the unique final tie-break: discovered_seq is a
+    PER-SEED ordinal, so two seeds sharing a key can tie on (priority,
+    seq) — and the SAME url can appear under two seeds in one batch
+    (the within-batch dedup is per (seed_url, url_hash)), so url alone
+    is still not total. Without a total order the scheduled/deferred
+    split (and resume determinism) would depend on partition order.
+
+    With ``aging_batches`` set, effective priority
+    ``priority + wait_batches // aging_batches`` ranks FIRST (raw
+    priority stays as the next key so equal-effective rows keep the
+    un-aged order). Every budget grain must use the same aged key:
+    aging only at the host window lets a row clear the host budget yet
+    starve forever at the domain/IP window behind an endless supply of
+    new higher-priority URLs — the starvation-freedom guarantee has to
+    hold end-to-end through the whole budget chain."""
+    order = [
+        F.col("priority").desc(),
+        F.col("discovered_seq").asc(),
+        F.col("url").asc(),
+        F.col("seed_url").asc(),
+    ]
+    if aging_batches is not None:
+        order.insert(
+            0,
+            (
+                F.col("priority")
+                + F.floor(
+                    F.coalesce(F.col("wait_batches"), F.lit(0))
+                    / F.lit(aging_batches)
+                )
+            ).desc(),
+        )
+    return order
+
+
 def apply_host_budget(
     frontier: DataFrame,
     per_host_per_batch: int | None,
@@ -265,31 +305,7 @@ def apply_host_budget(
     batches. Requires the ``wait_batches`` column when set."""
     if per_host_per_batch is None and host_budgets is None:
         return frontier, frontier.limit(0)
-    # (url, seed_url) is the unique final tie-break: discovered_seq is a
-    # PER-SEED ordinal, so two seeds sharing a host can tie on (priority,
-    # seq) — and the SAME url can appear under two seeds in one batch
-    # (the within-batch dedup is per (seed_url, url_hash)), so url alone
-    # is still not total. Without a total order the scheduled/deferred
-    # split (and resume determinism) would depend on partition order.
-    order = [
-        F.col("priority").desc(),
-        F.col("discovered_seq").asc(),
-        F.col("url").asc(),
-        F.col("seed_url").asc(),
-    ]
-    if aging_batches is not None:
-        # effective priority ranks first; raw priority stays as the
-        # next key so equal-effective rows keep the un-aged order
-        order.insert(
-            0,
-            (
-                F.col("priority")
-                + F.floor(
-                    F.coalesce(F.col("wait_batches"), F.lit(0))
-                    / F.lit(aging_batches)
-                )
-            ).desc(),
-        )
+    order = _politeness_order(aging_batches)
     # two-phase salted rank (see salted_budget_rank): a row whose salt-local
     # rank exceeds the budget has ≥ budget same-host rows ahead of it in ITS
     # salt alone, so its host-global rank exceeds the budget too — phase-1
@@ -332,6 +348,7 @@ def apply_ip_budget(
     frontier: DataFrame,
     ip_map: DataFrame | None,
     per_ip_per_batch: int | None,
+    aging_batches: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """W2 at the SERVER grain: at most N URLs per resolved IP per batch.
     Host-grain politeness under-throttles when many vhosts share one
@@ -344,20 +361,18 @@ def apply_ip_budget(
     sharing one giant NULL group.
 
     Same two-phase salted windows as apply_host_budget (phase-1 losers
-    are provably over-budget in their salt alone), same total order, so
-    composing after apply_host_budget preserves the deterministic
-    scheduled/deferred split. Returns (scheduled, deferred)."""
+    are provably over-budget in their salt alone), same total order —
+    including the ``aging_batches`` effective-priority key, so
+    starvation freedom holds through this grain too (see
+    _politeness_order) — so composing after apply_host_budget preserves
+    the deterministic scheduled/deferred split. Returns
+    (scheduled, deferred)."""
     if ip_map is None or per_ip_per_batch is None:
         return frontier, frontier.limit(0)
     tagged = frontier.join(
         F.broadcast(ip_map.select("host", "ip")), "host", "left"
     ).withColumn("_ipg", F.coalesce(F.col("ip"), F.col("host")))
-    order = [
-        F.col("priority").desc(),
-        F.col("discovered_seq").asc(),
-        F.col("url").asc(),
-        F.col("seed_url").asc(),
-    ]
+    order = _politeness_order(aging_batches)
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
     w1 = Window.partitionBy("_ipg", salt).orderBy(*order)
     r1 = tagged.withColumn("_ir1", F.row_number().over(w1))
@@ -374,6 +389,7 @@ def apply_ip_budget(
 def apply_domain_budget(
     frontier: DataFrame,
     per_domain_per_batch: int | None,
+    aging_batches: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """W2 at the REGISTRABLE-DOMAIN grain: at most N URLs per public-
     suffix-plus-one domain per batch. Host-grain politeness under-
@@ -390,8 +406,11 @@ def apply_domain_budget(
     The group key is a pure-codegen expression over the host — no join,
     no resolver stage — so this composes with apply_host_budget and
     apply_ip_budget at the cost of its own two windows only. Same
-    two-phase salted rank, same total order, defer-not-drop contract:
-    returns (scheduled, deferred)."""
+    two-phase salted rank, same total order — including the
+    ``aging_batches`` effective-priority key, so a row that cleared the
+    aged host window cannot starve forever here behind fresh
+    high-priority URLs of the same registrant (see _politeness_order) —
+    defer-not-drop contract: returns (scheduled, deferred)."""
     if per_domain_per_batch is None:
         return frontier, frontier.limit(0)
     from crawler_ai_spark.functions.urls import registered_domain_expr
@@ -399,12 +418,7 @@ def apply_domain_budget(
     tagged = frontier.withColumn(
         "_dom", F.coalesce(registered_domain_expr(F.col("host")), F.col("host"))
     )
-    order = [
-        F.col("priority").desc(),
-        F.col("discovered_seq").asc(),
-        F.col("url").asc(),
-        F.col("seed_url").asc(),
-    ]
+    order = _politeness_order(aging_batches)
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(PARSE_SALT_BUCKETS))
     w1 = Window.partitionBy("_dom", salt).orderBy(*order)
     r1 = tagged.withColumn("_dr1", F.row_number().over(w1))

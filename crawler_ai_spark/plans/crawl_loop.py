@@ -1824,7 +1824,8 @@ def run_crawl(
             # subdomains of one registrable domain share a budget — the
             # subdomain-spam cap (defer-not-drop, same contract)
             frontier, dom_deferred = FR.apply_domain_budget(
-                frontier, cfg.domain_budget_per_batch
+                frontier, cfg.domain_budget_per_batch,
+                aging_batches=cfg.priority_aging_batches,
             )
             deferred = deferred.unionByName(dom_deferred.select(*deferred.columns))
         if ip_map is not None and cfg.ip_budget_per_batch is not None:
@@ -1832,7 +1833,8 @@ def run_crawl(
             # sharing a resolved IP share one budget (defer-not-drop,
             # same contract as the host budget)
             frontier, ip_deferred = FR.apply_ip_budget(
-                frontier, ip_map, cfg.ip_budget_per_batch
+                frontier, ip_map, cfg.ip_budget_per_batch,
+                aging_batches=cfg.priority_aging_batches,
             )
             deferred = deferred.unionByName(ip_deferred.select(*deferred.columns))
         if cooling is not None:

@@ -491,13 +491,32 @@ _DEDUP_READ_SCHEMA = (
 )
 
 
-def read_warc_dedup(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_dedup(
+    spark: SparkSession, path: str, on_unresolved: str = "error"
+) -> DataFrame:
     """Read a revisit-deduped archive and RESTORE every payload: revisit
     records join the response records on the payload digest and inherit
     the referenced body, so the result is the same (url, warc_ts, html,
     status) table write_warc_dedup consumed — plus is_revisit for
     accounting. One digest-keyed join; response bodies broadcast when
-    small, shuffled when not (AQE decides)."""
+    small, shuffled when not (AQE decides).
+
+    Revisit digests resolve only against response records found in the
+    SAME read, so ``path`` must span every batch dir of a warc_dedup
+    crawl (e.g. ``state/warc/batch-*``) — an incremental crawl writes
+    originals in earlier batches than their revisits. Reading a single
+    batch dir in isolation therefore leaves dangling references;
+    ``on_unresolved`` decides what happens to them:
+
+    - ``"error"`` (default): the job fails at the first unresolved
+      revisit with a message naming its url — a partial glob is a
+      caller bug, and html=NULL silently standing in for a real payload
+      would corrupt anything downstream.
+    - ``"flag"``: keep the row with html=NULL and add a boolean
+      ``unresolved_revisit`` column, for intentionally-partial reads
+      (per-batch accounting, archive repair) that handle the gaps."""
+    if on_unresolved not in ("error", "flag"):
+        raise ValueError(f"on_unresolved must be 'error' or 'flag': {on_unresolved!r}")
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.warc*") if os.path.isdir(path) else path
     )
@@ -556,13 +575,36 @@ def read_warc_dedup(spark: SparkSession, path: str) -> DataFrame:
     bodies = recs.where(F.col("rec_type") == "response").select(
         F.col("digest").alias("digest"), F.col("html").alias("ref_html")
     ).dropDuplicates(["digest"])
-    return recs.join(bodies, "digest", "left").select(
+    unresolved = (F.col("rec_type") == "revisit") & F.col("ref_html").isNull()
+    body = F.coalesce("html", "ref_html")
+    if on_unresolved == "error":
+        # assert_true returns NULL when the predicate holds and throws
+        # (with the url in the message) otherwise — embedding it in the
+        # html expression makes the check row-local and unprunable
+        body = F.when(
+            F.assert_true(
+                ~unresolved,
+                F.concat(
+                    F.lit(
+                        "read_warc_dedup: unresolved revisit (no response "
+                        "record with its payload digest in this read — pass "
+                        "a glob spanning ALL batch dirs, or "
+                        "on_unresolved='flag') for "
+                    ),
+                    F.col("url"),
+                ),
+            ).isNull(),
+            body,
+        )
+    out = recs.join(bodies, "digest", "left").select(
         "url",
         "warc_ts",
-        F.coalesce("html", "ref_html").alias("html"),
+        body.alias("html"),
         "status",
         (F.col("rec_type") == "revisit").alias("is_revisit"),
+        unresolved.alias("unresolved_revisit"),
     )
+    return out if on_unresolved == "flag" else out.drop("unresolved_revisit")
 
 
 

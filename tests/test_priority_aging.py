@@ -15,7 +15,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from crawler_ai_spark.operators.frontier import apply_host_budget
+from crawler_ai_spark.operators.frontier import (
+    apply_domain_budget,
+    apply_host_budget,
+    apply_ip_budget,
+)
 from crawler_ai_spark.plans.crawl_loop import CrawlConfig, CrawlStore, run_crawl
 
 _FR_SCHEMA = (
@@ -59,6 +63,50 @@ def test_aging_step_granularity(spark):
     assert [r.url for r in sched.collect()] == ["https://h.example/hot"]
     sched, _ = apply_host_budget(_contest(spark, 284), 1, aging_batches=4)
     assert [r.url for r in sched.collect()] == ["https://h.example/low"]
+
+
+def _cross_host_contest(spark, wait):
+    # DIFFERENT hosts of one registrable domain: each clears a host
+    # budget of 1 alone, so only the domain/IP window arbitrates — the
+    # end-to-end starvation shape the host-window aging can't fix.
+    return spark.createDataFrame(
+        [
+            ("https://a.dom.example/low", "a.dom.example", 10, 0, "s", wait),
+            ("https://b.dom.example/hot", "b.dom.example", 80, 999, "s", 0),
+        ],
+        _FR_SCHEMA,
+    )
+
+
+def test_domain_window_ages_too(spark):
+    """A row that cleared the aged host budget must not starve at the
+    domain window: with aging threaded through, enough accumulated wait
+    outranks any fixed priority at the registrant grain as well."""
+    fr = _cross_host_contest(spark, 71)
+    # both survive host budget 1 (distinct hosts) regardless of aging
+    hosted, _ = apply_host_budget(fr, 1, aging_batches=1)
+    assert hosted.count() == 2
+    # without aging the domain window starves the old row forever
+    sched, _ = apply_domain_budget(hosted, 1)
+    assert [r.url for r in sched.collect()] == ["https://b.dom.example/hot"]
+    # with the same aged key it schedules (eff 10+71=81 > 80)
+    sched, deferred = apply_domain_budget(hosted, 1, aging_batches=1)
+    assert [r.url for r in sched.collect()] == ["https://a.dom.example/low"]
+    assert [r.url for r in deferred.collect()] == ["https://b.dom.example/hot"]
+
+
+def test_ip_window_ages_too(spark):
+    """Same end-to-end guarantee at the server grain: vhosts sharing an
+    IP share a budget, and the aged key must rank there as well."""
+    fr = _cross_host_contest(spark, 71)
+    ip_map = spark.createDataFrame(
+        [("a.dom.example", "10.0.0.1"), ("b.dom.example", "10.0.0.1")],
+        "host string, ip string",
+    )
+    sched, _ = apply_ip_budget(fr, ip_map, 1)
+    assert [r.url for r in sched.collect()] == ["https://b.dom.example/hot"]
+    sched, _ = apply_ip_budget(fr, ip_map, 1, aging_batches=1)
+    assert [r.url for r in sched.collect()] == ["https://a.dom.example/low"]
 
 
 @pytest.fixture(scope="module")

@@ -75,6 +75,48 @@ def test_cross_batch_revisits_and_restoration(spark, corpus, tmp_path_factory):
     assert n_full == back.count() - len({r.url for r in back.where("is_revisit").collect()})
 
 
+def test_partial_glob_unresolved_revisits(spark, corpus, tmp_path_factory):
+    """Reading one batch dir in isolation leaves revisits whose original
+    lives in an earlier batch dangling: the default read FAILS loudly
+    (html=NULL silently standing in for a payload corrupts downstream),
+    and on_unresolved='flag' keeps the rows with the gap marked."""
+    import os
+
+    pages, seeds, _ = corpus
+    root = tmp_path_factory.mktemp("warc_dd_partial")
+    warc = tmp_path_factory.mktemp("warc_dd_partial_archive")
+    run_crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(
+            max_batches=3, parallelism=8,
+            warc_dir=str(warc), warc_dedup=True,
+        ),
+    )
+    # last batch dir that actually archived records AND holds a revisit
+    # whose original lives in an earlier dir (batch 1 is all originals;
+    # a trailing batch can be empty)
+    flagged = dangling = None
+    for d in sorted(
+        (d for d in os.listdir(warc) if d.startswith("batch-")), reverse=True
+    ):
+        if not any(f.endswith(".warc.gz") for f in os.listdir(warc / d)):
+            continue
+        cand = read_warc_dedup(spark, str(warc / d), on_unresolved="flag")
+        if cand.where("unresolved_revisit").count() >= 1:
+            flagged, last = cand, d
+            break
+    assert flagged is not None, "no batch dir with cross-batch revisits"
+    dangling = flagged.where("unresolved_revisit")
+    assert dangling.where(F.col("html").isNotNull()).count() == 0
+    # resolved rows in the same partial read are untouched
+    assert flagged.where("NOT unresolved_revisit AND html IS NULL").count() == 0
+    with pytest.raises(Exception, match="unresolved revisit"):
+        read_warc_dedup(spark, str(warc / last)).where("html IS NULL").count()
+    # the full-glob read resolves everything — default mode passes clean
+    full = read_warc_dedup(spark, str(warc) + "/batch-*")
+    assert full.where(F.col("html").isNull()).count() == 0
+
+
 def test_resume_carries_digest_index(spark, corpus, tmp_path_factory):
     pages, seeds, _ = corpus
     root = tmp_path_factory.mktemp("warc_dd_resume")
