@@ -131,6 +131,7 @@ def budget_from_delay(delays: DataFrame, batch_interval_s: int) -> DataFrame:
 def host_latency_percentiles(
     fetches: DataFrame,
     percentiles: tuple[float, ...] = (0.5, 0.95),
+    grain_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact discrete latency percentiles per host — the ops view behind
     politeness tuning: AutoThrottle reacts to the MEAN, but a host whose
@@ -138,31 +139,66 @@ def host_latency_percentiles(
     delay even when the mean looks fine.
 
     Exact and deterministic by construction: percentile p = the value at
-    1-based rank ceil(p * n) in (latency, url)-sorted order — no
+    1-based rank ceil(p * n) of the sorted latency multiset — no
     t-digest/approx sketch whose merge order could shift a cross-engine
-    bit. One window over each host's fetches; at 10^10-fetch scale run
-    it per batch or windowed, not over all history.
+    bit. Rank statistics depend only on the value MULTISET, so the plan
+    pre-aggregates to (host, fetch_ms) counts (map-side partial combine)
+    and windows over DISTINCT latencies with a running count: the hot
+    host's window task is bounded by its latency cardinality (ms-grain
+    ints — thousands), not its fetch count (billions under Zipf skew),
+    so one hot host cannot serialize the stage.
 
-    fetches(host, url, fetch_ms) -> (host, n_fetches, p50_ms, p95_ms,
-    ...) with one column per requested percentile."""
-    w = Window.partitionBy("host").orderBy(F.col("fetch_ms").asc(), F.col("url").asc())
-    ranked = fetches.select("host", "url", "fetch_ms").withColumn(
-        "_rk", F.row_number().over(w)
-    )
-    n = fetches.groupBy("host").agg(F.count(F.lit(1)).alias("n_fetches"))
+    ``grain_cols`` partitions every statistic by extra columns (e.g. a
+    batch_id) — the per-batch grain an all-history store needs so no
+    (host, batch) group grows without bound.
+
+    fetches(host, url, fetch_ms[, *grain_cols]) -> (host[, *grain_cols],
+    n_fetches, p50_ms, p95_ms, ...) one column per percentile."""
+    keys = ["host", *grain_cols]
+    counts = fetches.groupBy(*keys, "fetch_ms").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*keys).orderBy(F.col("fetch_ms").asc())
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    n = fetches.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_fetches"))
     out = n
     for p in percentiles:
         col = f"p{int(round(p * 100))}_ms"
-        tgt = ranked.join(n, "host").where(
-            F.col("_rk") == F.ceil(F.lit(p) * F.col("n_fetches"))
-        ).select("host", F.col("fetch_ms").alias(col))
-        out = out.join(tgt, "host")
+        # value at rank ceil(p*n) = smallest latency whose running count
+        # reaches the rank
+        tgt = (
+            cum.join(n, keys)
+            .where(F.col("_cum") >= F.ceil(F.lit(p) * F.col("n_fetches")))
+            .groupBy(*keys)
+            .agg(F.min("fetch_ms").alias(col))
+        )
+        out = out.join(tgt, keys)
     return out
+
+
+def _group_lower_median(
+    df: DataFrame, keys: list[str], val_col: str, out_col: str
+) -> DataFrame:
+    """Exact lower median per key group at the DISTINCT-VALUE grain:
+    pre-aggregate to (keys, value) counts, running count over distinct
+    values, median = smallest value whose running count reaches
+    ceil(n/2). Identical to ranking every row (rank statistics depend
+    only on the value multiset) but the window task is bounded by value
+    cardinality, not group row count."""
+    counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*keys).orderBy(F.col(val_col).asc())
+    cum = counts.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys))
+    )
+    return (
+        cum.where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+        .groupBy(*keys)
+        .agg(F.min(val_col).alias(out_col))
+    )
 
 
 def size_anomalies(
     fetches: DataFrame,
     threshold: float = 3.5,
+    grain_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Robust per-host response-size outliers: modified z-score over the
     median absolute deviation (|x - median| / MAD, scaled 0.6745 — the
@@ -172,30 +208,29 @@ def size_anomalies(
     EXACT rank statistics (lower-median of the sorted multiset — same
     convention both engines), so flags are deterministic.
 
-    fetches(host, url, n_bytes) -> per-fetch rows + (host_median,
-    host_mad, mod_z rounded 6, anomalous). Hosts with MAD = 0 (all
-    sizes identical) flag only exact deviants (mod_z = infinity is
-    expressed as the `anomalous` bool; mod_z NULL there)."""
-    w = Window.partitionBy("host").orderBy(F.col("n_bytes").asc(), F.col("url").asc())
-    n = Window.partitionBy("host")
-    ranked = fetches.select("host", "url", "n_bytes").withColumn(
-        "_rk", F.row_number().over(w)
-    ).withColumn("_n", F.count(F.lit(1)).over(n))
-    med = ranked.where(
-        F.col("_rk") == F.ceil(F.col("_n") / 2)  # lower median
-    ).select("host", F.col("n_bytes").alias("host_median"))
-    dev = fetches.join(med, "host").withColumn(
+    Both medians run at the distinct-value grain (_group_lower_median):
+    the hot host's window task is bounded by how many DISTINCT sizes it
+    serves, not how many fetches it got, so Zipf host skew can't
+    serialize the stage. ``grain_cols`` adds e.g. a batch_id to every
+    statistic's key for bounded per-batch groups over all-history
+    stores.
+
+    fetches(host, url, n_bytes[, *grain_cols]) -> per-fetch rows +
+    (host_median, host_mad, mod_z rounded 6, anomalous). Hosts with
+    MAD = 0 (all sizes identical) flag only exact deviants (mod_z =
+    infinity is expressed as the `anomalous` bool; mod_z NULL there)."""
+    keys = ["host", *grain_cols]
+    med = _group_lower_median(
+        fetches.select(*keys, "n_bytes"), keys, "n_bytes", "host_median"
+    )
+    dev = fetches.join(med, keys).withColumn(
         "_adev", F.abs(F.col("n_bytes") - F.col("host_median"))
     )
-    wd = Window.partitionBy("host").orderBy(F.col("_adev").asc(), F.col("url").asc())
-    dd = dev.withColumn("_dk", F.row_number().over(wd)).withColumn(
-        "_n", F.count(F.lit(1)).over(n)
+    mad = _group_lower_median(
+        dev.select(*keys, "_adev"), keys, "_adev", "host_mad"
     )
-    mad = dd.where(F.col("_dk") == F.ceil(F.col("_n") / 2)).select(
-        "host", F.col("_adev").alias("host_mad")
-    )
-    out = dev.join(mad, "host").select(
-        "host",
+    out = dev.join(mad, keys).select(
+        *keys,
         "url",
         "n_bytes",
         "host_median",
