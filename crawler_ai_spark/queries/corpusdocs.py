@@ -529,7 +529,11 @@ def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("doc_simhash_pairs")  # no SQL oracle: signature needs blake2b
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming ≤ 3, pigeonhole-banded).
-    Rows-only driver check; pytest cross-checks against jaccard pairs."""
+    Rows-only driver check by design (the 64-bit signature needs blake2b,
+    which SQL lacks); the oracle-green companions are ``doc_minhash_dups``
+    and ``doc_jaccard_pairs`` over the same corpus, and pytest
+    (test_pipeline.py) pins SimHash candidate recall against the exact
+    jaccard pairs."""
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
 

@@ -81,7 +81,9 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: bucket join on a uniform (table_id, bucket) key + exact
     cosine inside buckets; the corpus never crossJoins). ``emb_topk`` stays
     as the brute-force recall oracle; pytest asserts recall >= 0.9 vs it.
-    Rows-only in the driver gate by design (recall < 1)."""
+    Rows-only in the driver gate by design (recall < 1); its DRIVER-GREEN
+    quality row is ``emb_ann_recall``, which folds recall@10 >= 0.9 for
+    this path into the value hash."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -99,8 +101,9 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow matmul pass; each query probes its 6 nearest of 16 cells, so a
     query batch touches ~6/16 of the corpus instead of all of it, with
     the exploded query side broadcast (no corpus shuffle). Rows-only in
-    the driver gate by design (recall < 1); pytest measures recall vs
-    ``emb_topk``."""
+    the driver gate by design (recall < 1); its DRIVER-GREEN quality row
+    is ``emb_ann_recall`` (folds this path's recall@10 >= 0.9 into the
+    value hash); pytest additionally measures recall vs ``emb_topk``."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -113,7 +116,9 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("emb_lsh_pairs")  # no oracle: LSH recall < 1 by design
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-dup pairs (the 10^10-scale path for
-    emb_dup_pairs). Rows-only check; pytest measures recall vs brute."""
+    emb_dup_pairs). Rows-only check by design (recall < 1); the exact
+    twin ``emb_dup_pairs`` is the oracle-green companion and pytest
+    (test_pipeline.py LSH recall suite) pins recall >= 0.9 vs brute."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.hyperplane_lsh_pairs(emb, threshold=0.45, dim=64, bits=6).orderBy("a_id", "b_id")
 

@@ -164,7 +164,11 @@ def q_job_cards_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_job_cards_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9b+D4 — full _extract_jobs_from_cards: pattern extraction followed
     by the greedy title-similarity dedup (job_extraction_service.py:
-    2116-2161), as a per-page JVM aggregate fold."""
+    2116-2161), as a per-page JVM aggregate fold. Rows-only by design
+    (see the register comment); the green companions are the oracle row
+    ``job_cards_extract`` (the extraction stage alone) and the
+    REFERENCE-EXEC parity suite (tests/test_jobcards_parity.py runs the
+    reference's own dedup over the same cards)."""
     from crawler_ai_spark.functions import jobcards as JC
 
     docs = _t(spark, sf_dir, "documents")
