@@ -224,9 +224,32 @@ def main():
         "cores": spark.sparkContext.defaultParallelism,
     }
     if run_queries and cold_timings:
-        out["queries_cold"] = cold_timings
         out["warm"] = True
-    print(json.dumps(out))
+    # The external driver keeps only the LAST ~2000 chars of stdout and
+    # json-parses the final line; round 4's line grew past the cap once
+    # queries_cold doubled it (BENCH_r04.json: "parsed": null, tail
+    # front-truncated). Cold timings and any other bulk detail go to a
+    # side file; the printed line stays compact and is hard-guarded.
+    detail = dict(out)
+    if run_queries and cold_timings:
+        detail["queries_cold"] = cold_timings
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(out)
+    if len(line) > 1900:  # keep headline metrics, drop per-query detail
+        slim = dict(out)
+        slim["queries"] = {
+            k: timings[k]
+            for k in ("frontier_schedule", *sorted(timings, key=timings.get, reverse=True)[:20])
+            if k in timings
+        }
+        slim["queries_truncated_to"] = len(slim["queries"])
+        line = json.dumps(slim)
+    print(line)
     spark.stop()
 
 
