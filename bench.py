@@ -142,7 +142,9 @@ def frontier_bench(spark, sf_dir: str, host_budget: int = 2000) -> dict:
         from crawler_ai_spark.operators.frontier import salted_budget_rank
 
         blooms = S.build_bloom(seen, n_buckets=64)
-        prio = c.withColumn("priority", FL.priority_expr(F.col("url")))
+        from crawler_ai_spark.functions.fastmatch import priority_fast
+
+        prio = c.withColumn("priority", priority_fast(F.col("url")))
         # two-phase salted rank: the Zipf-hot host would otherwise pin the
         # whole budget window to one task (W2 skew defeat)
         budgeted = salted_budget_rank(

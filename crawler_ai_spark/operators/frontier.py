@@ -83,8 +83,14 @@ def harvest_links(parsed: DataFrame) -> DataFrame:
         .drop("_occ")
     )
 
-    # O1 — priority bucket from the raw href (:327-415)
-    links = links.withColumn("priority", FL.priority_expr(F.col("href")))
+    # O1 — priority bucket from the raw href (:327-415). Arrow/RE2 fast
+    # path: values pinned identical to FL.priority_expr by
+    # tests/test_fastmatch.py; at frontier scale the JVM-NFA twin was the
+    # single hottest expression of the whole scheduling pipeline
+    # (functions/fastmatch.py has the measurements)
+    from crawler_ai_spark.functions.fastmatch import priority_fast
+
+    links = links.withColumn("priority", priority_fast(F.col("href")))
 
     # O2 — per-(page, bucket) budget: first N by document order (:185-186)
     w_bucket = Window.partitionBy("seed_url", "url", "priority").orderBy("link_pos")
