@@ -37,6 +37,8 @@ loop and the frontier benchmark use this fast path.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -52,21 +54,45 @@ _CAREER_RE = trie_regex(K.CAREER_KEYWORDS)
 _NAV_RE = trie_regex(K.NAV_KEYWORDS)
 _CONTENT_RE = trie_regex(K.CONTENT_KEYWORDS)
 
+# The session's Arrow batch size (2048, sized for the HTML-parse UDF whose
+# rows are whole pages) is far below the sweet spot for this scan of tiny
+# URL strings — per-batch Python/conversion overhead was ~40% of the stage
+# at 40M rows. The iterator form re-chunks input batches to ~32k rows
+# before invoking the RE2 kernels (9.6 s → 6.0 s at 40M×local[8],
+# measured), without touching the global batch config that protects the
+# big-row UDFs.
+_RECHUNK_ROWS = 32768
 
-@F.pandas_udf(IntegerType())
-def _priority_re2(low: pd.Series) -> pd.Series:
-    # force string type: an all-NULL batch would otherwise infer Arrow's
-    # null type, which match_substring_regex has no kernel for
-    arr = pa.Array.from_pandas(low, type=pa.string())
 
+def _classify(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     def hit(pattern: str) -> np.ndarray:
         m = pc.match_substring_regex(arr, pattern)
         return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
 
-    out = np.select(
+    return np.select(
         [hit(_CAREER_RE), hit(_NAV_RE), hit(_CONTENT_RE)], [100, 80, 50], default=10
-    )
-    return pd.Series(out.astype("int32"))
+    ).astype("int32")
+
+
+@F.pandas_udf(IntegerType())
+def _priority_re2(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    buf: list[pa.Array] = []
+    n = 0
+
+    def flush() -> pd.Series:
+        arr = pa.chunked_array(buf).combine_chunks()
+        return pd.Series(_classify(arr))
+
+    for low in it:
+        # force string type: an all-NULL batch would otherwise infer
+        # Arrow's null type, which match_substring_regex has no kernel for
+        buf.append(pa.Array.from_pandas(low, type=pa.string()))
+        n += len(low)
+        if n >= _RECHUNK_ROWS:
+            yield flush()
+            buf, n = [], 0
+    if buf:
+        yield flush()
 
 
 def priority_fast(href: Column) -> Column:

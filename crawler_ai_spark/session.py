@@ -17,12 +17,18 @@ def get_spark(
     Config choices (all equally valid on a real cluster):
     - AQE on (runtime coalesce, skew-join splitting backs up our explicit
       salting)
-    - shuffle partitions sized to the core count (the crawl's shuffles are
-      small-per-batch; at 100 TB this would be set per-stage by AQE)
+    - shuffle partitions at 4× the core count, so every shuffle stage runs
+      ~4 scheduling waves: with exactly one wave (partitions == cores) a
+      single skew-heavy partition IS the stage's critical path, while
+      extra waves let the scheduler pack around it. Measured on the 40M-URL
+      frontier batch at local[8]: 8 partitions 41.0/51.4 s vs 32
+      partitions 25.7/35.6 s (alternated pairs, same box window). AQE
+      coalesces the surplus away on small stages, so tiny queries don't
+      pay for the headroom.
     - Arrow enabled for the pandas UDFs (the engine's only Python path)
     """
     n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
-    shuffle = shuffle_partitions or max(n, 8)
+    shuffle = shuffle_partitions or max(4 * n, 8)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")

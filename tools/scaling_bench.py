@@ -80,6 +80,17 @@ def run_frontier(cores: int) -> dict:
     b0, s0 = _cpu_sample()
     t0 = __import__("time").perf_counter()
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_QUERIES="0")
+    # Shuffle dirs on tmpfs: on a real cluster every executor ships its own
+    # local SSDs, so shuffle I/O bandwidth scales WITH the executor count;
+    # this sandbox has one shared virtual disk, which would bottleneck the
+    # high-parallelism level with a cost the modeled 4N cluster does not
+    # have (measured: 87 s → 56 s at local[8], 40M candidates). tmpfs makes
+    # shuffle I/O scale with cores like cluster-local disks do. Override
+    # with SCALING_LOCAL_DIRS=."" to measure the shared-disk behavior.
+    if os.environ.get("SCALING_LOCAL_DIRS", "/dev/shm/spark-scaling"):
+        d = os.environ.get("SCALING_LOCAL_DIRS", "/dev/shm/spark-scaling")
+        os.makedirs(d, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = d
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
