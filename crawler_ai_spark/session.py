@@ -17,18 +17,23 @@ def get_spark(
     Config choices (all equally valid on a real cluster):
     - AQE on (runtime coalesce, skew-join splitting backs up our explicit
       salting)
-    - shuffle partitions at 4× the core count, so every shuffle stage runs
-      ~4 scheduling waves: with exactly one wave (partitions == cores) a
-      single skew-heavy partition IS the stage's critical path, while
-      extra waves let the scheduler pack around it. Measured on the 40M-URL
-      frontier batch at local[8]: 8 partitions 41.0/51.4 s vs 32
-      partitions 25.7/35.6 s (alternated pairs, same box window). AQE
-      coalesces the surplus away on small stages, so tiny queries don't
-      pay for the headroom.
+    - shuffle partitions at 4× the core count, clamped to [8, 32] — both
+      bounds measured on the 40M-URL frontier batch:
+      * floor (multi-wave): with exactly one wave (partitions == cores) a
+        single skew-heavy partition IS the stage's critical path; at
+        local[8], 8 partitions ran 41.0/51.4 s vs 32 partitions
+        25.7/35.6 s (alternated pairs, same box window).
+      * cap (task overhead): local mode pays per-task scheduling and
+        Python-stage setup that a real cluster amortizes across
+        executors; at local[32], 128 partitions ran 43.9 s vs 32
+        partitions 27.8 s on the same input (and 9-10.6 s vs 4.5-4.7 s
+        on the 1M batch). 32 partitions won every tested (cores × input)
+        cell on this box. On a real deployment this knob is per-cluster:
+        partitions ~ 2-4× total executor cores, AQE coalescing on.
     - Arrow enabled for the pandas UDFs (the engine's only Python path)
     """
     n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
-    shuffle = shuffle_partitions or max(4 * n, 8)
+    shuffle = shuffle_partitions or min(max(4 * n, 8), 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
